@@ -1,0 +1,208 @@
+package graft
+
+import graft.sources.Tables
+
+/** DuckDB oracle SQL for every query in [[Queries.core]].
+  *
+  * Contract (driver): each SQL runs in DuckDB against views named after the
+  * parquet tables; results are compared to the Spark parquet dump after
+  * sorting columns by name. So: identical column aliases, a total ORDER BY,
+  * and arithmetic that is bit-identical across engines (DECIMAL for sums,
+  * integer-only derived columns, rounding only far from representable
+  * boundaries).
+  */
+object OracleSql {
+
+  private val changelog = Tables.shareHoldersChangelogSql
+
+  /** events with ts truncated ns -> us, matching the Spark-side loader. */
+  private val eventsUs =
+    """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props
+      |FROM events""".stripMargin
+
+  val core: Map[String, String] = Map(
+    "q1_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1995-07-01'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q2_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+        |  COUNT(*) AS count_order,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_join_agg" ->
+      """SELECT c_mktsegment,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    "q4_broadcast_join" ->
+      """SELECT p_brand,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin,
+
+    "q5_left_join" ->
+      """SELECT c_custkey, c_name, COUNT(o_orderkey) AS order_count
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey, c_name
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q6_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q7_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q8_multi_join" ->
+      """SELECT r_name, n_name,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  COUNT(*) AS n
+        |FROM region
+        |JOIN nation ON n_regionkey = r_regionkey
+        |JOIN customer ON c_nationkey = n_nationkey
+        |JOIN orders ON o_custkey = c_custkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    "q9_count_distinct" ->
+      """SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_cust
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q10_rollup" ->
+      """SELECT COALESCE(n_name, 'ALL') AS nation,
+        |  COALESCE(c_mktsegment, 'ALL') AS segment,
+        |  CAST(GROUPING(n_name) AS INT) AS g_nation,
+        |  CAST(GROUPING(c_mktsegment) AS INT) AS g_segment,
+        |  COUNT(*) AS n_cust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY ROLLUP(n_name, c_mktsegment)
+        |ORDER BY nation, segment""".stripMargin,
+
+    "q11_rank_window" ->
+      """SELECT o_custkey, o_orderkey, rn, rnk FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS INT) AS rn,
+        |    CAST(rank() OVER (PARTITION BY o_custkey ORDER BY o_orderdate) AS INT) AS rnk
+        |  FROM orders)
+        |WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin,
+
+    "q12_frame_window" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+        |FROM orders
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q13_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q14_set_ops" ->
+      """WITH a AS (SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 150000),
+        |     b AS (SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |SELECT 'union' AS op, custkey FROM (SELECT custkey FROM a UNION SELECT custkey FROM b)
+        |UNION ALL
+        |SELECT 'intersect' AS op, custkey FROM (SELECT custkey FROM a INTERSECT SELECT custkey FROM b)
+        |UNION ALL
+        |SELECT 'except' AS op, custkey FROM (SELECT custkey FROM a EXCEPT SELECT custkey FROM b)
+        |ORDER BY op, custkey""".stripMargin,
+
+    "q15_scalars" ->
+      """SELECT o_orderkey,
+        |  upper(o_orderpriority) AS pri_upper,
+        |  lower(o_orderstatus) AS status_lower,
+        |  substring(o_orderpriority, 1, 1) AS pri_code,
+        |  o_orderstatus || '-' || o_orderpriority AS status_pri,
+        |  (o_orderpriority LIKE '%URGENT%') AS is_urgent,
+        |  CAST(length(o_orderpriority) AS INT) AS pri_len,
+        |  CAST(year(o_orderdate) AS INT) AS yr,
+        |  CAST(month(o_orderdate) AS INT) AS mon,
+        |  CAST(datediff('day', DATE '1994-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since,
+        |  floor(o_totalprice) AS price_floor,
+        |  ceil(o_totalprice) AS price_ceil,
+        |  abs(o_totalprice - 100000.0) AS price_dev,
+        |  round(o_totalprice / 7.0, 2) AS price_div
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q16_array_json" ->
+      """WITH toks AS (
+        |  SELECT 'tok' AS op, p_partkey AS id, unnest(string_split(p_type, ' ')) AS val FROM part),
+        |js AS (
+        |  SELECT 'json' AS op, event_id AS id, json_extract_string(props, '$.k') AS val FROM events)
+        |SELECT op, id, val FROM (SELECT * FROM toks UNION ALL SELECT * FROM js)
+        |ORDER BY op, id, val""".stripMargin,
+
+    "q17_latest_per_key" ->
+      s"""WITH ev AS ($eventsUs)
+         |SELECT user_id, event_id, ts, event_type, value FROM ev
+         |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+         |ORDER BY user_id""".stripMargin,
+
+    "q18_reference_query" ->
+      s"""WITH changelog AS ($changelog),
+         |latest AS (
+         |  SELECT * FROM changelog
+         |  QUALIFY row_number() OVER (PARTITION BY key ORDER BY seq DESC) = 1)
+         |SELECT client, list_sort(list(DISTINCT key)) AS nasdaq_position_ids
+         |FROM latest
+         |WHERE NOT tombstone AND exchange = 'NASDAQ'
+         |GROUP BY client
+         |ORDER BY client""".stripMargin,
+
+    "q19_time_window" ->
+      s"""WITH ev AS ($eventsUs)
+         |SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, event_type,
+         |  COUNT(*) AS n,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         |FROM ev
+         |GROUP BY 1, 2
+         |ORDER BY 1, 2""".stripMargin,
+
+    "q20_dedup" ->
+      """SELECT user_id, event_type, MIN(event_id) AS first_event_id
+        |FROM events GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    "q21_cosine_topk" ->
+      """WITH p AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0),
+        |s AS (
+        |  SELECT vec_id,
+        |    list_sum(list_transform(range(1, len(embedding) + 1),
+        |      i -> CAST(embedding[i] AS DOUBLE) * CAST(pe[i] AS DOUBLE))) AS dp,
+        |    sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+        |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS na,
+        |    sqrt(list_sum(list_transform(range(1, len(pe) + 1),
+        |      i -> CAST(pe[i] AS DOUBLE) * CAST(pe[i] AS DOUBLE)))) AS nb
+        |  FROM embeddings, p WHERE vec_id <> 0)
+        |SELECT vec_id, round(dp / (na * nb), 6) AS sim FROM s
+        |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin,
+
+    "q22_top_tokens" ->
+      """SELECT token, COUNT(*) AS cnt FROM (
+        |  SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)
+        |WHERE token <> ''
+        |GROUP BY token
+        |ORDER BY cnt DESC, token LIMIT 20""".stripMargin
+  )
+}

@@ -1,0 +1,302 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.functions.{Vectors => VecF}
+import graft.operators.{LatestPerKey, ShareHolders}
+import graft.sources.Tables
+
+/** The declared relational query surface (SURVEY.md §2.B, Q1–Q22).
+  *
+  * Every query here has a DuckDB oracle in [[OracleSql]]; the driver compares
+  * row-for-row after a total ORDER BY, so every query ends in one and every
+  * computed column is aliased identically on both sides.
+  *
+  * Float determinism: monetary/quantity doubles carry exactly 2 decimals, so
+  * SUMs go through DECIMAL(18, s) (exact integer-scaled arithmetic, identical
+  * in Spark and DuckDB) and are cast back to DOUBLE for a stable schema.
+  */
+object Queries {
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.table(s, dir, name)
+
+  private def dec2(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
+
+  // ---------------------------------------------------------------- Q1
+  /** scan + filter + project; predicate and column pruning reach the scan. */
+  def q1FilterProject(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1995-07-01").cast("timestamp"))
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  // ---------------------------------------------------------------- Q2
+  /** TPC-H Q1-shaped hash aggregate; partial+final agg from Catalyst. */
+  def q2Agg(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec2(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(DecimalType(18, 6))).cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .withColumn("avg_qty", col("sum_qty") / col("count_order"))
+      .withColumn("avg_price", col("sum_base_price") / col("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  // ---------------------------------------------------------------- Q3
+  /** inner equi-join + agg (orders ⋈ customer). */
+  def q3Join(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "orders")
+      .join(T(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        sum(dec2(col("o_totalprice"))).cast("double").as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("c_mktsegment")
+
+  // ---------------------------------------------------------------- Q4
+  /** broadcast join: part is a small dim — ship it to every executor. */
+  def q4BroadcastJoin(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .join(broadcast(T(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+        count(lit(1)).as("n_items"))
+      .orderBy("p_brand")
+
+  // ---------------------------------------------------------------- Q5
+  /** left outer join keeping customers with zero orders. */
+  def q5LeftJoin(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "customer")
+      .join(T(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(count(col("o_orderkey")).as("order_count"))
+      .orderBy("c_custkey")
+
+  // ---------------------------------------------------------------- Q6/Q7
+  def q6SemiJoin(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "customer")
+      .join(T(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  def q7AntiJoin(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "customer")
+      .join(T(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  // ---------------------------------------------------------------- Q8
+  /** multi-way join region ⋈ nation ⋈ customer ⋈ orders; small dims broadcast. */
+  def q8MultiJoin(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "orders")
+      .join(T(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(T(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(T(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        sum(dec2(col("o_totalprice"))).cast("double").as("total"),
+        count(lit(1)).as("n"))
+      .orderBy("r_name", "n_name")
+
+  // ---------------------------------------------------------------- Q9
+  /** exact distinct aggregation. */
+  def q9Distinct(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(countDistinct(col("o_custkey")).as("n_cust"))
+      .orderBy("o_orderpriority")
+
+  // ---------------------------------------------------------------- Q10
+  /** rollup with grouping indicators; NULL group cells coalesced to 'ALL' so
+    * ordering is identical across engines (Spark: NULLS FIRST, DuckDB: LAST).
+    */
+  def q10Rollup(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "customer")
+      .join(broadcast(T(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .rollup(col("n_name"), col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_cust"),
+        sum(dec2(col("c_acctbal"))).cast("double").as("sum_bal"),
+        grouping(col("n_name")).cast("int").as("g_nation"),
+        grouping(col("c_mktsegment")).cast("int").as("g_segment"))
+      .select(
+        coalesce(col("n_name"), lit("ALL")).as("nation"),
+        coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
+        col("g_nation"), col("g_segment"), col("n_cust"), col("sum_bal"))
+      .orderBy("nation", "segment")
+
+  // ---------------------------------------------------------------- Q11
+  /** ranking window functions (row_number fully tie-broken for determinism). */
+  def q11RankWindow(s: SparkSession, dir: String): DataFrame = {
+    val wRn = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    val wRk = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"))
+    T(s, dir, "orders")
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        row_number().over(wRn).as("rn"),
+        rank().over(wRk).as("rnk"))
+      .filter(col("rn") <= 3)
+      .orderBy("o_custkey", "rn")
+  }
+
+  // ---------------------------------------------------------------- Q12
+  /** frame window: running total (exact via decimal accumulation). */
+  def q12FrameWindow(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    T(s, dir, "orders")
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        sum(dec2(col("o_totalprice"))).over(w).cast("double").as("running_total"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  // ---------------------------------------------------------------- Q13
+  /** top-k: Catalyst plans TakeOrderedAndProject — no full sort at scale. */
+  def q13TopK(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+
+  // ---------------------------------------------------------------- Q14
+  /** set ops: UNION / INTERSECT / EXCEPT (distinct semantics), tagged. */
+  def q14SetOps(s: SparkSession, dir: String): DataFrame = {
+    val a = T(s, dir, "orders").filter(col("o_totalprice") > 150000)
+      .select(col("o_custkey").as("custkey"))
+    val b = T(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("custkey"))
+    val u = a.union(b).distinct().withColumn("op", lit("union"))
+    val i = a.intersect(b).withColumn("op", lit("intersect"))
+    val e = a.except(b).withColumn("op", lit("except"))
+    u.union(i).union(e).select("op", "custkey").orderBy("op", "custkey")
+  }
+
+  // ---------------------------------------------------------------- Q15
+  /** scalar function sweep: string / date / math. */
+  def q15Scalars(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        upper(col("o_orderpriority")).as("pri_upper"),
+        lower(col("o_orderstatus")).as("status_lower"),
+        substring(col("o_orderpriority"), 1, 1).as("pri_code"),
+        concat(col("o_orderstatus"), lit("-"), col("o_orderpriority")).as("status_pri"),
+        col("o_orderpriority").like("%URGENT%").as("is_urgent"),
+        length(col("o_orderpriority")).as("pri_len"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mon"),
+        datediff(col("o_orderdate"), lit("1994-01-01").cast("date")).as("days_since"),
+        floor(col("o_totalprice")).cast("double").as("price_floor"),
+        ceil(col("o_totalprice")).cast("double").as("price_ceil"),
+        abs(col("o_totalprice") - lit(100000.0)).as("price_dev"),
+        round(col("o_totalprice") / lit(7.0), 2).as("price_div"))
+      .orderBy("o_orderkey")
+
+  // ---------------------------------------------------------------- Q16
+  /** array explode (split p_type) + JSON extraction (events.props), tagged. */
+  def q16ArrayJson(s: SparkSession, dir: String): DataFrame = {
+    val tok = T(s, dir, "part").select(
+      lit("tok").as("op"),
+      col("p_partkey").as("id"),
+      explode(split(col("p_type"), " ")).as("val"))
+    val js = T(s, dir, "events").select(
+      lit("json").as("op"),
+      col("event_id").as("id"),
+      get_json_object(col("props"), "$.k").as("val"))
+    tok.union(js).orderBy("op", "id", "val")
+  }
+
+  // ---------------------------------------------------------------- Q17
+  /** latest-per-key (batch upsert view; operator #1's batch analog). */
+  def q17LatestPerKey(s: SparkSession, dir: String): DataFrame =
+    LatestPerKey(T(s, dir, "events"), keys = Seq("user_id"), ordering = Seq("ts", "event_id"))
+      .select("user_id", "event_id", "ts", "event_type", "value")
+      .orderBy("user_id")
+
+  // ---------------------------------------------------------------- Q18
+  /** THE reference query (kafka_streams.clj:60-81), batch analog over the
+    * synthetic changelog derived from `events` (Tables.shareHoldersChangelog).
+    */
+  def q18ReferenceQuery(s: SparkSession, dir: String): DataFrame =
+    ShareHolders.nasdaqPositionsByClient(Tables.shareHoldersChangelog(s, dir))
+
+  // ---------------------------------------------------------------- Q19
+  /** tumbling 1-hour time-window aggregation (batch form of window()). */
+  def q19TimeWindow(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "events")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dec2(col("value"))).cast("double").as("sum_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy("hour_start", "event_type")
+
+  // ---------------------------------------------------------------- Q20
+  /** deterministic dedup: keep min event_id per (user_id, event_type). */
+  def q20Dedup(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "events")
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(min(col("event_id")).as("first_event_id"))
+      .orderBy("user_id", "event_type")
+
+  // ---------------------------------------------------------------- Q21
+  /** brute-force cosine top-k vs the probe vector (vec_id = 0). */
+  def q21CosineTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    val probe = broadcast(emb.filter(col("vec_id") === 0).select(col("embedding").as("probe")))
+    emb.filter(col("vec_id") =!= 0)
+      .crossJoin(probe)
+      .withColumn("sim", round(VecF.cosine(col("embedding"), col("probe")), 6))
+      .select("vec_id", "sim")
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(5)
+  }
+
+  // ---------------------------------------------------------------- Q22
+  /** text analysis: lowercase-tokenize, top-20 token counts. */
+  def q22TopTokens(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .select(explode(split(lower(col("text")), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(20)
+
+  /** Core relational surface, keyed by SURVEY.md §2.B query id. */
+  val core: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_filter_project" -> (q1FilterProject _),
+    "q2_agg" -> (q2Agg _),
+    "q3_join_agg" -> (q3Join _),
+    "q4_broadcast_join" -> (q4BroadcastJoin _),
+    "q5_left_join" -> (q5LeftJoin _),
+    "q6_semi_join" -> (q6SemiJoin _),
+    "q7_anti_join" -> (q7AntiJoin _),
+    "q8_multi_join" -> (q8MultiJoin _),
+    "q9_count_distinct" -> (q9Distinct _),
+    "q10_rollup" -> (q10Rollup _),
+    "q11_rank_window" -> (q11RankWindow _),
+    "q12_frame_window" -> (q12FrameWindow _),
+    "q13_topk" -> (q13TopK _),
+    "q14_set_ops" -> (q14SetOps _),
+    "q15_scalars" -> (q15Scalars _),
+    "q16_array_json" -> (q16ArrayJson _),
+    "q17_latest_per_key" -> (q17LatestPerKey _),
+    "q18_reference_query" -> (q18ReferenceQuery _),
+    "q19_time_window" -> (q19TimeWindow _),
+    "q20_dedup" -> (q20Dedup _),
+    "q21_cosine_topk" -> (q21CosineTopK _),
+    "q22_top_tokens" -> (q22TopTokens _)
+  )
+}

@@ -1,0 +1,68 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-generated parquet fixtures (TESTDATA.md) and for the
+  * synthetic `share-holders` changelog derived from the `events` table.
+  *
+  * All loads are plain `spark.read.parquet` so Catalyst handles predicate
+  * pushdown / column pruning into the scan; no caching here — callers decide.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") events(spark, dir)
+    else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects. Read nanos as long (legacy conf) and floor-truncate to
+    * microseconds — the exact behavior of DuckDB's TIMESTAMP_NS -> TIMESTAMP
+    * cast, so the oracle (which truncates via CAST) sees identical values.
+    */
+  private def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+  }
+
+  /** Synthetic changelog modeling the reference's compacted `share-holders`
+    * topic (reference: our-service/src/our_service/kafka_streams.clj:64,
+    * docker-compose.yml:13), derived deterministically from `events`:
+    *
+    *   - `seq`     : arrival order (Kafka offset analog) = event_id
+    *   - `key`     : "client:::ticker" (fake_producer.clj:25)
+    *   - tombstone : value IS NULL semantics, here a boolean flag
+    *                 (amount=0 => tombstone, fake_producer.clj:26-29)
+    *
+    * Integer-only derivations so the DuckDB oracle reproduces them bit-exactly.
+    */
+  def shareHoldersChangelog(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+    ev.select(
+      col("event_id").as("seq"),
+      concat(lit("client"), (col("user_id") % 50).cast("string")).as("client"),
+      upper(col("event_type")).as("ticker"),
+      when(col("event_id") % 3 === 0, "NASDAQ")
+        .when(col("event_id") % 3 === 1, "LON")
+        .otherwise("NYSE").as("exchange"),
+      (col("event_id") % 7 === 0).as("tombstone"))
+      .withColumn("key", concat(col("client"), lit(":::"), col("ticker")))
+  }
+
+  /** The DuckDB-side equivalent of [[shareHoldersChangelog]], used as a CTE
+    * prefix in oracle SQL. Must stay in lock-step with the Spark derivation.
+    */
+  val shareHoldersChangelogSql: String =
+    """SELECT event_id AS seq,
+      |       'client' || CAST(user_id % 50 AS VARCHAR) AS client,
+      |       upper(event_type) AS ticker,
+      |       CASE CAST(event_id % 3 AS INT) WHEN 0 THEN 'NASDAQ' WHEN 1 THEN 'LON' ELSE 'NYSE' END AS exchange,
+      |       (event_id % 7 = 0) AS tombstone,
+      |       'client' || CAST(user_id % 50 AS VARCHAR) || ':::' || upper(event_type) AS key
+      |FROM events""".stripMargin
+}
