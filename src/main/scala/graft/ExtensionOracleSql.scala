@@ -1,0 +1,191 @@
+package graft
+
+/** DuckDB oracle SQL for [[ExtensionQueries]]. Same contract as [[OracleSql]].
+  *
+  * The MinHash/SimHash oracles recompute the *same* pipeline (same md5-derived
+  * 60-bit hashes, same permutation constants, same banding), so candidate
+  * generation and final output are bit-identical — the oracle validates the
+  * cross-engine implementation, while exactness vs ground truth is covered by
+  * the exact-Jaccard verification step inside the operator itself.
+  */
+object ExtensionOracleSql {
+
+  /** DuckDB: 60-bit md5-derived hash (graft.functions.Hashing.hash60). */
+  private def h60(e: String) = s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
+
+  /** Lowercased whitespace tokens. */
+  private val toksOf = "list_filter(string_split(lower(text), ' '), t -> t <> '')"
+
+  /** Word k-shingle list over a `toks` column. */
+  private def shinglesOf(k: Int) =
+    s"""CASE WHEN len(toks) >= $k
+       | THEN list_transform(range(1, len(toks) - ${k - 2}),
+       |        i -> array_to_string(list_slice(toks, i, i + ${k - 1}), ' '))
+       | ELSE [] END""".stripMargin
+
+  private def dot(a: String, b: String) =
+    s"list_sum(list_transform(range(1, len($a) + 1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+  private def nrm(a: String) = s"sqrt(${dot(a, a)})"
+  private def cos(a: String, b: String) = s"(${dot(a, b)} / (${nrm(a)} * ${nrm(b)}))"
+
+  val all: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT MIN(doc_id) AS canonical_id, COUNT(*) AS dup_count
+        |FROM documents GROUP BY text ORDER BY canonical_id""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      s"""WITH t AS (SELECT doc_id, $toksOf AS toks FROM documents),
+         |sh AS (SELECT doc_id, ${shinglesOf(3)} AS sh FROM t),
+         |hs AS (SELECT doc_id, list_distinct(list_transform(sh, s -> ${h60("s")})) AS hs
+         |       FROM sh WHERE len(sh) > 0),
+         |ex AS (SELECT doc_id, len(hs) AS sz, unnest(hs) AS h FROM hs),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sz AS sza, b.sz AS szb, COUNT(*) AS common
+         |  FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 3, 4),
+         |j AS (SELECT doc_a, doc_b,
+         |        round(CAST(common AS DOUBLE) / (sza + szb - common), 6) AS jaccard
+         |      FROM pairs)
+         |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_minhash_lsh" ->
+      s"""WITH t AS (SELECT doc_id, $toksOf AS toks FROM documents),
+         |shl AS (SELECT doc_id, ${shinglesOf(3)} AS sh FROM t),
+         |hs AS (SELECT doc_id, list_distinct(list_transform(sh, s -> ${h60("s")})) AS hs
+         |       FROM shl WHERE len(sh) > 0),
+         |ex AS (SELECT doc_id, unnest(hs) % 2147483647 AS hm FROM hs),
+         |perms AS (SELECT unnest(range(0, 64)) AS i),
+         |mins AS (
+         |  SELECT doc_id, i,
+         |    MIN((CAST(1 + 7919 * i AS BIGINT) * hm + (104729 * i) % 2147483647) % 2147483647) AS m
+         |  FROM ex CROSS JOIN perms GROUP BY doc_id, i),
+         |bands AS (
+         |  SELECT doc_id, i // 4 AS band_id, string_agg(CAST(m AS VARCHAR), '_' ORDER BY i) AS sig
+         |  FROM mins GROUP BY doc_id, i // 4),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_id = b.band_id AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         |j AS (
+         |  SELECT doc_a, doc_b,
+         |    round(CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE) /
+         |          (len(ha.hs) + len(hb.hs) - len(list_intersect(ha.hs, hb.hs))), 6) AS jaccard
+         |  FROM cand
+         |  JOIN hs ha ON ha.doc_id = doc_a
+         |  JOIN hs hb ON hb.doc_id = doc_b)
+         |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_simhash" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest($toksOf) AS tkn FROM documents),
+         |th AS (SELECT doc_id, ${h60("tkn")} AS h FROM tok),
+         |bitsj AS (SELECT unnest(range(0, 60)) AS j),
+         |bits AS (
+         |  SELECT doc_id, j,
+         |    CASE WHEN SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) > 0
+         |         THEN (CAST(1 AS BIGINT) << j) ELSE 0 END AS bv
+         |  FROM th CROSS JOIN bitsj GROUP BY doc_id, j),
+         |sh AS (SELECT doc_id, CAST(SUM(bv) AS BIGINT) AS simhash FROM bits GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_embedding" ->
+      s"""WITH j AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    round(${cos("a.embedding", "b.embedding")}, 6) AS sim
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+         |SELECT vec_a, vec_b, sim FROM j WHERE sim >= 0.45
+         |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "simsearch_ivf" ->
+      s"""WITH cent AS (SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+         |probe AS (SELECT embedding AS pv FROM embeddings WHERE vec_id = 0),
+         |asn AS (
+         |  SELECT e.vec_id, c.centroid_id,
+         |    round(${cos("e.embedding", "c.cvec")}, 6) AS csim
+         |  FROM embeddings e CROSS JOIN cent c),
+         |best AS (
+         |  SELECT vec_id, centroid_id FROM asn
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, centroid_id) = 1),
+         |pb AS (
+         |  SELECT centroid_id FROM (
+         |    SELECT c.centroid_id, round(${cos("c.cvec", "p.pv")}, 6) AS csim
+         |    FROM cent c CROSS JOIN probe p)
+         |  QUALIFY row_number() OVER (ORDER BY csim DESC, centroid_id) <= 2)
+         |SELECT e.vec_id, round(${cos("e.embedding", "p.pv")}, 6) AS sim
+         |FROM best
+         |JOIN embeddings e ON e.vec_id = best.vec_id
+         |JOIN pb ON pb.centroid_id = best.centroid_id
+         |CROSS JOIN probe p
+         |WHERE e.vec_id <> 0
+         |ORDER BY sim DESC, e.vec_id LIMIT 5""".stripMargin,
+
+    "text_langid" ->
+      s"""WITH prof(lang, word) AS (VALUES
+         |  ('en','the'),('en','a'),('en','and'),('en','of'),('en','to'),('en','in'),('en','is'),('en','for'),('en','on'),('en','with'),
+         |  ('de','der'),('de','die'),('de','das'),('de','und'),('de','ist'),('de','nicht'),('de','mit'),('de','ein'),('de','zu'),('de','von'),
+         |  ('fr','le'),('fr','la'),('fr','les'),('fr','et'),('fr','des'),('fr','un'),('fr','une'),('fr','du'),('fr','est'),('fr','dans'),
+         |  ('es','el'),('es','los'),('es','las'),('es','de'),('es','y'),('es','en'),('es','que'),('es','un'),('es','es'),('es','por'),
+         |  ('zh','的'),('zh','是'),('zh','在'),('zh','了'),('zh','和'),('zh','有'),('zh','我'),('zh','不'),('zh','人'),('zh','这')),
+         |toks AS (SELECT doc_id, unnest($toksOf) AS t FROM documents),
+         |scores AS (
+         |  SELECT doc_id, lang, COUNT(*) AS score
+         |  FROM toks JOIN prof ON t = word GROUP BY doc_id, lang),
+         |best AS (
+         |  SELECT doc_id, lang AS pred_lang, score FROM scores
+         |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) = 1)
+         |SELECT d.doc_id, COALESCE(b.pred_lang, 'und') AS pred_lang,
+         |       COALESCE(b.score, 0) AS score, d.lang AS actual_lang
+         |FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "text_quality" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, n_chars, $toksOf AS toks,
+         |    length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS n_alpha
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id, n_chars, CAST(len(toks) AS INT) AS n_tokens,
+         |    list_sum(list_transform(toks, x -> length(x))) AS sum_len,
+         |    len(list_filter(toks, x -> list_contains(
+         |      ['the','a','and','of','to','in','is','for','on','with'], x))) AS n_stop,
+         |    n_alpha
+         |  FROM t)
+         |SELECT doc_id, n_tokens,
+         |  CASE WHEN n_tokens > 0 THEN round(CAST(sum_len AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) ELSE 0.0 END AS mean_token_len,
+         |  CASE WHEN n_tokens > 0 THEN round(CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) ELSE 0.0 END AS stopword_ratio,
+         |  CASE WHEN n_chars > 0 THEN round(CAST(n_alpha AS DOUBLE) / CAST(n_chars AS DOUBLE), 6) ELSE 0.0 END AS alpha_ratio,
+         |  CASE WHEN n_tokens > 0 THEN round(
+         |    least(CAST(n_tokens AS DOUBLE) / 200.0, 1.0) *
+         |    (1.0 - least(CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE), 0.5)), 6) ELSE 0.0 END AS quality_score
+         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "text_stats" ->
+      s"""SELECT doc_id,
+         |  CAST(len($toksOf) AS INT) AS n_ws_tokens,
+         |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS INT) AS n_re_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_fingerprint" ->
+      s"""WITH t AS (SELECT doc_id, text, $toksOf AS toks FROM documents),
+         |s AS (SELECT doc_id, text, ${shinglesOf(5)} AS sh FROM t)
+         |SELECT doc_id,
+         |  COALESCE(
+         |    list_min(list_transform(sh, s2 -> ${h60("s2")})),
+         |    ${h60("text")}) AS fingerprint
+         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "multimodal_features" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        |  [CAST(octet_length(encode(text)) AS DOUBLE), CAST(n_chars AS DOUBLE),
+        |   CAST(doc_id % 7 AS DOUBLE)] AS mm_feat
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

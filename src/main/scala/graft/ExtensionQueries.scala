@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.sources.Tables
+
+/** LLM-training-data pipeline extensions (SURVEY.md §2.B last row): dedup
+  * family, similarity search, text analysis, multimodal plumbing. Each is an
+  * oracle-checked `queries()` entry over the `documents` / `embeddings`
+  * fixtures.
+  */
+object ExtensionQueries {
+
+  private def docs(s: SparkSession, dir: String) = Tables.table(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String) = Tables.table(s, dir, "embeddings")
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exactCanonical(docs(s, dir), "doc_id", "text")),
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", k = 3, threshold = 0.5)),
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.minHashLshPairs(docs(s, dir), "doc_id", "text", k = 3, numPerm = 64, bands = 16, threshold = 0.5)),
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simHashPairs(docs(s, dir), "doc_id", "text", maxDist = 3)),
+    "dedup_embedding" -> ((s, dir) =>
+      Similarity.embeddingNearDupPairs(emb(s, dir), threshold = 0.45)),
+    "simsearch_ivf" -> ((s, dir) =>
+      Similarity.ivfTopK(emb(s, dir), probeId = 0L, k = 5, nlist = 8, nprobe = 2)),
+    "text_langid" -> ((s, dir) =>
+      TextAnalysis.langId(s, docs(s, dir))),
+    "text_quality" -> ((s, dir) =>
+      TextAnalysis.qualityScore(docs(s, dir))),
+    "text_stats" -> ((s, dir) =>
+      TextAnalysis.tokenStats(docs(s, dir))),
+    "text_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprint(docs(s, dir))),
+    "multimodal_features" -> ((s, dir) =>
+      Multimodal.extractFeatures(s, docs(s, dir)))
+  )
+}

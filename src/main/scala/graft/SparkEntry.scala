@@ -10,9 +10,10 @@ object SparkEntry {
     Queries.q18ReferenceQuery(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Queries.core
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Queries.core ++ ExtensionQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = OracleSql.core
+  def oracleSql: Map[String, String] = OracleSql.core ++ ExtensionOracleSql.all
 }

@@ -1,0 +1,158 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Hashing, Text}
+
+/** Document deduplication operators for the training-data pipeline:
+  * exact, n-gram Jaccard (inverted index), MinHash+LSH, and SimHash.
+  *
+  * Scale notes (the 100 TB story):
+  *  - Nothing here cross-joins documents. Candidate pairs always come from an
+  *    equi-join on a bounded key (shingle hash, LSH band signature, SimHash
+  *    chunk) — a shuffle keyed on something with bounded fan-out.
+  *  - Shingles are hashed to 60-bit longs *before* any shuffle, so exchanges
+  *    move fixed-width longs, not strings.
+  *  - MinHash signatures are computed with one explode + 64 `min` partial
+  *    aggregates — map-side combine collapses each document's shingles before
+  *    the exchange.
+  *  - With [[graft.functions.Hashing.hash60]] the whole pipeline is
+  *    reproducible in DuckDB (MD5 is portable); swap in `fastHash64` for
+  *    xxhash64 when cross-engine parity is not needed.
+  */
+object Dedup {
+
+  /** Exact dedup by full-text equality: one row per distinct text with the
+    * canonical (minimum) doc id and the duplicate count.
+    */
+  def exactCanonical(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(col(textCol))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("dup_count"))
+      .select("canonical_id", "dup_count")
+      .orderBy("canonical_id")
+
+  /** (doc_id, hs: distinct shingle-hash array, sz) helper. */
+  private def shingleHashes(df: DataFrame, idCol: String, textCol: String, k: Int,
+                            hashFn: Column => Column): DataFrame =
+    df.select(
+      col(idCol).as("doc_id"),
+      array_distinct(transform(Text.wordShingles(Text.tokens(col(textCol)), k), hashFn))
+        .as("hs"))
+      .withColumn("sz", size(col("hs")))
+      .filter(col("sz") > 0)
+
+  /** Exact n-gram (word k-shingle) Jaccard near-dup pairs via an inverted
+    * index: explode shingle hashes, equi-join on the hash, count common per pair.
+    * No document cross join; the join key is a 60-bit shingle hash.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        k: Int = 3, threshold: Double = 0.5,
+                        hashFn: Column => Column = Hashing.hash60): DataFrame = {
+    val sh = shingleHashes(df, idCol, textCol, k, hashFn)
+    val ex = sh.select(col("doc_id"), col("sz"), explode(col("hs")).as("h"))
+    ex.as("a").join(ex.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sz").as("sza"), col("b.sz").as("szb"))
+      .agg(count(lit(1)).as("common"))
+      .withColumn("jaccard", round(
+        col("common").cast("double") /
+          (col("sza") + col("szb") - col("common")).cast("double"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** MinHash + banded LSH near-dup pairs, verified with exact Jaccard over
+    * the shingle-hash sets.
+    *
+    * numPerm permutations h_i(x) = (a_i x + b_i) mod P, banded `bands` × `rows`;
+    * candidate pairs share at least one band signature; candidates are then
+    * verified exactly, so LSH false positives never reach the output.
+    */
+  def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      k: Int = 3, numPerm: Int = 64, bands: Int = 16,
+                      threshold: Double = 0.5,
+                      hashFn: Column => Column = Hashing.hash60): DataFrame = {
+    require(numPerm % bands == 0, "numPerm must divide into bands")
+    val rows = numPerm / bands
+    val sh = shingleHashes(df, idCol, textCol, k, hashFn)
+    val ex = sh.select(col("doc_id"), (explode(col("hs")).as("h")))
+      .withColumn("hm", col("h") % Hashing.P)
+
+    val minExprs = (0 until numPerm).map { i =>
+      min((lit(Hashing.permA(i)) * col("hm") + lit(Hashing.permB(i))) % Hashing.P).as(s"m$i")
+    }
+    val sigs = ex.groupBy("doc_id").agg(minExprs.head, minExprs.tail: _*)
+
+    val bandCols = (0 until bands).map { j =>
+      concat_ws("_", (0 until rows).map(r => col(s"m${j * rows + r}")): _*)
+    }
+    val banded = sigs.select(col("doc_id"),
+      posexplode(array(bandCols: _*)).as(Seq("band_id", "sig")))
+
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band_id") === col("b.band_id") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("hs").as("hsa"), col("sz").as("sza")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("hs").as("hsb"), col("sz").as("szb")), "doc_b")
+      .withColumn("common", size(array_intersect(col("hsa"), col("hsb"))))
+      .withColumn("jaccard", round(
+        col("common").cast("double") /
+          (col("sza") + col("szb") - col("common")).cast("double"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** SimHash near-dup pairs. 60-bit simhash over token hashes; candidate
+    * generation splits the fingerprint into `chunks` equal-width chunks and
+    * equi-joins on (chunk_id, chunk_value) — by pigeonhole this has perfect
+    * recall for Hamming distance < chunks, so the final bit_count filter makes
+    * the result exact (identical to a cross join) while shuffling only
+    * chunk-keyed rows.
+    */
+  def simHashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxDist: Int = 3,
+                   hashFn: Column => Column = Hashing.hash60): DataFrame = {
+    val nBits = 60
+    val chunks = 4
+    val chunkBits = nBits / chunks // 15
+    require(maxDist < chunks, "pigeonhole recall requires maxDist < chunks")
+
+    val tok = df.select(col(idCol).as("doc_id"), explode(Text.tokens(col(textCol))).as("t"))
+      .withColumn("h", hashFn(col("t")))
+
+    val bitSums = (0 until nBits).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j")
+    }
+    val agg = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val sim = agg.select(col("doc_id"),
+      (0 until nBits).map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+        .reduce(_ + _).as("simhash"))
+
+    val chunked = sim.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until chunks).map(c =>
+        shiftright(col("simhash"), c * chunkBits).bitwiseAND((1L << chunkBits) - 1)): _*))
+        .as(Seq("chunk_id", "chunk_val")))
+
+    chunked.as("a")
+      .join(chunked.as("b"),
+        col("a.chunk_id") === col("b.chunk_id") && col("a.chunk_val") === col("b.chunk_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("sha"), col("b.simhash").as("shb"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(sha ^ shb)").cast("int"))
+      .filter(col("hamming") <= maxDist)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+}

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Vectors => VecF}
+
+/** Similarity search over embedding columns (`ARRAY<FLOAT>`).
+  *
+  *  - [[bruteForceTopK]]: exact cosine top-k against a broadcast probe — the
+  *    baseline. Scales linearly: the probe is broadcast, scoring is a narrow
+  *    map, and top-k is `TakeOrderedAndProject` (per-partition heaps + driver
+  *    merge of k rows, never a global sort).
+  *  - [[embeddingNearDupPairs]]: all-pairs cosine ≥ threshold. Exact; at test
+  *    scale the pair join is a block nested loop. The 100 TB path is bucketed
+  *    candidate generation (hyperplane LSH), same final filter.
+  *  - [[ivfTopK]]: IVF-style bucketed search — vectors are assigned to their
+  *    nearest centroid at "index build" time; a probe only scans `nprobe`
+  *    centroid buckets. Centroid selection here is a deterministic stub
+  *    (first `nlist` vectors) standing in for k-means, so the whole path is
+  *    oracle-checkable; the Spark plumbing (partition pruning by centroid id)
+  *    is the real thing.
+  */
+object Similarity {
+
+  /** Exact cosine top-k neighbors of `probeId`, excluding the probe itself. */
+  def bruteForceTopK(emb: DataFrame, probeId: Long, k: Int): DataFrame = {
+    val probe = broadcast(
+      emb.filter(col("vec_id") === probeId).select(col("embedding").as("probe")))
+    emb.filter(col("vec_id") =!= probeId)
+      .crossJoin(probe)
+      .withColumn("sim", round(VecF.cosine(col("embedding"), col("probe")), 6))
+      .select("vec_id", "sim")
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** All vector pairs with cosine ≥ threshold (embedding near-dup). */
+  def embeddingNearDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
+    val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("sim", round(VecF.cosine(col("ea"), col("eb")), 6))
+      .filter(col("sim") >= threshold)
+      .select("vec_a", "vec_b", "sim")
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** IVF top-k: assign every vector to its nearest of `nlist` centroids
+    * (deterministic stub: centroids are the vectors with vec_id < nlist);
+    * search only the `nprobe` centroid buckets nearest to the probe.
+    * Ties in centroid assignment break toward the lower centroid id.
+    */
+  def ivfTopK(emb: DataFrame, probeId: Long, k: Int,
+              nlist: Int = 8, nprobe: Int = 2): DataFrame = {
+    val centroids = broadcast(
+      emb.filter(col("vec_id") < nlist)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec")))
+
+    // index build: nearest centroid per vector (max cosine, tie -> lower id)
+    val assigned = emb.crossJoin(centroids)
+      .withColumn("csim", round(VecF.cosine(col("embedding"), col("cvec")), 6))
+      .groupBy(col("vec_id"), col("embedding"))
+      .agg(max_by(col("centroid_id"), struct(col("csim"), -col("centroid_id"))).as("centroid_id"))
+
+    // probe: its nprobe nearest centroids
+    val probeVec = emb.filter(col("vec_id") === probeId)
+      .select(col("embedding").as("probe"))
+    val probeBuckets = broadcast(
+      centroids.crossJoin(broadcast(probeVec))
+        .withColumn("csim", round(VecF.cosine(col("cvec"), col("probe")), 6))
+        .orderBy(col("csim").desc, col("centroid_id"))
+        .limit(nprobe)
+        .select(col("centroid_id")))
+
+    assigned
+      .join(probeBuckets, "centroid_id") // bucket pruning
+      .filter(col("vec_id") =!= probeId)
+      .crossJoin(broadcast(probeVec))
+      .withColumn("sim", round(VecF.cosine(col("embedding"), col("probe")), 6))
+      .select("vec_id", "sim")
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+  }
+}

@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Hashing, Text}
+
+/** Text-analysis operators over the `documents` table: language ID (stopword
+  * heuristic), quality scoring, token counting, and rolling-hash document
+  * fingerprints. All column-function based — no UDFs — so everything stays in
+  * codegen and has a DuckDB-expressible oracle.
+  */
+object TextAnalysis {
+
+  /** Stopword-profile language ID: score = matched stopword occurrences per
+    * language; prediction = argmax (ties -> lexicographically first language,
+    * no matches -> 'und' with score 0).
+    */
+  def langId(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val prof = Text.stopwordProfiles
+      .flatMap { case (lang, ws) => ws.map(w => (lang, w)) }
+      .toDF("lang", "word")
+
+    val tok = docs.select(col("doc_id"), explode(Text.tokens(col("text"))).as("t"))
+    val scores = tok.join(broadcast(prof), col("t") === col("word"))
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("score"))
+    // argmax score with ties toward the lexicographically smallest language:
+    // min_by over (-score, lang) = highest score, then lang ascending.
+    val bestRanked = scores.groupBy("doc_id")
+      .agg(min_by(struct(col("lang"), col("score")), struct(-col("score"), col("lang"))).as("b"))
+      .select(col("doc_id"), col("b.lang").as("pred_lang"), col("b.score").as("score"))
+
+    docs.select(col("doc_id"), col("lang").as("actual_lang"))
+      .join(bestRanked, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("pred_lang"), lit("und")).as("pred_lang"),
+        coalesce(col("score"), lit(0L)).as("score"),
+        col("actual_lang"))
+      .orderBy("doc_id")
+  }
+
+  /** Quality signals per document: token count, mean token length, stopword
+    * ratio, alpha-character ratio, and a fixed composite score. All ratios
+    * are exact integer divisions in double, rounded to 6 decimals.
+    */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val toks = Text.tokens(col("text"))
+    val enStops = typedLit(Text.enStopwords)
+    docs
+      .withColumn("toks", toks)
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("sum_len",
+        aggregate(col("toks"), lit(0), (acc, t) => acc + length(t)))
+      .withColumn("n_stop",
+        size(filter(col("toks"), t => array_contains(enStops, t))))
+      .withColumn("n_alpha",
+        length(regexp_replace(lower(col("text")), "[^a-z]", "")))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        when(col("n_tokens") > 0,
+          round(col("sum_len").cast("double") / col("n_tokens").cast("double"), 6))
+          .otherwise(lit(0.0)).as("mean_token_len"),
+        when(col("n_tokens") > 0,
+          round(col("n_stop").cast("double") / col("n_tokens").cast("double"), 6))
+          .otherwise(lit(0.0)).as("stopword_ratio"),
+        when(col("n_chars") > 0,
+          round(col("n_alpha").cast("double") / col("n_chars").cast("double"), 6))
+          .otherwise(lit(0.0)).as("alpha_ratio"),
+        // composite: reward length up to 200 tokens, penalize stopword excess
+        when(col("n_tokens") > 0,
+          round(least(col("n_tokens").cast("double") / 200.0, lit(1.0)) *
+            (lit(1.0) - least(col("n_stop").cast("double") / col("n_tokens").cast("double"), lit(0.5))), 6))
+          .otherwise(lit(0.0)).as("quality_score"))
+      .orderBy("doc_id")
+  }
+
+  /** Token counting: whitespace tokens and BPE-ish regex tokens
+    * (`[a-z0-9]+` runs over the lowercased text).
+    */
+  def tokenStats(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(Text.tokens(col("text"))).as("n_ws_tokens"),
+      regexp_count(lower(col("text")), lit("[a-z0-9]+")).cast("int").as("n_re_tokens"))
+      .orderBy("doc_id")
+
+  /** Rolling-hash fingerprint: minimum 60-bit hash over word 5-shingles
+    * (winnowing's global-min special case). Documents shorter than 5 tokens
+    * fall back to hashing the whole text.
+    */
+  def fingerprint(docs: DataFrame): DataFrame = {
+    val sh = Text.wordShingles(Text.tokens(col("text")), 5)
+    docs.select(
+      col("doc_id"),
+      coalesce(
+        array_min(transform(sh, s => Hashing.hash60(s))),
+        Hashing.hash60(col("text"))).as("fingerprint"))
+      .orderBy("doc_id")
+  }
+}
