@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Hashing, Text}
+import graft.operators.{Dedup, LatestPerKey, Multimodal}
+import graft.sources.Tables
+
+class OperatorSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("LatestPerKey keeps the max-ordered row per key") {
+    val df = Seq(
+      ("k1", 1L, "a"), ("k1", 3L, "c"), ("k1", 2L, "b"),
+      ("k2", 10L, "x")).toDF("key", "seq", "v")
+    val got = LatestPerKey(df, Seq("key"), Seq("seq"))
+      .orderBy("key").collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(got.toSeq == Seq(("k1", 3L, "c"), ("k2", 10L, "x")))
+  }
+
+  test("hash60 matches the documented DuckDB formula on a known value") {
+    // md5("abc") = 900150983cd24fb0d6963f7d28e17f72; first 15 hex chars as long
+    val got = Seq("abc").toDF("s").select(Hashing.hash60(col("s"))).head.getLong(0)
+    assert(got == java.lang.Long.parseLong("900150983cd24fb", 16))
+  }
+
+  test("wordShingles: k-grams, short docs empty") {
+    val df = Seq("a b c d", "a b").toDF("text")
+      .select(Text.wordShingles(Text.tokens(col("text")), 3).as("sh"))
+    val got = df.collect().map(_.getSeq[String](0))
+    assert(got(0) == Seq("a b c", "b c d"))
+    assert(got(1) == Seq.empty)
+  }
+
+  test("ngram and minhash dedup agree on the planted near-dups (sf0.001)") {
+    val docs = Tables.table(spark, sf0001, "documents")
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minHashLshPairs(docs, "doc_id", "text", 3, 64, 16, 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixtures should contain planted near-duplicates")
+    // LSH candidates are verified with exact Jaccard, so lsh ⊆ exact;
+    // with 16 bands of 4 rows at J≈0.98 recall should be total.
+    assert(lsh == exact)
+  }
+
+  test("simhash pairs are symmetric-free and within distance") {
+    val docs = Tables.table(spark, sf0001, "documents")
+    val pairs = Dedup.simHashPairs(docs, "doc_id", "text", 3).collect()
+    assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(pairs.forall(r => r.getInt(2) <= 3))
+  }
+
+  test("multimodal feature extraction: stub features, batch shape") {
+    val docs = Tables.table(spark, sf0001, "documents").limit(10)
+    val feats = Multimodal.extractFeatures(spark, docs).collect()
+    assert(feats.length == 10)
+    feats.foreach { r =>
+      val feat = r.getSeq[Double](2)
+      assert(feat.length == 3)
+      assert(feat(0) == r.getInt(1).toDouble) // n_bytes consistent
+    }
+  }
+
+  test("flagship entry returns rows (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}

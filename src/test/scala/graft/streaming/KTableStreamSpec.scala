@@ -1,0 +1,139 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
+
+import graft.SparkSpec
+import graft.operators.ShareHolders
+import KTableStream.{Position, ShareUpdate}
+
+class KTableStreamSpec extends SparkSpec {
+
+  private def upsert(seq: Long, client: String, ticker: String, exchange: String,
+                     amount: Int = 1): ShareUpdate = {
+    val key = s"$client:::$ticker"
+    ShareUpdate(key, Some(Position(client, key, ticker, exchange, amount)), seq)
+  }
+  private def tombstone(seq: Long, client: String, ticker: String): ShareUpdate =
+    ShareUpdate(s"$client:::$ticker", None, seq)
+
+  /** Drive a changelog through the KTable pipeline step by step; returns the
+    * serving view after each step.
+    */
+  private def run(steps: Seq[Seq[ShareUpdate]],
+                  serving: Serving = new Serving,
+                  checkpoint: String = Files.createTempDirectory("ktable").toString)
+      : Seq[Map[String, Seq[String]]] = {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[ShareUpdate]
+    val views = KTableStream.usShareHolders(spark, input.toDS())
+    val q = views.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[KTableStream.ClientView], _: Long) =>
+        serving.upsertBatch(b)
+      }
+      .start()
+    val out = steps.map { batch =>
+      input.addData(batch)
+      q.processAllAvailable()
+      serving.asMap
+    }
+    q.stop()
+    out
+  }
+
+  test("canonical smoke scenario (FIXTURES.md A / fake_producer.clj:50-52)") {
+    val states = run(Seq(
+      Seq(upsert(0, "daniel", "AAPL", "NASDAQ", 99)),
+      Seq(upsert(1, "daniel", "BT.A", "LON")),
+      Seq(tombstone(2, "daniel", "AAPL"))))
+    assert(states(0) == Map("daniel" -> Seq("daniel:::AAPL")))
+    assert(states(1) == Map("daniel" -> Seq("daniel:::AAPL"))) // LON filtered
+    assert(states(2) == Map.empty) // set emptied => row deleted (kafka_streams.clj:77-79)
+  }
+
+  test("filter retraction on exchange flip (kafka_streams.clj:65-67)") {
+    val states = run(Seq(
+      Seq(upsert(0, "c1", "AAPL", "NASDAQ"), upsert(1, "c1", "MSFT", "NASDAQ")),
+      Seq(upsert(2, "c1", "AAPL", "LON")), // NASDAQ -> LON retracts the id
+      Seq(upsert(3, "c1", "AAPL", "NASDAQ")))) // and back
+    assert(states(0) == Map("c1" -> Seq("c1:::AAPL", "c1:::MSFT")))
+    assert(states(1) == Map("c1" -> Seq("c1:::MSFT")))
+    assert(states(2) == Map("c1" -> Seq("c1:::AAPL", "c1:::MSFT")))
+  }
+
+  test("re-insert after tombstone; multiple clients isolated") {
+    val states = run(Seq(
+      Seq(upsert(0, "a", "T1", "NASDAQ"), upsert(1, "b", "T1", "NASDAQ")),
+      Seq(tombstone(2, "a", "T1")),
+      Seq(upsert(3, "a", "T1", "NASDAQ"))))
+    assert(states(1) == Map("b" -> Seq("b:::T1")))
+    assert(states(2) == Map("a" -> Seq("a:::T1"), "b" -> Seq("b:::T1")))
+  }
+
+  test("same-key rapid updates within one batch: last write wins") {
+    val states = run(Seq(Seq(
+      upsert(0, "c", "X", "NASDAQ"),
+      upsert(1, "c", "X", "LON"),
+      upsert(2, "c", "Y", "NASDAQ"),
+      tombstone(3, "c", "Y"),
+      upsert(4, "c", "Y", "NASDAQ"))))
+    assert(states(0) == Map("c" -> Seq("c:::Y")))
+  }
+
+  test("restart from checkpoint equals uninterrupted run") {
+    // the tombstone for c:::T1 only produces the correct retraction if c's
+    // positions map was restored from the checkpointed state store
+    val all = Seq(
+      Seq(upsert(0, "c", "T1", "NASDAQ"), upsert(1, "c", "T2", "NASDAQ"),
+        upsert(2, "b", "T9", "LON")),
+      Seq(tombstone(3, "c", "T1"), upsert(4, "b", "T9", "NASDAQ")),
+      Seq(upsert(5, "a", "T3", "NASDAQ")))
+
+    val uninterrupted = run(all).last
+    assert(uninterrupted == Map(
+      "a" -> Seq("a:::T3"), "b" -> Seq("b:::T9"), "c" -> Seq("c:::T2")))
+
+    // interrupted: batch 1 with one query; then a NEW query over the same
+    // checkpoint + serving store (persistent-sink analog). The source replays
+    // the full changelog — the checkpoint skips already-committed batches, so
+    // batches 2-3 run against the RESTORED state, not a rebuilt one.
+    val checkpoint = Files.createTempDirectory("ktable-restart").toString
+    val serving = new Serving
+    run(Seq(all.head), serving, checkpoint)
+    val resumed = run(all, serving, checkpoint).last
+    assert(resumed == uninterrupted)
+  }
+
+  test("property: streaming incremental state == batch recompute (KTable law)") {
+    val rnd = new scala.util.Random(42)
+    val clients = (1 to 8).map(i => s"client$i")
+    val tickers = Seq("AAPL", "MSFT", "GOOG", "BT.A", "VOD")
+    val exchanges = Seq("NASDAQ", "LON", "NYSE")
+    val updates = (0 until 400).map { seq =>
+      val c = clients(rnd.nextInt(clients.size))
+      val t = tickers(rnd.nextInt(tickers.size))
+      if (rnd.nextInt(5) == 0) tombstone(seq, c, t)
+      else upsert(seq, c, t, exchanges(rnd.nextInt(exchanges.size)), rnd.nextInt(100) + 1)
+    }
+    val streamed = run(updates.grouped(97).toSeq).last
+
+    // batch recompute over the same changelog (the M1 operator)
+    import spark.implicits._
+    val changelogDf = updates.map { u =>
+      (u.seq, u.key, KTableStream.clientOf(u.key),
+        u.key.split(":::", 2)(1),
+        u.value.map(_.exchange).orNull,
+        u.value.isEmpty)
+    }.toDF("seq", "key", "client", "ticker", "exchange", "tombstone")
+    val batch = ShareHolders.nasdaqPositionsByClient(changelogDf)
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1))
+      .toMap
+    assert(streamed == batch)
+  }
+}
