@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Hashing, Text}
@@ -32,15 +33,34 @@ object Dedup {
       .select("canonical_id", "dup_count")
       .orderBy("canonical_id")
 
-  /** (doc_id, hs: distinct shingle-hash array, sz) helper. */
-  private def shingleHashes(df: DataFrame, idCol: String, textCol: String, k: Int,
-                            hashFn: Column => Column): DataFrame =
-    df.select(
-      col(idCol).as("doc_id"),
-      array_distinct(transform(Text.wordShingles(Text.tokens(col(textCol)), k), hashFn))
-        .as("hs"))
-      .withColumn("sz", size(col("hs")))
-      .filter(col("sz") > 0)
+  /** Spread a narrow input across the cluster before CPU-heavy per-row work.
+    * A small parquet file arrives as ONE partition; tokenize/hash would then
+    * run serially no matter how many cores exist. One cheap shuffle of the
+    * raw rows buys full parallelism for everything downstream.
+    */
+  private def spread(df: DataFrame, byCol: String): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism, col(byCol))
+
+  /** Distinct (doc_id, h) shingle-hash pairs, already exploded.
+    *
+    * Shingles are built with posexplode + `lead()` windows rather than
+    * array higher-order functions: HOF lambdas evaluate interpreted (outside
+    * whole-stage codegen) and measure ~4x slower than this formulation, in
+    * which tokenize/lead/concat/md5 all stay in codegen. The window sort is
+    * per-document on the already-spread exchange.
+    */
+  private def shingleHashesExploded(df0: DataFrame, idCol: String, textCol: String, k: Int,
+                                    hashFn: Column => Column): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val tok = spread(df0, idCol)
+      .select(col(idCol).as("doc_id"), posexplode(Text.tokens(col(textCol))).as(Seq("pos", "t")))
+    val leads = (1 until k).map(i => lead(col("t"), i).over(w).as(s"t$i"))
+    val shingle = concat_ws(" ", col("t") +: (1 until k).map(i => col(s"t$i")): _*)
+    tok.select(col("doc_id") +: col("t") +: leads: _*)
+      .filter(col(s"t${k - 1}").isNotNull)
+      .select(col("doc_id"), hashFn(shingle).as("h"))
+      .distinct()
+  }
 
   /** Exact n-gram (word k-shingle) Jaccard near-dup pairs via an inverted
     * index: explode shingle hashes, equi-join on the hash, count common per pair.
@@ -49,8 +69,16 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 3, threshold: Double = 0.5,
                         hashFn: Column => Column = Hashing.hash60): DataFrame = {
-    val sh = shingleHashes(df, idCol, textCol, k, hashFn)
-    val ex = sh.select(col("doc_id"), col("sz"), explode(col("hs")).as("h"))
+    // persist the exploded inverted index: the self-join would otherwise
+    // recompute tokenization+md5 for both sides. The persisted form is
+    // (doc_id, h) longs — far smaller than the source text.
+    val ex0 = shingleHashesExploded(df, idCol, textCol, k, hashFn).persist()
+    ex0.count() // materialization barrier: downstream stages run concurrently
+               // and would otherwise each recompute the index into the cache
+    val sz = ex0.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    // sz is one row per doc — AQE turns this into a broadcast join locally;
+    // at scale it's a co-partitioned shuffle on doc_id either way
+    val ex = ex0.join(sz, "doc_id").select(col("doc_id"), col("sz"), col("h"))
     ex.as("a").join(ex.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(
@@ -78,17 +106,19 @@ object Dedup {
                       hashFn: Column => Column = Hashing.hash60): DataFrame = {
     require(numPerm % bands == 0, "numPerm must divide into bands")
     val rows = numPerm / bands
-    val sh = shingleHashes(df, idCol, textCol, k, hashFn)
-    val ex = sh.select(col("doc_id"), (explode(col("hs")).as("h")))
-      .withColumn("hm", col("h") % Hashing.P)
+    // persisted: consumed three times (signature build + both verify sides)
+    val ex0 = shingleHashesExploded(df, idCol, textCol, k, hashFn).persist()
+    ex0.count() // materialization barrier (see ngramJaccardPairs)
+    val sh = ex0.groupBy("doc_id")
+      .agg(collect_list(col("h")).as("hs"), count(lit(1)).as("sz"))
 
-    val minExprs = (0 until numPerm).map { i =>
-      min((lit(Hashing.permA(i)) * col("hm") + lit(Hashing.permB(i))) % Hashing.P).as(s"m$i")
-    }
-    val sigs = ex.groupBy("doc_id").agg(minExprs.head, minExprs.tail: _*)
+    // one imperative aggregate instead of numPerm min() columns — see
+    // graft.plans.MinHashSignature for why
+    val sigs = ex0.groupBy("doc_id")
+      .agg(graft.plans.MinHashAggregate.minhashSignature(col("h"), numPerm).as("sig"))
 
     val bandCols = (0 until bands).map { j =>
-      concat_ws("_", (0 until rows).map(r => col(s"m${j * rows + r}")): _*)
+      concat_ws("_", (0 until rows).map(r => element_at(col("sig"), j * rows + r + 1)): _*)
     }
     val banded = sigs.select(col("doc_id"),
       posexplode(array(bandCols: _*)).as(Seq("band_id", "sig")))
@@ -127,16 +157,14 @@ object Dedup {
     val chunkBits = nBits / chunks // 15
     require(maxDist < chunks, "pigeonhole recall requires maxDist < chunks")
 
-    val tok = df.select(col(idCol).as("doc_id"), explode(Text.tokens(col(textCol))).as("t"))
+    val tok = spread(df, idCol)
+      .select(col(idCol).as("doc_id"), explode(Text.tokens(col(textCol))).as("t"))
       .withColumn("h", hashFn(col("t")))
 
-    val bitSums = (0 until nBits).map { j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j")
-    }
-    val agg = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-    val sim = agg.select(col("doc_id"),
-      (0 until nBits).map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-        .reduce(_ + _).as("simhash"))
+    // one imperative bit-balance aggregate instead of nBits sum() columns —
+    // see graft.plans.SimHashAggregate for why
+    val sim = tok.groupBy("doc_id")
+      .agg(graft.plans.SimHashAggregate.simhash(col("h"), nBits).as("simhash"))
 
     val chunked = sim.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until chunks).map(c =>

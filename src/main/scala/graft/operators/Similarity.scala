@@ -35,12 +35,20 @@ object Similarity {
       .limit(k)
   }
 
-  /** All vector pairs with cosine ≥ threshold (embedding near-dup). */
-  def embeddingNearDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
-    val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
-    val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+  /** All vector pairs with cosine ≥ threshold (embedding near-dup).
+    * Norms are computed once per vector before the pair join — the join then
+    * evaluates one codegen'd dot product per pair instead of three array
+    * traversals. Same values: norm-per-row is bit-identical to norm-per-pair.
+    */
+  def embeddingNearDupPairs(emb0: DataFrame, threshold: Double): DataFrame = {
+    // spread: a single small parquet file = one partition = a serial
+    // pair loop; repartition so the O(n^2/2) join parallelizes
+    val emb = emb0.repartition(emb0.sparkSession.sparkContext.defaultParallelism, col("vec_id"))
+    val withNorm = emb.select(col("vec_id"), col("embedding"), VecF.norm(col("embedding")).as("nrm"))
+    val a = withNorm.select(col("vec_id").as("vec_a"), col("embedding").as("ea"), col("nrm").as("na"))
+    val b = withNorm.select(col("vec_id").as("vec_b"), col("embedding").as("eb"), col("nrm").as("nb"))
     a.join(b, col("vec_a") < col("vec_b"))
-      .withColumn("sim", round(VecF.cosine(col("ea"), col("eb")), 6))
+      .withColumn("sim", round(VecF.dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6))
       .filter(col("sim") >= threshold)
       .select("vec_a", "vec_b", "sim")
       .orderBy("vec_a", "vec_b")
