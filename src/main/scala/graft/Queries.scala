@@ -220,7 +220,11 @@ object Queries {
   // ---------------------------------------------------------------- Q17
   /** latest-per-key (batch upsert view; operator #1's batch analog). */
   def q17LatestPerKey(s: SparkSession, dir: String): DataFrame =
-    LatestPerKey(T(s, dir, "events"), keys = Seq("user_id"), ordering = Seq("ts", "event_id"))
+    LatestPerKey(
+      // project before the aggregate: unused payload (props) would otherwise
+      // ride through the max_by struct buffer and the shuffle
+      T(s, dir, "events").select("user_id", "event_id", "ts", "event_type", "value"),
+      keys = Seq("user_id"), ordering = Seq("ts", "event_id"))
       .select("user_id", "event_id", "ts", "event_type", "value")
       .orderBy("user_id")
 

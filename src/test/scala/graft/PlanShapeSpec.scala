@@ -1,0 +1,59 @@
+package graft
+
+import graft.operators.Similarity
+import graft.sources.Tables
+
+/** Plan-shape regressions: at 100 TB the *plan* is the product. These lock in
+  * the properties that make each operator scale — pushdown, pruning,
+  * broadcast, partial aggregation, top-k without a global sort — so a future
+  * refactor that silently trades them away fails here, not on a cluster.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q1: filter and column pruning reach the parquet scan") {
+    val p = plan(Queries.q1FilterProject(spark, sf0001))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual"))
+    // pruned read schema: only the 6 referenced columns, not all 11
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint,l_linenumber:int"))
+    assert(!p.contains("l_tax"))
+  }
+
+  test("q2: aggregation is partial (map-side combine) + final") {
+    val p = plan(Queries.q2Agg(spark, sf0001))
+    assert(p.contains("partial_sum"))
+    assert(p.contains("HashAggregate"))
+  }
+
+  test("q4: small dimension is broadcast, not shuffled") {
+    val p = plan(Queries.q4BroadcastJoin(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("BroadcastExchange"))
+  }
+
+  test("q13: top-k plans as TakeOrderedAndProject (no global sort)") {
+    val p = plan(Queries.q13TopK(spark, sf0001))
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("rangepartitioning"))
+  }
+
+  test("q17: latest-per-key is a partial aggregate, not a window sort") {
+    val p = plan(Queries.q17LatestPerKey(spark, sf0001))
+    assert(p.contains("partial_max_by"))
+    // the unused props column must not ride through the aggregate
+    assert(!p.contains("props"))
+  }
+
+  test("q21: probe side is broadcast and dot product is the codegen expression") {
+    val p = plan(Queries.q21CosineTopK(spark, sf0001))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
+    assert(p.toLowerCase.contains("dotproduct"))
+  }
+
+  test("embedding near-dup pairs evaluate the codegen dot product") {
+    val p = plan(Similarity.embeddingNearDupPairs(Tables.table(spark, sf0001, "embeddings"), 0.45))
+    assert(p.toLowerCase.contains("dotproduct"))
+  }
+}

@@ -109,6 +109,24 @@ class KTableStreamSpec extends SparkSpec {
     assert(resumed == uninterrupted)
   }
 
+  test("throughput sanity: sustains the self-imposed upsert rate (BASELINE.md)") {
+    val clients = (1 to 200).map(i => s"c$i")
+    val tickers = (1 to 20).map(i => s"T$i")
+    val rnd = new scala.util.Random(7)
+    val n = 60000
+    val updates = (0 until n).map { seq =>
+      val c = clients(rnd.nextInt(clients.size))
+      val t = tickers(rnd.nextInt(tickers.size))
+      if (rnd.nextInt(10) == 0) tombstone(seq, c, t)
+      else upsert(seq, c, t, if (rnd.nextBoolean()) "NASDAQ" else "LON")
+    }
+    val t0 = System.nanoTime()
+    run(Seq(updates)) // one big batch through the full stateful pipeline
+    val rate = n / ((System.nanoTime() - t0) / 1e9)
+    info(f"sustained $rate%.0f upserts/s (gate: >= 10000)")
+    assert(rate >= 10000, f"rate $rate%.0f below 10k upserts/s")
+  }
+
   test("property: streaming incremental state == batch recompute (KTable law)") {
     val rnd = new scala.util.Random(42)
     val clients = (1 to 8).map(i => s"client$i")
