@@ -203,6 +203,86 @@ object OracleSql {
         |  SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)
         |WHERE token <> ''
         |GROUP BY token
-        |ORDER BY cnt DESC, token LIMIT 20""".stripMargin
+        |ORDER BY cnt DESC, token LIMIT 20""".stripMargin,
+
+    "q23_full_join" ->
+      """SELECT COALESCE(c_custkey, o_custkey) AS custkey, c_name, n_orders,
+        |  (c_custkey IS NULL) AS only_right, (o_custkey IS NULL) AS only_left
+        |FROM (SELECT c_custkey, c_name FROM customer WHERE c_custkey % 3 = 0) c
+        |FULL JOIN (SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey) o
+        |  ON c_custkey = o_custkey
+        |ORDER BY custkey""".stripMargin,
+
+    "q24_right_join" ->
+      """SELECT p_partkey, p_brand, n_items
+        |FROM (SELECT l_partkey, COUNT(*) AS n_items FROM lineitem GROUP BY l_partkey) l
+        |RIGHT JOIN part ON l_partkey = p_partkey
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q25_range_join" ->
+      """WITH bands(lo, hi, band) AS (VALUES
+        |  (0, 100000, 'low'), (100000, 200000, 'mid'), (200000, 100000000, 'high'))
+        |SELECT band, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+        |GROUP BY band
+        |ORDER BY band""".stripMargin,
+
+    "q26_rank_funcs" ->
+      """SELECT o_custkey, o_orderkey, rn, drk, quartile, prev_price, next_price FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    CAST(row_number() OVER w AS INT) AS rn,
+        |    CAST(dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderdate) AS INT) AS drk,
+        |    CAST(ntile(4) OVER w AS INT) AS quartile,
+        |    lag(o_totalprice, 1) OVER w AS prev_price,
+        |    lead(o_totalprice, 1) OVER w AS next_price
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
+        |WHERE rn <= 5
+        |ORDER BY o_custkey, rn""".stripMargin,
+
+    "q27_cube" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        |  COALESCE(o_orderpriority, 'ALL') AS priority,
+        |  CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+        |  CAST(GROUPING(o_orderpriority) AS INT) AS g_pri,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+
+    "q28_setops_all" ->
+      """WITH a AS (SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 150000),
+        |     b AS (SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |SELECT 'union_all' AS op, custkey FROM (SELECT custkey FROM a UNION ALL SELECT custkey FROM b)
+        |UNION ALL
+        |SELECT 'intersect_all' AS op, custkey FROM (SELECT custkey FROM a INTERSECT ALL SELECT custkey FROM b)
+        |UNION ALL
+        |SELECT 'except_all' AS op, custkey FROM (SELECT custkey FROM a EXCEPT ALL SELECT custkey FROM b)
+        |ORDER BY op, custkey""".stripMargin,
+
+    "q29_session_window" ->
+      s"""WITH ev AS ($eventsUs),
+         |x AS (
+         |  SELECT user_id, ts,
+         |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
+         |         THEN 1 ELSE 0 END AS ns
+         |  FROM ev),
+         |y AS (
+         |  SELECT user_id, ts,
+         |    SUM(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM x)
+         |SELECT MIN(ts) AS session_start, user_id, COUNT(*) AS n
+         |FROM y GROUP BY user_id, sid
+         |ORDER BY user_id, session_start""".stripMargin,
+
+    "q30_map_funcs" ->
+      """SELECT event_id,
+        |  CAST(m['k'][1] AS INT) AS k_val,
+        |  CAST(cardinality(m) AS INT) AS m_size,
+        |  map_keys(m)[1] AS first_key
+        |FROM (SELECT event_id, map(['k'], [json_extract_string(props, '$.k')]) AS m FROM events)
+        |ORDER BY event_id""".stripMargin
   )
 }

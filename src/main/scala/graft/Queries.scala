@@ -278,6 +278,125 @@ object Queries {
       .orderBy(col("cnt").desc, col("token"))
       .limit(20)
 
+  // ---------------------------------------------------------------- Q23
+  /** full outer join (both unmatched sides preserved). */
+  def q23FullJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = T(s, dir, "customer").filter(col("c_custkey") % 3 === 0)
+      .select(col("c_custkey"), col("c_name"))
+    val o = T(s, dir, "orders").groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+    c.join(o, col("c_custkey") === col("o_custkey"), "full")
+      .select(
+        coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        col("c_name"), col("n_orders"),
+        col("c_custkey").isNull.as("only_right"),
+        col("o_custkey").isNull.as("only_left"))
+      .orderBy("custkey")
+  }
+
+  // ---------------------------------------------------------------- Q24
+  /** right outer join (dimension side preserved). */
+  def q24RightJoin(s: SparkSession, dir: String): DataFrame = {
+    val l = T(s, dir, "lineitem").groupBy(col("l_partkey")).agg(count(lit(1)).as("n_items"))
+    l.join(T(s, dir, "part"), col("l_partkey") === col("p_partkey"), "right")
+      .select(col("p_partkey"), col("p_brand"), col("n_items"))
+      .orderBy("p_partkey")
+  }
+
+  // ---------------------------------------------------------------- Q25
+  /** range (theta) join against a broadcast band dimension. */
+  def q25RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bands = Seq((0, 100000, "low"), (100000, 200000, "mid"), (200000, 100000000, "high"))
+      .toDF("lo", "hi", "band")
+    T(s, dir, "orders")
+      .join(broadcast(bands), col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+      .groupBy(col("band"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dec2(col("o_totalprice"))).cast("double").as("total"))
+      .orderBy("band")
+  }
+
+  // ---------------------------------------------------------------- Q26
+  /** dense_rank / ntile / lag / lead window sweep. */
+  def q26RankFuncs(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    val wDate = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"))
+    T(s, dir, "orders")
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        row_number().over(w).as("rn"),
+        dense_rank().over(wDate).as("drk"),
+        ntile(4).over(w).as("quartile"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"))
+      .filter(col("rn") <= 5)
+      .orderBy("o_custkey", "rn")
+  }
+
+  // ---------------------------------------------------------------- Q27
+  /** cube with grouping indicators (q10 is rollup). */
+  def q27Cube(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dec2(col("o_totalprice"))).cast("double").as("total"),
+        grouping(col("o_orderstatus")).cast("int").as("g_status"),
+        grouping(col("o_orderpriority")).cast("int").as("g_pri"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("g_status"), col("g_pri"), col("n"), col("total"))
+      .orderBy("status", "priority")
+
+  // ---------------------------------------------------------------- Q28
+  /** multiset set ops: UNION ALL / INTERSECT ALL / EXCEPT ALL, tagged. */
+  def q28SetOpsAll(s: SparkSession, dir: String): DataFrame = {
+    val o = T(s, dir, "orders")
+    val a = o.filter(col("o_totalprice") > 150000).select(col("o_custkey").as("custkey"))
+    val b = o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey").as("custkey"))
+    a.union(b).withColumn("op", lit("union_all"))
+      .union(a.intersectAll(b).withColumn("op", lit("intersect_all")))
+      .union(a.exceptAll(b).withColumn("op", lit("except_all")))
+      .select("op", "custkey")
+      .orderBy("op", "custkey")
+  }
+
+  // ---------------------------------------------------------------- Q29
+  /** session windows (30-minute gap), batch form of session_window(). */
+  def q29SessionWindow(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "events")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("session_start"), col("user_id"), col("n"))
+      .orderBy("user_id", "session_start")
+
+  // ---------------------------------------------------------------- Q30
+  /** map-typed column functions: build, extract, keys, size. */
+  def q30MapFuncs(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "events")
+      .select(
+        col("event_id"),
+        map(lit("k"), get_json_object(col("props"), "$.k")).as("m"))
+      .select(
+        col("event_id"),
+        element_at(col("m"), "k").cast("int").as("k_val"),
+        size(col("m")).as("m_size"),
+        element_at(map_keys(col("m")), 1).as("first_key"))
+      .orderBy("event_id")
+
+  // ---------------------------------------------------------------- Q31
+  /** approx_count_distinct (HLL). Engine-specific sketch values — declared
+    * WITHOUT an oracle entry (driver records a weaker rows-only check);
+    * exactness is cross-checked against countDistinct in the test suite.
+    */
+  def q31ApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(approx_count_distinct(col("o_custkey")).as("approx_cust"))
+      .orderBy("o_orderpriority")
+
   /** Core relational surface, keyed by SURVEY.md §2.B query id. */
   val core: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_filter_project" -> (q1FilterProject _),
@@ -301,6 +420,15 @@ object Queries {
     "q19_time_window" -> (q19TimeWindow _),
     "q20_dedup" -> (q20Dedup _),
     "q21_cosine_topk" -> (q21CosineTopK _),
-    "q22_top_tokens" -> (q22TopTokens _)
+    "q22_top_tokens" -> (q22TopTokens _),
+    "q23_full_join" -> (q23FullJoin _),
+    "q24_right_join" -> (q24RightJoin _),
+    "q25_range_join" -> (q25RangeJoin _),
+    "q26_rank_funcs" -> (q26RankFuncs _),
+    "q27_cube" -> (q27Cube _),
+    "q28_setops_all" -> (q28SetOpsAll _),
+    "q29_session_window" -> (q29SessionWindow _),
+    "q30_map_funcs" -> (q30MapFuncs _),
+    "q31_approx_distinct" -> (q31ApproxDistinct _)
   )
 }

@@ -62,6 +62,18 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("q31 approx_count_distinct within HLL error of exact counts") {
+    val approx = Queries.q31ApproxDistinct(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Queries.q9Distinct(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    approx.foreach { case (k, a) =>
+      val e = exact(k)
+      assert(math.abs(a - e).toDouble / e < 0.1, s"$k: approx $a vs exact $e")
+    }
+  }
+
   test("flagship entry returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
