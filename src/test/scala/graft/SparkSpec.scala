@@ -9,6 +9,10 @@ trait SparkSpec extends AnyFunSuite {
     .master("local[4]")
     .appName(getClass.getSimpleName)
     .config("spark.sql.shuffle.partitions", "4")
+    // transformWithState requires a provider with column-family support;
+    // RocksDB is also the BASELINE.md posture for streaming state
+    .config("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .getOrCreate()

@@ -20,16 +20,18 @@ class KTableStreamSpec extends SparkSpec {
     ShareUpdate(s"$client:::$ticker", None, seq)
 
   /** Drive a changelog through the KTable pipeline step by step; returns the
-    * serving view after each step.
+    * serving view after each step. `impl` selects the stateful engine:
+    * flatMapGroupsWithState (default) or the transformWithState processor.
     */
   private def run(steps: Seq[Seq[ShareUpdate]],
                   serving: Serving = new Serving,
-                  checkpoint: String = Files.createTempDirectory("ktable").toString)
+                  checkpoint: String = Files.createTempDirectory("ktable").toString,
+                  impl: (org.apache.spark.sql.SparkSession, org.apache.spark.sql.Dataset[ShareUpdate]) => org.apache.spark.sql.Dataset[KTableStream.ClientView] = KTableStream.usShareHolders)
       : Seq[Map[String, Seq[String]]] = {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     val input = MemoryStream[ShareUpdate]
-    val views = KTableStream.usShareHolders(spark, input.toDS())
+    val views = impl(spark, input.toDS())
     val q = views.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpoint)
@@ -107,6 +109,36 @@ class KTableStreamSpec extends SparkSpec {
     run(Seq(all.head), serving, checkpoint)
     val resumed = run(all, serving, checkpoint).last
     assert(resumed == uninterrupted)
+  }
+
+  test("transformWithState processor: canonical scenario + retraction") {
+    val states = run(Seq(
+      Seq(upsert(0, "daniel", "AAPL", "NASDAQ", 99)),
+      Seq(upsert(1, "daniel", "BT.A", "LON")),
+      Seq(tombstone(2, "daniel", "AAPL"))),
+      impl = KTableProcessor.usShareHolders)
+    assert(states(0) == Map("daniel" -> Seq("daniel:::AAPL")))
+    assert(states(1) == Map("daniel" -> Seq("daniel:::AAPL")))
+    assert(states(2) == Map.empty)
+
+    val flips = run(Seq(
+      Seq(upsert(0, "c1", "AAPL", "NASDAQ"), upsert(1, "c1", "MSFT", "NASDAQ")),
+      Seq(upsert(2, "c1", "AAPL", "LON"))),
+      impl = KTableProcessor.usShareHolders)
+    assert(flips(1) == Map("c1" -> Seq("c1:::MSFT")))
+  }
+
+  test("transformWithState == flatMapGroupsWithState on a random changelog") {
+    val rnd = new scala.util.Random(11)
+    val updates = (0 until 300).map { seq =>
+      val c = s"client${rnd.nextInt(6)}"
+      val t = Seq("AAPL", "MSFT", "BT.A")(rnd.nextInt(3))
+      if (rnd.nextInt(4) == 0) tombstone(seq, c, t)
+      else upsert(seq, c, t, Seq("NASDAQ", "LON")(rnd.nextInt(2)))
+    }
+    val a = run(updates.grouped(71).toSeq).last
+    val b = run(updates.grouped(71).toSeq, impl = KTableProcessor.usShareHolders).last
+    assert(a == b)
   }
 
   test("throughput sanity: sustains the self-imposed upsert rate (BASELINE.md)") {
