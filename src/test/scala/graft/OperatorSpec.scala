@@ -74,6 +74,25 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("json source: changelog roundtrip through the json format") {
+    val dir = java.nio.file.Files.createTempDirectory("json-src").toString
+    Tables.shareHoldersChangelog(spark, sf0001).limit(100)
+      .write.mode("overwrite").json(dir)
+    val back = spark.read.json(dir)
+    assert(back.count() == 100)
+    assert(back.columns.sorted.toSeq ==
+      Seq("client", "exchange", "key", "seq", "ticker", "tombstone"))
+  }
+
+  test("rate source smoke: streaming micro-batch from the rate format") {
+    val q = spark.readStream.format("rate").option("rowsPerSecond", "100").load()
+      .writeStream.format("memory").queryName("rate_smoke")
+      .trigger(org.apache.spark.sql.streaming.Trigger.Once())
+      .start()
+    q.awaitTermination(30000)
+    assert(spark.table("rate_smoke").columns.toSeq == Seq("timestamp", "value"))
+  }
+
   test("flagship entry returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
