@@ -1,0 +1,40 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SQL-facing registration of the engine's custom Catalyst pieces, injected
+  * via `SparkSessionExtensions` — so `spark.sql("SELECT graft_dot(a, b)")`
+  * works with no Scala imports:
+  *
+  *   SparkSession.builder().withExtensions(new GraftExtensions) ...
+  *   // or: --conf spark.sql.extensions=graft.plans.GraftExtensions
+  *
+  * graft_dot / graft_cosine evaluate the codegen'd [[DotProduct]]; no custom
+  * planner rules or strategies are injected — SURVEY.md §4's decision stands
+  * (Catalyst's existing rewrites cover the declared surface).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[DotProduct].getName, null, name, usage, "", "", "", "", "", "", "scala_udf")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      info("graft_dot", "graft_dot(a, b) - dot product of two float/double arrays"),
+      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_cosine"),
+      info("graft_cosine", "graft_cosine(a, b) - cosine similarity of two float/double arrays"),
+      (exprs: Seq[Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.{Divide, Multiply, Sqrt}
+        val (a, b) = (exprs(0), exprs(1))
+        Divide(
+          DotProduct(a, b),
+          Multiply(Sqrt(DotProduct(a, a)), Sqrt(DotProduct(b, b))))
+      }))
+  }
+}

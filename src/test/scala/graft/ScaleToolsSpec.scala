@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.SkewJoin
+import graft.sources.Tables
+
+/** Scale tooling: SQL extension registration, salted skew joins, and
+  * bucketed (shuffle-free) joins. Separate suite because it needs its own
+  * session (extensions + warehouse dir are session-construction-time).
+  */
+class ScaleToolsSpec extends AnyFunSuite {
+  private val warehouse = java.nio.file.Files.createTempDirectory("graft-wh").toString
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("ScaleToolsSpec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.warehouse.dir", warehouse)
+    .config("spark.ui.enabled", "false")
+    .withExtensions(new graft.plans.GraftExtensions)
+    .getOrCreate()
+
+  def sf0001 = "/root/testdata/sf0.001"
+
+  test("graft_dot / graft_cosine are callable from pure SQL") {
+    Tables.table(spark, sf0001, "embeddings").createOrReplaceTempView("emb")
+    val r = spark.sql(
+      """SELECT graft_dot(a.embedding, b.embedding) AS d,
+        |       graft_cosine(a.embedding, a.embedding) AS self_cos
+        |FROM emb a JOIN emb b ON a.vec_id = 0 AND b.vec_id = 1""".stripMargin).head()
+    assert(!r.isNullAt(0))
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-9) // cos(v, v) = 1
+  }
+
+  test("salted skew join returns exactly the plain join's rows") {
+    val li = Tables.table(spark, sf0001, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+    val part = Tables.table(spark, sf0001, "part").select(col("p_partkey").as("l_partkey"), col("p_brand"))
+    val plain = li.join(part, "l_partkey")
+    val salted = SkewJoin.saltedInnerJoin(li, part, "l_partkey", saltFactor = 8)
+    assert(salted.count() == plain.count())
+    assert(salted.except(plain).isEmpty && plain.except(salted).isEmpty)
+  }
+
+  test("bucketed tables co-locate the join: no shuffle exchange in the plan") {
+    val li = Tables.table(spark, sf0001, "lineitem").select("l_orderkey", "l_quantity")
+    val o = Tables.table(spark, sf0001, "orders").select("o_orderkey", "o_totalprice")
+    li.write.mode("overwrite").bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("li_bucketed")
+    o.write.mode("overwrite").bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("o_bucketed")
+    val joined = spark.table("li_bucketed")
+      .join(spark.table("o_bucketed"),
+        col("l_orderkey") === col("o_orderkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join should not shuffle:\n$plan")
+    assert(joined.count() > 0)
+  }
+}

@@ -70,6 +70,49 @@ class StreamingSurfaceSpec extends SparkSpec {
     assert(ids == Seq("x", "y"))
   }
 
+  test("stream-static join enriches the stream against a batch dimension") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dim = Seq(("AAPL", "NASDAQ"), ("BT.A", "LON")).toDF("ticker", "exchange")
+    val input = MemoryStream[(Timestamp, String)]
+    val joined = input.toDF().toDF("ts", "ticker").join(dim, "ticker")
+    val q = joined.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("ss").toString)
+      .format("memory").queryName("enriched")
+      .start()
+    input.addData((ts(0), "AAPL"), (ts(1), "BT.A"), (ts(2), "UNKNOWN"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("enriched").collect()
+      .map(r => (r.getString(0), r.getString(2))).toSet
+    assert(got == Set(("AAPL", "NASDAQ"), ("BT.A", "LON"))) // inner join drops UNKNOWN
+  }
+
+  test("stream-stream inner join with watermarks and a time-range condition") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val left = MemoryStream[(Timestamp, String)]
+    val right = MemoryStream[(Timestamp, String)]
+    val l = left.toDF().toDF("lts", "k").withWatermark("lts", "20 minutes")
+    val r = right.toDF().toDF("rts", "k").withWatermark("rts", "20 minutes")
+    val joined = l.join(r,
+      l("k") === r("k") &&
+        col("rts") >= col("lts") &&
+        col("rts") <= col("lts") + expr("INTERVAL 10 MINUTES"))
+    val q = joined.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("ssj").toString)
+      .format("memory").queryName("ssjoin")
+      .start()
+    left.addData((ts(0), "a"), (ts(0), "b"))
+    right.addData((ts(5), "a"), (ts(30), "b")) // b outside the 10-min range
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ssjoin").collect().map(_.getString(1)).toSeq
+    assert(got == Seq("a"))
+  }
+
   test("sliding windows assign events to every overlapping window") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
