@@ -11,8 +11,13 @@ import graft.sources.Tables
   * bucketed (shuffle-free) joins. Separate suite because it needs its own
   * session (extensions + warehouse dir are session-construction-time).
   */
-class ScaleToolsSpec extends AnyFunSuite {
+class ScaleToolsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
   private val warehouse = java.nio.file.Files.createTempDirectory("graft-wh").toString
+  private var prevDefault: Option[SparkSession] = None
+
+  // This suite needs its OWN session (extensions + warehouse are fixed at
+  // session construction); getOrCreate would silently reuse another suite's.
+  // The underlying SparkContext is shared and must NOT be stopped here.
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
     .appName("ScaleToolsSpec")
@@ -22,6 +27,17 @@ class ScaleToolsSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .withExtensions(new graft.plans.GraftExtensions)
     .getOrCreate()
+
+  override def beforeAll(): Unit = {
+    prevDefault = SparkSession.getDefaultSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+  }
+
+  override def afterAll(): Unit = {
+    SparkSession.clearActiveSession()
+    prevDefault.foreach(SparkSession.setDefaultSession)
+  }
 
   def sf0001 = "/root/testdata/sf0.001"
 
@@ -47,6 +63,8 @@ class ScaleToolsSpec extends AnyFunSuite {
   test("bucketed tables co-locate the join: no shuffle exchange in the plan") {
     val li = Tables.table(spark, sf0001, "lineitem").select("l_orderkey", "l_quantity")
     val o = Tables.table(spark, sf0001, "orders").select("o_orderkey", "o_totalprice")
+    spark.sql("DROP TABLE IF EXISTS li_bucketed")
+    spark.sql("DROP TABLE IF EXISTS o_bucketed")
     li.write.mode("overwrite").bucketBy(4, "l_orderkey").sortBy("l_orderkey")
       .saveAsTable("li_bucketed")
     o.write.mode("overwrite").bucketBy(4, "o_orderkey").sortBy("o_orderkey")
