@@ -33,13 +33,8 @@ object Dedup {
       .select("canonical_id", "dup_count")
       .orderBy("canonical_id")
 
-  /** Spread a narrow input across the cluster before CPU-heavy per-row work.
-    * A small parquet file arrives as ONE partition; tokenize/hash would then
-    * run serially no matter how many cores exist. One cheap shuffle of the
-    * raw rows buys full parallelism for everything downstream.
-    */
   private def spread(df: DataFrame, byCol: String): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism, col(byCol))
+    PartitionUtil.spread(df, byCol)
 
   /** Distinct (doc_id, h) shingle-hash pairs, already exploded.
     *

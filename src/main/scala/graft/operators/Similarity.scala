@@ -43,7 +43,7 @@ object Similarity {
   def embeddingNearDupPairs(emb0: DataFrame, threshold: Double): DataFrame = {
     // spread: a single small parquet file = one partition = a serial
     // pair loop; repartition so the O(n^2/2) join parallelizes
-    val emb = emb0.repartition(emb0.sparkSession.sparkContext.defaultParallelism, col("vec_id"))
+    val emb = PartitionUtil.spread(emb0, "vec_id")
     val withNorm = emb.select(col("vec_id"), col("embedding"), VecF.norm(col("embedding")).as("nrm"))
     val a = withNorm.select(col("vec_id").as("vec_a"), col("embedding").as("ea"), col("nrm").as("na"))
     val b = withNorm.select(col("vec_id").as("vec_b"), col("embedding").as("eb"), col("nrm").as("nb"))
