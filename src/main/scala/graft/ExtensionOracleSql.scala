@@ -28,6 +28,18 @@ object ExtensionOracleSql {
   private def nrm(a: String) = s"sqrt(${dot(a, a)})"
   private def cos(a: String, b: String) = s"(${dot(a, b)} / (${nrm(a)} * ${nrm(b)}))"
 
+  /** ±1 hyperplane literal for plane i as a DuckDB double list (must stay in
+    * lock-step with graft.operators.Similarity.hyperplaneSign).
+    */
+  private def signList(i: Int): String =
+    (0 until 64).map(d =>
+      if (graft.operators.Similarity.hyperplaneSign(i, d) > 0) "1.0" else "-1.0")
+      .mkString("[", ",", "]")
+
+  /** Projection-sign bit for plane i, weighted by its in-chunk position. */
+  private def bitExpr(i: Int): String =
+    s"(CASE WHEN list_sum(list_transform(range(1, 65), d -> CAST(embedding[d] AS DOUBLE) * (${signList(i)})[d])) > 0 THEN 1 ELSE 0 END * ${1 << (i % 4)})"
+
   val all: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT MIN(doc_id) AS canonical_id, COUNT(*) AS dup_count
@@ -102,6 +114,48 @@ object ExtensionOracleSql {
          |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
          |SELECT vec_a, vec_b, sim FROM j WHERE sim >= 0.45
          |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "dedup_embedding_lsh" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, embedding,
+         |    ${(0 until 4).map(c => (4 * c until 4 * c + 4).map(bitExpr).mkString("(", " + ", s") AS chunk$c")).mkString(",\n    ")},
+         |    ${nrm("embedding")} AS nrm
+         |  FROM embeddings),
+         |ch AS (
+         |  SELECT vec_id, c AS chunk_id,
+         |    CASE c WHEN 0 THEN chunk0 WHEN 1 THEN chunk1 WHEN 2 THEN chunk2 ELSE chunk3 END AS chunk_val
+         |  FROM v CROSS JOIN (SELECT unnest(range(0, 4)) AS c)),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM ch a JOIN ch b
+         |    ON a.chunk_id = b.chunk_id AND a.chunk_val = b.chunk_val AND a.vec_id < b.vec_id),
+         |j AS (
+         |  SELECT vec_a, vec_b,
+         |    round(${dot("va.embedding", "vb.embedding")} / (va.nrm * vb.nrm), 6) AS sim
+         |  FROM cand JOIN v va ON va.vec_id = vec_a JOIN v vb ON vb.vec_id = vec_b)
+         |SELECT vec_a, vec_b, sim FROM j WHERE sim >= 0.45
+         |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "dedup_ngram_capped" ->
+      s"""WITH t AS (SELECT doc_id, $toksOf AS toks FROM documents),
+         |shl AS (SELECT doc_id, ${shinglesOf(3)} AS sh FROM t),
+         |hs AS (SELECT doc_id, list_distinct(list_transform(sh, s -> ${h60("s")})) AS hs
+         |       FROM shl WHERE len(sh) > 0),
+         |ex AS (SELECT doc_id, unnest(hs) AS h FROM hs),
+         |rare AS (SELECT h FROM ex GROUP BY h HAVING COUNT(*) <= 50),
+         |idx AS (SELECT doc_id, ex.h FROM ex JOIN rare ON ex.h = rare.h),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM idx a JOIN idx b ON a.h = b.h AND a.doc_id < b.doc_id),
+         |j AS (
+         |  SELECT doc_a, doc_b,
+         |    round(CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE) /
+         |          (len(ha.hs) + len(hb.hs) - len(list_intersect(ha.hs, hb.hs))), 6) AS jaccard
+         |  FROM cand
+         |  JOIN hs ha ON ha.doc_id = doc_a
+         |  JOIN hs hb ON hb.doc_id = doc_b)
+         |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "simsearch_ivf" ->
       s"""WITH cent AS (SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings WHERE vec_id < 8),

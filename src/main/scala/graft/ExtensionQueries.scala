@@ -26,6 +26,10 @@ object ExtensionQueries {
       Dedup.simHashPairs(docs(s, dir), "doc_id", "text", maxDist = 3)),
     "dedup_embedding" -> ((s, dir) =>
       Similarity.embeddingNearDupPairs(emb(s, dir), threshold = 0.45)),
+    "dedup_embedding_lsh" -> ((s, dir) =>
+      Similarity.embeddingLshPairs(emb(s, dir), threshold = 0.45)),
+    "dedup_ngram_capped" -> ((s, dir) =>
+      Dedup.ngramJaccardCappedPairs(docs(s, dir), "doc_id", "text", k = 3, threshold = 0.5, maxDf = 50)),
     "simsearch_ivf" -> ((s, dir) =>
       Similarity.ivfTopK(emb(s, dir), probeId = 0L, k = 5, nlist = 8, nprobe = 2)),
     "text_langid" -> ((s, dir) =>

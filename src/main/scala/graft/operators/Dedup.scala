@@ -88,6 +88,39 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** n-gram Jaccard with a document-frequency cap on the *index* — the
+    * 100 TB-scale variant of [[ngramJaccardPairs]]. Shingles occurring in
+    * more than `maxDf` documents are dropped from the inverted index (a
+    * stop-shingle appearing in d docs contributes O(d²) candidate pairs and
+    * almost no discrimination); candidates are then verified with exact
+    * Jaccard over the FULL shingle sets, so precision is exact — only recall
+    * depends on each true near-dup pair sharing at least one sub-cap shingle.
+    */
+  def ngramJaccardCappedPairs(df: DataFrame, idCol: String, textCol: String,
+                              k: Int = 3, threshold: Double = 0.5, maxDf: Int = 50,
+                              hashFn: Column => Column = Hashing.hash60): DataFrame = {
+    val ex0 = shingleHashesExploded(df, idCol, textCol, k, hashFn).persist()
+    ex0.count() // materialization barrier
+    val rare = ex0.groupBy("h").agg(count(lit(1)).as("df")).filter(col("df") <= maxDf)
+    val idx = ex0.join(rare, "h").select("doc_id", "h")
+    val cand = idx.as("a").join(idx.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sets = ex0.groupBy("doc_id")
+      .agg(collect_list(col("h")).as("hs"), count(lit(1)).as("sz"))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("hsa"), col("sz").as("sza")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("hs").as("hsb"), col("sz").as("szb")), "doc_b")
+      .withColumn("common", size(array_intersect(col("hsa"), col("hsb"))))
+      .withColumn("jaccard", round(
+        col("common").cast("double") /
+          (col("sza") + col("szb") - col("common")).cast("double"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** MinHash + banded LSH near-dup pairs, verified with exact Jaccard over
     * the shingle-hash sets.
     *

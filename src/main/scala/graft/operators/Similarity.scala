@@ -54,6 +54,59 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** Deterministic ±1 hyperplane component: plane `i`, dimension `d`.
+    * Pure integer arithmetic so the DuckDB oracle reproduces it exactly.
+    */
+  def hyperplaneSign(i: Int, d: Int): Double =
+    if (((i.toLong * 1000003L + d) * 2654435761L) % 4294967296L < 2147483648L) 1.0 else -1.0
+
+  /** Hyperplane-LSH embedding near-dup — the scale path for
+    * [[embeddingNearDupPairs]]. Each vector gets `nBits` sign bits
+    * (projection onto fixed ±1 hyperplanes, computed with the codegen dot
+    * product against literal sign vectors); bits are banded into `nBits/4`
+    * 4-bit chunks and candidates are pairs sharing any chunk — a shuffle
+    * keyed on (chunk, value) with bounded fan-out instead of an O(n²) join.
+    * Candidates are verified with exact cosine, so precision is exact;
+    * recall is probabilistic and threshold-dependent: with 4 chunks of 4
+    * bits, a cos ≥ 0.9 pair collides with p ≈ 0.96 while a cos ≈ 0.45 pair
+    * only with p ≈ 0.4 — the config targets true near-duplicates; lower the
+    * chunk width (more bands) to chase lower-similarity pairs.
+    */
+  def embeddingLshPairs(emb0: DataFrame, threshold: Double, nBits: Int = 16): DataFrame = {
+    require(nBits % 4 == 0)
+    val nChunks = nBits / 4
+    val emb = PartitionUtil.spread(emb0, "vec_id")
+    val dim = 64 // fixture embedding dimensionality
+    val signVecs = (0 until nBits).map(i => (0 until dim).map(d => hyperplaneSign(i, d)))
+
+    val bits = (0 until nBits).map { i =>
+      (when(VecF.dot(col("embedding"), typedLit(signVecs(i))) > 0, 1).otherwise(0) * (1 << (i % 4))).as(s"bit$i")
+    }
+    val withBits = emb.select(col("vec_id") +: col("embedding") +: bits: _*)
+    val chunkCols = (0 until nChunks).map { c =>
+      (4 * c until 4 * c + 4).map(i => col(s"bit$i")).reduce(_ + _).as(s"chunk$c")
+    }
+    val withNorm = withBits.select(
+      (col("vec_id") +: col("embedding") +: chunkCols) :+ VecF.norm(col("embedding")).as("nrm"): _*)
+    val chunked = withNorm.select(col("vec_id"),
+      posexplode(array((0 until nChunks).map(c => col(s"chunk$c")): _*)).as(Seq("chunk_id", "chunk_val")))
+
+    val cand = chunked.as("a").join(chunked.as("b"),
+        col("a.chunk_id") === col("b.chunk_id") && col("a.chunk_val") === col("b.chunk_val") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+
+    val side = withNorm.select(col("vec_id"), col("embedding"), col("nrm"))
+    cand
+      .join(side.select(col("vec_id").as("vec_a"), col("embedding").as("ea"), col("nrm").as("na")), "vec_a")
+      .join(side.select(col("vec_id").as("vec_b"), col("embedding").as("eb"), col("nrm").as("nb")), "vec_b")
+      .withColumn("sim", round(VecF.dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6))
+      .filter(col("sim") >= threshold)
+      .select("vec_a", "vec_b", "sim")
+      .orderBy("vec_a", "vec_b")
+  }
+
   /** IVF top-k: assign every vector to its nearest of `nlist` centroids
     * (deterministic stub: centroids are the vectors with vec_id < nlist);
     * search only the `nprobe` centroid buckets nearest to the probe.
