@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Hashing, Text}
-import graft.operators.{Dedup, LatestPerKey, Multimodal}
+import graft.operators.{Dedup, LatestPerKey, Multimodal, SetAggregator}
 import graft.sources.Tables
 
 class OperatorSpec extends SparkSpec {
@@ -60,6 +60,33 @@ class OperatorSpec extends SparkSpec {
       assert(feat.length == 3)
       assert(feat(0) == r.getInt(1).toDouble) // n_bytes consistent
     }
+  }
+
+  test("SetAggregator: typed groupByKey path equals the DataFrame pipeline (Q18)") {
+    import org.apache.spark.sql.functions.udaf
+    val changelog = Tables.shareHoldersChangelog(spark, sf0001)
+    // typed path: latest-per-key -> filter -> typed set aggregation
+    val latest = graft.operators.LatestPerKey(changelog, Seq("key"), Seq("seq"))
+      .filter(!col("tombstone") && col("exchange") === "NASDAQ")
+      .select(col("client"), col("key"))
+    val typedResult = latest.as[(String, String)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(SetAggregator.toColumn.name("nasdaq_position_ids"))
+      .collect().toMap
+
+    // and the SQL-facing registered-UDAF path (spark.udf.register surface)
+    spark.udf.register("set_agg", udaf(SetAggregator))
+    latest.createOrReplaceTempView("latest_positions")
+    val udafResult = spark.sql(
+      "SELECT client, set_agg(key) AS ids FROM latest_positions GROUP BY client")
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+
+    val reference = graft.operators.ShareHolders
+      .nasdaqPositionsByClient(changelog)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(typedResult == reference)
+    assert(udafResult == reference)
   }
 
   test("q31 approx_count_distinct within HLL error of exact counts") {
