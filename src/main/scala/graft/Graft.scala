@@ -31,5 +31,7 @@ object Graft {
     spark
   }
 
-  def defaultCpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+  /** Defaults to all cores (the driver environment is local[32]). */
+  def defaultCpus: String =
+    sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
 }

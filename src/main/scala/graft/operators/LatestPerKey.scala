@@ -24,7 +24,7 @@ object LatestPerKey {
     * original column set of `df`.
     */
   def apply(df: DataFrame, keys: Seq[String], ordering: Seq[String]): DataFrame = {
-    val payload = df.columns.filterNot(keys.contains)
+    val payload = df.columns.filterNot(keys.contains).toIndexedSeq
     val ordStruct = struct(ordering.map(col): _*)
     val payloadStruct = struct(payload.map(col): _*)
     df.groupBy(keys.map(col): _*)

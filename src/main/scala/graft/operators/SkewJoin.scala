@@ -23,7 +23,7 @@ object SkewJoin {
   def saltedInnerJoin(fact: DataFrame, dim: DataFrame, key: String, saltFactor: Int): DataFrame = {
     require(saltFactor > 0)
     val salted = fact.withColumn("__salt",
-      pmod(xxhash64(struct(fact.columns.map(col): _*)), lit(saltFactor)).cast("int"))
+      pmod(xxhash64(struct(fact.columns.toIndexedSeq.map(col): _*)), lit(saltFactor)).cast("int"))
     val replicated = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))
     salted.join(replicated, Seq(key, "__salt"), "inner").drop("__salt")
