@@ -144,14 +144,26 @@ object ExtensionOracleSql {
          |ex AS (SELECT doc_id, unnest(hs) AS h FROM hs),
          |rare AS (SELECT h FROM ex GROUP BY h HAVING COUNT(*) <= 50),
          |idx AS (SELECT doc_id, ex.h FROM ex JOIN rare ON ex.h = rare.h),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM idx a JOIN idx b ON a.h = b.h AND a.doc_id < b.doc_id),
+         |stats AS (
+         |  SELECT e.doc_id, e.sz, e.sz - COALESCE(r.szr, 0) AS dropped
+         |  FROM (SELECT doc_id, COUNT(*) AS sz FROM ex GROUP BY doc_id) e
+         |  LEFT JOIN (SELECT doc_id, COUNT(*) AS szr FROM idx GROUP BY doc_id) r
+         |    ON e.doc_id = r.doc_id),
+         |pc AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS cr
+         |  FROM idx a JOIN idx b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |bounded AS (
+         |  SELECT doc_a, doc_b FROM pc
+         |  JOIN stats sa ON sa.doc_id = doc_a
+         |  JOIN stats sb ON sb.doc_id = doc_b
+         |  WHERE CAST(cr + least(sa.dropped, sb.dropped) AS DOUBLE) /
+         |        CAST(sa.sz + sb.sz - (cr + least(sa.dropped, sb.dropped)) AS DOUBLE) >= 0.5),
          |j AS (
          |  SELECT doc_a, doc_b,
          |    round(CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE) /
          |          (len(ha.hs) + len(hb.hs) - len(list_intersect(ha.hs, hb.hs))), 6) AS jaccard
-         |  FROM cand
+         |  FROM bounded
          |  JOIN hs ha ON ha.doc_id = doc_a
          |  JOIN hs hb ON hb.doc_id = doc_b)
          |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5

@@ -103,13 +103,33 @@ object Dedup {
     ex0.count() // materialization barrier
     val rare = ex0.groupBy("h").agg(count(lit(1)).as("df")).filter(col("df") <= maxDf)
     val idx = ex0.join(rare, "h").select("doc_id", "h")
-    val cand = idx.as("a").join(idx.as("b"),
+
+    // per-doc stats: full set size and how many shingles the cap dropped
+    val stats = ex0.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      .join(idx.groupBy("doc_id").agg(count(lit(1)).as("szr")), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("sz"), (col("sz") - coalesce(col("szr"), lit(0L))).as("dropped"))
+
+    // shared-rare-shingle count per candidate pair (groupBy, no distinct)
+    val pairCounts = idx.as("a").join(idx.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("cr"))
+
+    // exact-pruning bound: true common <= cr + min(dropped_a, dropped_b), and
+    // Jaccard is increasing in common, so J <= jUpper; pairs below threshold
+    // on the upper bound cannot qualify and skip verification entirely
+    val bounded = pairCounts
+      .join(stats.select(col("doc_id").as("doc_a"), col("sz").as("sza"), col("dropped").as("da")), "doc_a")
+      .join(stats.select(col("doc_id").as("doc_b"), col("sz").as("szb"), col("dropped").as("db")), "doc_b")
+      .withColumn("ub", col("cr") + least(col("da"), col("db")))
+      .filter(col("ub").cast("double") /
+        (col("sza") + col("szb") - col("ub")).cast("double") >= threshold)
+      .select("doc_a", "doc_b")
+
+    // exact verification of the survivors only
     val sets = ex0.groupBy("doc_id")
       .agg(collect_list(col("h")).as("hs"), count(lit(1)).as("sz"))
-    cand
+    bounded
       .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("hsa"), col("sz").as("sza")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("hs").as("hsb"), col("sz").as("szb")), "doc_b")
       .withColumn("common", size(array_intersect(col("hsa"), col("hsb"))))
