@@ -18,6 +18,30 @@ class OperatorSpec extends SparkSpec {
     assert(got.toSeq == Seq(("k1", 3L, "c"), ("k2", 10L, "x")))
   }
 
+  test("LatestPerKey supports composite keys and composite ordering") {
+    val df = Seq(
+      ("k1", "x", 1L, 1L, "old"), ("k1", "x", 1L, 2L, "new"),
+      ("k1", "y", 9L, 0L, "only")).toDF("k", "sub", "ord1", "ord2", "v")
+    val got = LatestPerKey(df, Seq("k", "sub"), Seq("ord1", "ord2"))
+      .orderBy("k", "sub").collect().map(_.getString(4)).toSeq
+    assert(got == Seq("new", "only"))
+  }
+
+  test("dedup operators are safe on empty and trivial inputs") {
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType))))
+    assert(Dedup.ngramJaccardPairs(empty, "doc_id", "text").count() == 0)
+    assert(Dedup.minHashLshPairs(empty, "doc_id", "text").count() == 0)
+    assert(Dedup.simHashPairs(empty, "doc_id", "text").count() == 0)
+    // single short doc: no shingles, no pairs, no crash
+    val one = Seq((1L, "ab")).toDF("doc_id", "text")
+    assert(Dedup.ngramJaccardPairs(one, "doc_id", "text").count() == 0)
+    assert(Dedup.ngramJaccardCappedPairs(one, "doc_id", "text").count() == 0)
+  }
+
   test("hash60 matches the documented DuckDB formula on a known value") {
     // md5("abc") = 900150983cd24fb0d6963f7d28e17f72; first 15 hex chars as long
     val got = Seq("abc").toDF("s").select(Hashing.hash60(col("s"))).head.getLong(0)
