@@ -56,6 +56,45 @@ class OperatorSpec extends SparkSpec {
     assert(got(1) == Seq.empty)
   }
 
+  test("codegen DotProduct is bit-identical to the fold formulation") {
+    val rnd = new scala.util.Random(5)
+    val rows = (1 to 200).map { i =>
+      (i.toLong, Array.fill(64)(rnd.nextFloat() * 2 - 1), Array.fill(64)(rnd.nextFloat() * 2 - 1))
+    }
+    val df = rows.toDF("id", "a", "b")
+    val both = df.select(
+      graft.functions.Vectors.dot(col("a"), col("b")).as("codegen"),
+      graft.functions.Vectors.foldDot(col("a"), col("b")).as("fold")).collect()
+    assert(both.forall(r => r.getDouble(0) == r.getDouble(1))) // exact, not approx
+  }
+
+  test("simhash pigeonhole candidates are exact: equals brute-force cross join") {
+    val rnd = new scala.util.Random(13)
+    val vocab = (1 to 40).map(i => s"w$i")
+    def doc(n: Int) = (1 to n).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    // random docs + mutated near-copies to guarantee small-distance pairs
+    val base = (0 until 25).map(i => (i.toLong, doc(30)))
+    val mutated = base.take(8).map { case (i, t) =>
+      (100L + i, t.split(" ").updated(3, "mutant").mkString(" "))
+    }
+    val docs = (base ++ mutated).toDF("doc_id", "text")
+    val viaChunks = Dedup.simHashPairs(docs, "doc_id", "text", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // brute force from the same fingerprints
+    val fps = docs
+      .select(col("doc_id"), explode(graft.functions.Text.tokens(col("text"))).as("t"))
+      .withColumn("h", graft.functions.Hashing.hash60(col("t")))
+      .groupBy("doc_id")
+      .agg(graft.plans.SimHashAggregate.simhash(col("h"), 60).as("fp"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (ida, fa) <- fps; (idb, fb) <- fps if ida < idb
+      d = java.lang.Long.bitCount(fa ^ fb) if d <= 3
+    } yield (ida, idb, d)).toSet
+    assert(viaChunks == brute)
+    assert(brute.nonEmpty, "mutated docs should produce close pairs")
+  }
+
   test("ngram and minhash dedup agree on the planted near-dups (sf0.001)") {
     val docs = Tables.table(spark, sf0001, "documents")
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
