@@ -19,7 +19,12 @@ object Hashing {
   /** Mersenne prime 2^31 - 1; all MinHash arithmetic is mod this. */
   val P: Long = 2147483647L
 
-  def hash60(c: Column): Column =
+  def hash60(c: Column): Column = graft.plans.Md5Prefix60.expr(c)
+
+  /** The composable-builtins formulation (same value as [[hash60]]); kept as
+    * the semantic reference for the custom expression.
+    */
+  def hash60Composed(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   def fastHash64(c: Column): Column = xxhash64(c)

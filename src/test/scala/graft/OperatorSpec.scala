@@ -48,6 +48,15 @@ class OperatorSpec extends SparkSpec {
     assert(got == java.lang.Long.parseLong("900150983cd24fb", 16))
   }
 
+  test("Md5Prefix60 expression equals the conv(md5) composition on random strings") {
+    val rnd = new scala.util.Random(3)
+    val strs = (1 to 500).map(_ => rnd.alphanumeric.take(rnd.nextInt(40) + 1).mkString)
+    val both = strs.toDF("s").select(
+      Hashing.hash60(col("s")).as("fast"),
+      Hashing.hash60Composed(col("s")).as("composed")).collect()
+    assert(both.forall(r => r.getLong(0) == r.getLong(1)))
+  }
+
   test("wordShingles: k-grams, short docs empty") {
     val df = Seq("a b c d", "a b").toDF("text")
       .select(Text.wordShingles(Text.tokens(col("text")), 3).as("sh"))
