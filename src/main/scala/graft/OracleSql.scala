@@ -283,6 +283,35 @@ object OracleSql {
         |  CAST(cardinality(m) AS INT) AS m_size,
         |  map_keys(m)[1] AS first_key
         |FROM (SELECT event_id, map(['k'], [json_extract_string(props, '$.k')]) AS m FROM events)
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+
+    "q32_grouping_sets" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        |  COALESCE(o_orderpriority, 'ALL') AS priority,
+        |  COUNT(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY status, priority""".stripMargin,
+
+    "q33_range_frame" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |  count(*) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice
+        |    RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS n_within_1000,
+        |  first_value(o_orderkey) OVER w AS cheapest_key,
+        |  last_value(o_orderkey) OVER w AS dearest_key
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q34_array_funcs" ->
+      """SELECT p_partkey,
+        |  list_sort(list_distinct(list_concat(string_split(p_type, ' '), string_split(p_brand, '#')))) AS union_w,
+        |  list_sort(list_filter(list_distinct(string_split(p_type, ' ')),
+        |    w -> w != 'PROMO' AND w != 'STANDARD')) AS minus_w,
+        |  list_contains(string_split(p_type, ' '), 'BRUSHED') AS has_brushed,
+        |  list_slice(list_sort(string_split(p_type, ' ')), 1, 2) AS first_two,
+        |  CAST(len(string_split(p_type, ' ')) AS INT) AS n_words
+        |FROM part ORDER BY p_partkey""".stripMargin
   )
 }

@@ -397,6 +397,53 @@ object Queries {
       .agg(approx_count_distinct(col("o_custkey")).as("approx_cust"))
       .orderBy("o_orderpriority")
 
+  // ---------------------------------------------------------------- Q32
+  /** explicit GROUPING SETS (beyond rollup/cube) via SQL. */
+  def q32GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    T(s, dir, "orders").createOrReplaceTempView("orders_gs")
+    s.sql(
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        |  COALESCE(o_orderpriority, 'ALL') AS priority,
+        |  COUNT(*) AS n
+        |FROM orders_gs
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY status, priority""".stripMargin)
+  }
+
+  // ---------------------------------------------------------------- Q33
+  /** range-based window frame + first/last value over an explicit frame. */
+  def q33RangeFrame(s: SparkSession, dir: String): DataFrame = {
+    val byPrice = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"))
+    val near = byPrice.rangeBetween(-1000L, 0L)
+    val wholePartition = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    T(s, dir, "orders")
+      .select(
+        col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+        count(lit(1)).over(near).as("n_within_1000"),
+        first(col("o_orderkey")).over(wholePartition).as("cheapest_key"),
+        last(col("o_orderkey")).over(wholePartition).as("dearest_key"))
+      .orderBy("o_orderkey")
+  }
+
+  // ---------------------------------------------------------------- Q34
+  /** array function sweep: union/except/contains/slice over token arrays. */
+  def q34ArrayFuncs(s: SparkSession, dir: String): DataFrame = {
+    val words = split(col("p_type"), " ")
+    val brandWords = split(col("p_brand"), "#")
+    T(s, dir, "part")
+      .select(
+        col("p_partkey"),
+        sort_array(array_union(words, brandWords)).as("union_w"),
+        sort_array(array_except(words, array(lit("PROMO"), lit("STANDARD")))).as("minus_w"),
+        array_contains(words, "BRUSHED").as("has_brushed"),
+        slice(sort_array(words), 1, 2).as("first_two"),
+        size(words).as("n_words"))
+      .orderBy("p_partkey")
+  }
+
   /** Core relational surface, keyed by SURVEY.md §2.B query id. */
   val core: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_filter_project" -> (q1FilterProject _),
@@ -429,6 +476,9 @@ object Queries {
     "q28_setops_all" -> (q28SetOpsAll _),
     "q29_session_window" -> (q29SessionWindow _),
     "q30_map_funcs" -> (q30MapFuncs _),
-    "q31_approx_distinct" -> (q31ApproxDistinct _)
+    "q31_approx_distinct" -> (q31ApproxDistinct _),
+    "q32_grouping_sets" -> (q32GroupingSets _),
+    "q33_range_frame" -> (q33RangeFrame _),
+    "q34_array_funcs" -> (q34ArrayFuncs _)
   )
 }

@@ -51,6 +51,14 @@ class ScaleToolsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(math.abs(r.getDouble(1) - 1.0) < 1e-9) // cos(v, v) = 1
   }
 
+  test("scalar spark.udf.register is usable from SQL") {
+    spark.udf.register("ws_token_count", (s: String) => s.split(" ").count(_.nonEmpty))
+    Tables.table(spark, sf0001, "part").createOrReplaceTempView("part_udf")
+    val r = spark.sql(
+      "SELECT ws_token_count(p_type) AS n FROM part_udf ORDER BY p_partkey LIMIT 1").head()
+    assert(r.getInt(0) >= 1)
+  }
+
   test("salted skew join returns exactly the plain join's rows") {
     val li = Tables.table(spark, sf0001, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
     val part = Tables.table(spark, sf0001, "part").select(col("p_partkey").as("l_partkey"), col("p_brand"))

@@ -113,6 +113,21 @@ class StreamingSurfaceSpec extends SparkSpec {
     assert(got == Seq("a"))
   }
 
+  test("console sink: update-mode debug print (reference op #6, KTable.print)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, String)]
+    val q = input.toDF().toDF("ts", "k")
+      .groupBy("k").count()
+      .writeStream.outputMode("update").format("console")
+      .option("checkpointLocation", Files.createTempDirectory("console").toString)
+      .start()
+    input.addData((ts(0), "a"), (ts(1), "a"))
+    q.processAllAvailable()
+    assert(q.lastProgress.numInputRows == 2)
+    q.stop()
+  }
+
   test("sliding windows assign events to every overlapping window") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
