@@ -19,15 +19,28 @@ import KTableStream.ClientView
   */
 class Serving(viewName: String = "us_share_holders") {
   private val store = TrieMap.empty[String, Seq[String]]
+  // the session whose catalog serves interactive queries; foreachBatch runs
+  // with a CLONED session, so views registered there would be invisible
+  @volatile private var servingSession: Option[SparkSession] = None
 
-  /** Apply one micro-batch of view changes (idempotent per key). */
-  def upsertBatch(batch: Dataset[ClientView]): Unit =
+  /** Apply one micro-batch of view changes (idempotent per key), then
+    * refresh the SQL-visible view so `spark.table(viewName)` — the
+    * interactive-query surface (kafka_streams.clj:83-89) — always serves
+    * the current state.
+    */
+  def upsertBatch(batch: Dataset[ClientView]): Unit = {
     batch.collect().foreach { cv =>
       if (cv.deleted) store.remove(cv.client)
       else store.put(cv.client, cv.nasdaq_position_ids)
     }
+    val session = servingSession
+      .orElse(SparkSession.getDefaultSession)
+      .getOrElse(batch.sparkSession)
+    snapshot(session).createOrReplaceTempView(viewName)
+  }
 
-  def start(spark: SparkSession, views: Dataset[ClientView], checkpointDir: String): StreamingQuery =
+  def start(spark: SparkSession, views: Dataset[ClientView], checkpointDir: String): StreamingQuery = {
+    servingSession = Some(spark)
     views.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)
@@ -35,6 +48,7 @@ class Serving(viewName: String = "us_share_holders") {
       .foreachBatch { (batch: Dataset[ClientView], _: Long) => upsertBatch(batch) }
       .queryName(viewName)
       .start()
+  }
 
   /** The complete materialized view, as a DataFrame (interactive query). */
   def snapshot(spark: SparkSession): DataFrame = {

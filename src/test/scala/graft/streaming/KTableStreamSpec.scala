@@ -111,6 +111,16 @@ class KTableStreamSpec extends SparkSpec {
     assert(resumed == uninterrupted)
   }
 
+  test("serving view is queryable through spark.table / SQL (M4 gate)") {
+    run(Seq(
+      Seq(upsert(0, "daniel", "AAPL", "NASDAQ", 99), upsert(1, "kima", "MSFT", "NASDAQ"))))
+    val viaSql = spark.sql(
+      "SELECT client, nasdaq_position_ids FROM us_share_holders ORDER BY client")
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(viaSql == Map(
+      "daniel" -> Seq("daniel:::AAPL"), "kima" -> Seq("kima:::MSFT")))
+  }
+
   test("transformWithState processor: canonical scenario + retraction") {
     val states = run(Seq(
       Seq(upsert(0, "daniel", "AAPL", "NASDAQ", 99)),
