@@ -56,4 +56,28 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan(Similarity.embeddingNearDupPairs(Tables.table(spark, sf0001, "embeddings"), 0.45))
     assert(p.toLowerCase.contains("dotproduct"))
   }
+
+  test("q18: reference query is a partial aggregate pipeline, no window sort") {
+    val p = plan(Queries.q18ReferenceQuery(spark, sf0001))
+    assert(p.contains("partial_max_by"))
+    assert(!p.contains("Window"))
+  }
+
+  test("q25: range join broadcasts the band dim (no shuffle of the fact side)") {
+    val p = plan(Queries.q25RangeJoin(spark, sf0001))
+    assert(p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("dedup candidate generation never plans a cartesian product") {
+    val docs = Tables.table(spark, sf0001, "documents")
+    Seq(
+      graft.operators.Dedup.ngramJaccardPairs(docs, "doc_id", "text"),
+      graft.operators.Dedup.ngramJaccardCappedPairs(docs, "doc_id", "text"),
+      graft.operators.Dedup.minHashLshPairs(docs, "doc_id", "text"),
+      graft.operators.Dedup.simHashPairs(docs, "doc_id", "text")
+    ).foreach { df =>
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"), s"cartesian product found:\n${p.take(500)}")
+    }
+  }
 }
