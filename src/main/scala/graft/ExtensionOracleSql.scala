@@ -252,6 +252,22 @@ object ExtensionOracleSql {
         |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
         |  [CAST(octet_length(encode(text)) AS DOUBLE), CAST(n_chars AS DOUBLE),
         |   CAST(doc_id % 7 AS DOUBLE)] AS mm_feat
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "multimodal_resize" ->
+      """SELECT doc_id, CAST(32 AS INT) AS width, CAST(32 AS INT) AS height,
+        |  CAST(greatest(1, least(octet_length(encode(text)),
+        |    CAST(floor(octet_length(encode(text)) *
+        |      (1024.0 / ((64 + doc_id % 64) * (48 + doc_id % 48)))) AS BIGINT))) AS INT) AS n_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "multimodal_frames" ->
+      """WITH f AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS len,
+        |    unnest(range(0, CAST(ceil(octet_length(encode(text)) / 16.0) AS BIGINT), 4)) AS i
+        |  FROM documents)
+        |SELECT doc_id, CAST(i AS INT) AS frame_idx,
+        |  CAST(least(16, len - i * 16) AS INT) AS n_bytes
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin
   )
 }

@@ -41,6 +41,12 @@ object ExtensionQueries {
     "text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(docs(s, dir))),
     "multimodal_features" -> ((s, dir) =>
-      Multimodal.extractFeatures(s, docs(s, dir)))
+      Multimodal.extractFeatures(s, docs(s, dir))),
+    "multimodal_resize" -> ((s, dir) =>
+      Multimodal.resize(s, docs(s, dir), targetW = 32, targetH = 32)),
+    "multimodal_frames" -> ((s, dir) =>
+      // frame_mean needs byte-level access the SQL oracle can't mirror
+      // portably; it is asserted in OperatorSpec instead
+      Multimodal.sampleFrames(s, docs(s, dir)).drop("frame_mean"))
   )
 }

@@ -15,9 +15,9 @@ import graft.functions.{Hashing, Text}
   *    chunk) — a shuffle keyed on something with bounded fan-out.
   *  - Shingles are hashed to 60-bit longs *before* any shuffle, so exchanges
   *    move fixed-width longs, not strings.
-  *  - MinHash signatures are computed with one explode + 64 `min` partial
-  *    aggregates — map-side combine collapses each document's shingles before
-  *    the exchange.
+  *  - MinHash/SimHash signatures are ONE imperative aggregate each
+  *    (graft.plans.MinHashSignature / SimHashAggregate) with map-side partial
+  *    merge, so each document's shingles collapse before the exchange.
   *  - With [[graft.functions.Hashing.hash60]] the whole pipeline is
   *    reproducible in DuckDB (MD5 is portable); swap in `fastHash64` for
   *    xxhash64 when cross-engine parity is not needed.

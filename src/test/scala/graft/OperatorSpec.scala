@@ -134,6 +134,23 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("multimodal resize and frame sampling: deterministic stub pipeline") {
+    val docs = Tables.table(spark, sf0001, "documents").limit(10)
+    val resized = Multimodal.resize(spark, docs, 32, 32).collect()
+    assert(resized.forall(r => r.getInt(1) == 32 && r.getInt(2) == 32 && r.getInt(3) >= 1))
+    val frames = Multimodal.sampleFrames(spark, docs).collect()
+    assert(frames.nonEmpty)
+    frames.foreach { r =>
+      assert(r.getInt(1) % 4 == 0)        // stride respected
+      assert(r.getInt(2) >= 1 && r.getInt(2) <= 16)
+      val mean = r.getDouble(3)
+      assert(mean >= 0.0 && mean <= 255.0) // per-frame feature present
+    }
+    // deterministic: same input, same output
+    val again = Multimodal.sampleFrames(spark, docs).collect()
+    assert(frames.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("SetAggregator: typed groupByKey path equals the DataFrame pipeline (Q18)") {
     import org.apache.spark.sql.functions.udaf
     val changelog = Tables.shareHoldersChangelog(spark, sf0001)
