@@ -148,28 +148,43 @@ object Dedup {
     * candidate pairs share at least one band signature; candidates are then
     * verified exactly, so LSH false positives never reach the output.
     */
+  /** Per-doc shingle-hash sets: (doc_id, hs ARRAY<LONG>, sz). Public so
+    * incremental/streaming dedup can persist and reuse the index.
+    */
+  def shingleSets(ex0: DataFrame): DataFrame =
+    ex0.groupBy("doc_id")
+      .agg(collect_list(col("h")).as("hs"), count(lit(1)).as("sz"))
+
+  /** Banded MinHash signatures: (doc_id, band_id, sig) — the LSH candidate
+    * join key. One imperative aggregate builds the whole signature (see
+    * graft.plans.MinHashSignature).
+    */
+  def bandedSignatures(ex0: DataFrame, numPerm: Int, bands: Int): DataFrame = {
+    require(numPerm % bands == 0, "numPerm must divide into bands")
+    val rows = numPerm / bands
+    val sigs = ex0.groupBy("doc_id")
+      .agg(graft.plans.MinHashAggregate.minhashSignature(col("h"), numPerm).as("sig"))
+    val bandCols = (0 until bands).map { j =>
+      concat_ws("_", (0 until rows).map(r => element_at(col("sig"), j * rows + r + 1)): _*)
+    }
+    sigs.select(col("doc_id"),
+      posexplode(array(bandCols: _*)).as(Seq("band_id", "sig")))
+  }
+
+  /** The shingle index for a document frame (see [[shingleHashesExploded]]). */
+  def shingleIndex(df: DataFrame, idCol: String, textCol: String, k: Int,
+                   hashFn: Column => Column = Hashing.hash60): DataFrame =
+    shingleHashesExploded(df, idCol, textCol, k, hashFn)
+
   def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       k: Int = 3, numPerm: Int = 64, bands: Int = 16,
                       threshold: Double = 0.5,
                       hashFn: Column => Column = Hashing.hash60): DataFrame = {
-    require(numPerm % bands == 0, "numPerm must divide into bands")
-    val rows = numPerm / bands
     // persisted: consumed three times (signature build + both verify sides)
     val ex0 = shingleHashesExploded(df, idCol, textCol, k, hashFn).persist()
     ex0.count() // materialization barrier (see ngramJaccardPairs)
-    val sh = ex0.groupBy("doc_id")
-      .agg(collect_list(col("h")).as("hs"), count(lit(1)).as("sz"))
-
-    // one imperative aggregate instead of numPerm min() columns — see
-    // graft.plans.MinHashSignature for why
-    val sigs = ex0.groupBy("doc_id")
-      .agg(graft.plans.MinHashAggregate.minhashSignature(col("h"), numPerm).as("sig"))
-
-    val bandCols = (0 until bands).map { j =>
-      concat_ws("_", (0 until rows).map(r => element_at(col("sig"), j * rows + r + 1)): _*)
-    }
-    val banded = sigs.select(col("doc_id"),
-      posexplode(array(bandCols: _*)).as(Seq("band_id", "sig")))
+    val sh = shingleSets(ex0)
+    val banded = bandedSignatures(ex0, numPerm, bands)
 
     val cand = banded.as("a")
       .join(banded.as("b"),
