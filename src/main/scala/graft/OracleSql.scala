@@ -304,6 +304,14 @@ object OracleSql {
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY o_orderkey""".stripMargin,
 
+    "q35_percentiles" ->
+      """SELECT o_orderpriority,
+        |  round(quantile_cont(o_totalprice, 0.25), 6) AS p25,
+        |  round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+        |  round(quantile_cont(o_totalprice, 0.75), 6) AS p75,
+        |  round(median(o_totalprice), 6) AS med
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
     "q34_array_funcs" ->
       """SELECT p_partkey,
         |  list_sort(list_distinct(list_concat(string_split(p_type, ' '), string_split(p_brand, '#')))) AS union_w,

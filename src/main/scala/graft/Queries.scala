@@ -444,6 +444,21 @@ object Queries {
       .orderBy("p_partkey")
   }
 
+  // ---------------------------------------------------------------- Q35
+  /** exact interpolated percentiles + median (order statistics; both engines
+    * use the (1-g)*lo + g*hi interpolation, so values are bit-comparable
+    * after rounding).
+    */
+  def q35Percentiles(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        round(expr("percentile(o_totalprice, 0.25)"), 6).as("p25"),
+        round(expr("percentile(o_totalprice, 0.5)"), 6).as("p50"),
+        round(expr("percentile(o_totalprice, 0.75)"), 6).as("p75"),
+        round(expr("median(o_totalprice)"), 6).as("med"))
+      .orderBy("o_orderpriority")
+
   /** Core relational surface, keyed by SURVEY.md §2.B query id. */
   val core: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_filter_project" -> (q1FilterProject _),
@@ -479,6 +494,7 @@ object Queries {
     "q31_approx_distinct" -> (q31ApproxDistinct _),
     "q32_grouping_sets" -> (q32GroupingSets _),
     "q33_range_frame" -> (q33RangeFrame _),
-    "q34_array_funcs" -> (q34ArrayFuncs _)
+    "q34_array_funcs" -> (q34ArrayFuncs _),
+    "q35_percentiles" -> (q35Percentiles _)
   )
 }
