@@ -261,6 +261,19 @@ object ExtensionOracleSql {
         |      (1024.0 / ((64 + doc_id % 64) * (48 + doc_id % 48)))) AS BIGINT))) AS INT) AS n_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "sample_stratified" ->
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE ${h60("'strata:' || CAST(doc_id AS VARCHAR)")} % 10000 <
+         |  CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2500 WHEN 'fr' THEN 1000 ELSE -1 END
+         |ORDER BY doc_id""".stripMargin,
+
+    "sample_split" ->
+      s"""SELECT doc_id,
+         |  CASE WHEN b < 8000 THEN 'train' WHEN b < 9000 THEN 'valid' ELSE 'test' END AS split
+         |FROM (SELECT doc_id, ${h60("'split:' || CAST(doc_id AS VARCHAR)")} % 10000 AS b
+         |      FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+
     "multimodal_frames" ->
       """WITH f AS (
         |  SELECT doc_id, octet_length(encode(text)) AS len,

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** LLM-training-data pipeline extensions (SURVEY.md §2.B last row): dedup
@@ -47,6 +47,13 @@ object ExtensionQueries {
     "multimodal_frames" -> ((s, dir) =>
       // frame_mean needs byte-level access the SQL oracle can't mirror
       // portably; it is asserted in OperatorSpec instead
-      Multimodal.sampleFrames(s, docs(s, dir)).drop("frame_mean"))
+      Multimodal.sampleFrames(s, docs(s, dir)).drop("frame_mean")),
+    "sample_stratified" -> ((s, dir) =>
+      Sampling.stratifiedSample(docs(s, dir), "doc_id", "lang",
+        Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.1))
+        .select("doc_id", "lang").orderBy("doc_id")),
+    "sample_split" -> ((s, dir) =>
+      Sampling.split(docs(s, dir), "doc_id", trainFrac = 0.8, validFrac = 0.1)
+        .select("doc_id", "split").orderBy("doc_id"))
   )
 }

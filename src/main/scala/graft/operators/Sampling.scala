@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing
+
+/** Reproducible sampling / splitting for training-data pipelines.
+  *
+  * All selection is a pure function of a key hash — NOT an RNG — so results
+  * are identical across runs, engines (DuckDB oracle), partitionings, and
+  * cluster sizes, and a row's assignment never changes as the corpus grows.
+  * That is the property training pipelines actually need (stable splits,
+  * reproducible subsets), and it makes sampling a narrow codegen'd filter:
+  * no shuffle, no driver coordination, trivially 100 TB-scalable.
+  *
+  * The hash is salted with a caller-supplied name so different samples drawn
+  * from the same table are independent.
+  */
+object Sampling {
+
+  /** bucket in [0, 10000): four decimal digits of rate resolution. */
+  private def bucket(keyCol: Column, salt: String): Column =
+    pmod(Hashing.hash60(concat(lit(salt), lit(":"), keyCol.cast("string"))), lit(10000L))
+
+  /** Keep ~fraction of rows, deterministically by key. */
+  def deterministicSample(df: DataFrame, keyCol: String, fraction: Double,
+                          salt: String = "sample"): DataFrame =
+    df.filter(bucket(col(keyCol), salt) < (fraction * 10000).toLong)
+
+  /** Per-stratum fractions (e.g. per language/source); strata absent from the
+    * map are dropped.
+    */
+  def stratifiedSample(df: DataFrame, keyCol: String, strataCol: String,
+                       fractions: Map[String, Double],
+                       salt: String = "strata"): DataFrame = {
+    val thresholds = fractions.foldLeft(lit(-1L)) { case (acc, (stratum, f)) =>
+      when(col(strataCol) === stratum, lit((f * 10000).toLong)).otherwise(acc)
+    }
+    df.filter(bucket(col(keyCol), salt) < thresholds)
+  }
+
+  /** Stable train/validation/test assignment by key. */
+  def split(df: DataFrame, keyCol: String,
+            trainFrac: Double, validFrac: Double,
+            salt: String = "split"): DataFrame = {
+    val b = bucket(col(keyCol), salt)
+    df.withColumn("split",
+      when(b < (trainFrac * 10000).toLong, "train")
+        .when(b < ((trainFrac + validFrac) * 10000).toLong, "valid")
+        .otherwise("test"))
+  }
+}

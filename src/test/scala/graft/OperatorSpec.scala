@@ -178,6 +178,23 @@ class OperatorSpec extends SparkSpec {
     assert(udafResult == reference)
   }
 
+  test("sampling: deterministic, stable under growth, splits partition the corpus") {
+    import graft.operators.Sampling
+    val docs = Tables.table(spark, sf0001, "documents")
+    val s1 = Sampling.deterministicSample(docs, "doc_id", 0.3).select("doc_id").collect().map(_.getLong(0)).toSet
+    val s2 = Sampling.deterministicSample(docs, "doc_id", 0.3).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s1 == s2, "same corpus, same sample")
+    // assignment is per-key: sampling a subset yields the intersection
+    val subset = Sampling.deterministicSample(docs.filter(col("doc_id") < 250), "doc_id", 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(subset == s1.filter(_ < 250), "row assignment independent of corpus contents")
+    // splits are a partition
+    val splits = Sampling.split(docs, "doc_id", 0.8, 0.1)
+      .groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(splits.keySet.subsetOf(Set("train", "valid", "test")))
+    assert(splits.values.sum == docs.count())
+  }
+
   test("q31 approx_count_distinct within HLL error of exact counts") {
     val approx = Queries.q31ApproxDistinct(spark, sf0001).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap

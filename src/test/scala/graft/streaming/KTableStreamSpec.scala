@@ -170,7 +170,11 @@ class KTableStreamSpec extends SparkSpec {
   }
 
   test("property: streaming incremental state == batch recompute (KTable law)") {
-    val rnd = new scala.util.Random(42)
+    for (seed <- Seq(42, 7, 1234)) assertKTableLaw(seed)
+  }
+
+  private def assertKTableLaw(seed: Int): Unit = {
+    val rnd = new scala.util.Random(seed)
     val clients = (1 to 8).map(i => s"client$i")
     val tickers = Seq("AAPL", "MSFT", "GOOG", "BT.A", "VOD")
     val exchanges = Seq("NASDAQ", "LON", "NYSE")
