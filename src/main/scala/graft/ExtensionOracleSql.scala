@@ -261,6 +261,15 @@ object ExtensionOracleSql {
         |      (1024.0 / ((64 + doc_id % 64) * (48 + doc_id % 48)))) AS BIGINT))) AS INT) AS n_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "asof_join" ->
+      """WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id FROM events),
+        |b AS (
+        |  SELECT o_custkey AS user_id, o_orderdate, o_orderkey, o_totalprice FROM orders
+        |  QUALIFY row_number() OVER (PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) = 1)
+        |SELECT e.event_id, e.user_id, e.ts, b.o_orderkey, b.o_totalprice
+        |FROM ev e ASOF JOIN b ON e.user_id = b.user_id AND e.ts >= b.o_orderdate
+        |ORDER BY e.event_id""".stripMargin,
+
     "sample_stratified" ->
       s"""SELECT doc_id, lang FROM documents
          |WHERE ${h60("'strata:' || CAST(doc_id AS VARCHAR)")} % 10000 <

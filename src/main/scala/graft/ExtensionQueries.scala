@@ -54,6 +54,15 @@ object ExtensionQueries {
         .select("doc_id", "lang").orderBy("doc_id")),
     "sample_split" -> ((s, dir) =>
       Sampling.split(docs(s, dir), "doc_id", trainFrac = 0.8, validFrac = 0.1)
-        .select("doc_id", "split").orderBy("doc_id"))
+        .select("doc_id", "split").orderBy("doc_id")),
+    "asof_join" -> { (s, dir) =>
+      import org.apache.spark.sql.functions.col
+      val probe = Tables.table(s, dir, "events").select("event_id", "user_id", "ts")
+      val build = Tables.table(s, dir, "orders")
+        .select(col("o_custkey").as("user_id"), col("o_orderdate"),
+          col("o_orderkey"), col("o_totalprice"))
+      graft.operators.AsOfJoin.asOf(probe, build, "user_id", "ts", "o_orderdate")
+        .orderBy("event_id")
+    }
   )
 }

@@ -178,6 +178,19 @@ class OperatorSpec extends SparkSpec {
     assert(udafResult == reference)
   }
 
+  test("as-of join: latest build row at or before each probe, inner semantics") {
+    import graft.operators.AsOfJoin
+    val build = Seq((1L, 10L, "a"), (1L, 20L, "b"), (3L, 5L, "z"))
+      .toDF("k", "bt", "v")
+    val probe = Seq((100L, 1L, 5L), (101L, 1L, 10L), (102L, 1L, 15L),
+      (103L, 1L, 25L), (104L, 2L, 50L)).toDF("id", "k", "pt")
+    val got = AsOfJoin.asOf(probe, build, "k", "pt", "bt")
+      .collect().map(r => (r.getLong(0), r.getString(3))).toMap
+    // probe@5 has no earlier build (dropped); @10 matches the equal-time "a";
+    // @15 still "a"; @25 the later "b"; key 2 has no builds (dropped)
+    assert(got == Map(101L -> "a", 102L -> "a", 103L -> "b"))
+  }
+
   test("sampling: deterministic, stable under growth, splits partition the corpus") {
     import graft.operators.Sampling
     val docs = Tables.table(spark, sf0001, "documents")
