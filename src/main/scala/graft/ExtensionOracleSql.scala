@@ -270,6 +270,14 @@ object ExtensionOracleSql {
         |FROM ev e ASOF JOIN b ON e.user_id = b.user_id AND e.ts >= b.o_orderdate
         |ORDER BY e.event_id""".stripMargin,
 
+    "sample_mix" ->
+      s"""SELECT doc_id, source,
+         |  ${h60("'mix:order:' || CAST(doc_id AS VARCHAR)")} % 10000 AS mix_order
+         |FROM documents
+         |WHERE ${h60("'mix:' || CAST(doc_id AS VARCHAR)")} % 10000 <
+         |  CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 5000 WHEN 'src2' THEN 2500 ELSE -1 END
+         |ORDER BY mix_order, doc_id""".stripMargin,
+
     "sample_stratified" ->
       s"""SELECT doc_id, lang FROM documents
          |WHERE ${h60("'strata:' || CAST(doc_id AS VARCHAR)")} % 10000 <

@@ -55,6 +55,11 @@ object ExtensionQueries {
     "sample_split" -> ((s, dir) =>
       Sampling.split(docs(s, dir), "doc_id", trainFrac = 0.8, validFrac = 0.1)
         .select("doc_id", "split").orderBy("doc_id")),
+    "sample_mix" -> ((s, dir) =>
+      Sampling.mixSources(docs(s, dir), "doc_id", "source",
+        Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25))
+        .select("doc_id", "source", "mix_order")
+        .orderBy("mix_order", "doc_id")),
     "asof_join" -> { (s, dir) =>
       import org.apache.spark.sql.functions.col
       val probe = Tables.table(s, dir, "events").select("event_id", "user_id", "ts")

@@ -40,6 +40,17 @@ object Sampling {
     df.filter(bucket(col(keyCol), salt) < thresholds)
   }
 
+  /** Weighted corpus mixing: per-source sampling rates + a deterministic
+    * global interleave order (`mix_order` = key hash), so downstream
+    * training reads a reproducible, well-shuffled blend of sources without
+    * any global sort coordination — ORDER BY mix_order range-partitions.
+    */
+  def mixSources(df: DataFrame, keyCol: String, sourceCol: String,
+                 weights: Map[String, Double],
+                 salt: String = "mix"): DataFrame =
+    stratifiedSample(df, keyCol, sourceCol, weights, salt)
+      .withColumn("mix_order", bucket(col(keyCol), salt + ":order"))
+
   /** Stable train/validation/test assignment by key. */
   def split(df: DataFrame, keyCol: String,
             trainFrac: Double, validFrac: Double,
