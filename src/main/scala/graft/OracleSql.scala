@@ -312,6 +312,16 @@ object OracleSql {
         |  round(median(o_totalprice), 6) AS med
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
+    "q36_pivot" ->
+      """SELECT o_orderpriority,
+        |  COUNT(*) FILTER (o_orderstatus = 'F') AS F_n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (o_orderstatus = 'F') AS DOUBLE) AS F_total,
+        |  COUNT(*) FILTER (o_orderstatus = 'O') AS O_n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (o_orderstatus = 'O') AS DOUBLE) AS O_total,
+        |  COUNT(*) FILTER (o_orderstatus = 'P') AS P_n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (o_orderstatus = 'P') AS DOUBLE) AS P_total
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
     "q34_array_funcs" ->
       """SELECT p_partkey,
         |  list_sort(list_distinct(list_concat(string_split(p_type, ' '), string_split(p_brand, '#')))) AS union_w,

@@ -459,6 +459,20 @@ object Queries {
         round(expr("median(o_totalprice)"), 6).as("med"))
       .orderBy("o_orderpriority")
 
+  // ---------------------------------------------------------------- Q36
+  /** pivot: order counts and totals per priority, pivoted by status (explicit
+    * value list => static schema, identical column names in the oracle).
+    */
+  def q36Pivot(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dec2(col("o_totalprice"))).cast("double").as("total"))
+      .na.fill(0L, Seq("F_n", "O_n", "P_n"))
+      .orderBy("o_orderpriority")
+
   /** Core relational surface, keyed by SURVEY.md §2.B query id. */
   val core: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_filter_project" -> (q1FilterProject _),
@@ -495,6 +509,7 @@ object Queries {
     "q32_grouping_sets" -> (q32GroupingSets _),
     "q33_range_frame" -> (q33RangeFrame _),
     "q34_array_funcs" -> (q34ArrayFuncs _),
-    "q35_percentiles" -> (q35Percentiles _)
+    "q35_percentiles" -> (q35Percentiles _),
+    "q36_pivot" -> (q36Pivot _)
   )
 }

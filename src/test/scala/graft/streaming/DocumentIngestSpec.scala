@@ -40,4 +40,38 @@ class DocumentIngestSpec extends SparkSpec {
     assert(row.getInt(4) == 6)          // n_tokens
     assert(row.getDouble(5) == 1.0 / 6) // "with" is the only en stopword
   }
+
+  test("ingest dedup state survives a restart from checkpoint") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val checkpoint = Files.createTempDirectory("ingest-restart").toString
+    val seen = scala.collection.concurrent.TrieMap.empty[Long, Unit]
+
+    def start(input: MemoryStream[(Long, String, Timestamp)]) =
+      DocumentIngest.pipeline(input.toDF().toDF("doc_id", "text", "ts"), minTokens = 1)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.collect().foreach(r => seen.put(r.getLong(0), ()))
+        }
+        .start()
+
+    val in1 = MemoryStream[(Long, String, Timestamp)]
+    val q1 = start(in1)
+    in1.addData((1L, "unique document text alpha", ts(0)))
+    q1.processAllAvailable()
+    q1.stop()
+    assert(seen.keySet == Set(1L))
+
+    // new query, same checkpoint: the duplicate must STILL be dropped,
+    // which requires the dedup state store to have been restored
+    val in2 = MemoryStream[(Long, String, Timestamp)]
+    val q2 = start(in2)
+    in2.addData((1L, "unique document text alpha", ts(0))) // committed batch replay
+    in2.addData((2L, "unique document text alpha", ts(5)), (3L, "a different doc", ts(6)))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(seen.keySet == Set(1L, 3L),
+      s"restored state must reject the duplicate, got ${seen.keySet}")
+  }
 }
