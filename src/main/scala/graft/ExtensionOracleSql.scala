@@ -261,6 +261,14 @@ object ExtensionOracleSql {
         |      (1024.0 / ((64 + doc_id % 64) * (48 + doc_id % 48)))) AS BIGINT))) AS INT) AS n_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "grouped_topk" ->
+      """SELECT c_mktsegment, CAST(rk AS INT) AS rank, o_orderkey, o_totalprice FROM (
+        |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY c_mktsegment ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders JOIN customer ON o_custkey = c_custkey)
+        |WHERE rk <= 3
+        |ORDER BY c_mktsegment, rank""".stripMargin,
+
     "asof_join" ->
       """WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id FROM events),
         |b AS (

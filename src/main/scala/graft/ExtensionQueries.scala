@@ -60,6 +60,22 @@ object ExtensionQueries {
         Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25))
         .select("doc_id", "source", "mix_order")
         .orderBy("mix_order", "doc_id")),
+    "grouped_topk" -> { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      import s.implicits._
+      val joined = Tables.table(s, dir, "orders")
+        .join(Tables.table(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment"), col("o_totalprice"), col("o_orderkey"))
+      joined.as[(String, Double, Long)]
+        .groupByKey(_._1)
+        .mapValues(t => graft.operators.TopKAggregator.Scored(t._2, t._3))
+        .agg(graft.operators.TopKAggregator(3).toColumn.name("top"))
+        .toDF("c_mktsegment", "top")
+        .select(col("c_mktsegment"), posexplode(col("top")).as(Seq("rk", "s")))
+        .select(col("c_mktsegment"), (col("rk") + 1).cast("int").as("rank"),
+          col("s.id").as("o_orderkey"), col("s.score").as("o_totalprice"))
+        .orderBy("c_mktsegment", "rank")
+    },
     "asof_join" -> { (s, dir) =>
       import org.apache.spark.sql.functions.col
       val probe = Tables.table(s, dir, "events").select("event_id", "user_id", "ts")
