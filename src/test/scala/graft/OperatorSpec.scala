@@ -178,6 +178,22 @@ class OperatorSpec extends SparkSpec {
     assert(udafResult == reference)
   }
 
+  test("langId: argmax scoring, deterministic ties, und fallback") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "the cat and the dog of the house", "en"), // en stopwords dominate
+      (2L, "der hund und die katze ist da", "de"),    // de stopwords dominate
+      (3L, "qqq www eee rrr", "xx"),                  // no stopwords at all
+      (4L, "the der", "xx")                           // 1-1 tie -> 'de' < 'en'
+    ).toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.langId(spark, docs)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(got(1L)._1 == "en" && got(1L)._2 == 5)
+    assert(got(2L)._1 == "de" && got(2L)._2 == 4) // der, und, die, ist
+    assert(got(3L) == ("und", 0L))
+    assert(got(4L)._1 == "de") // lexicographically smallest on equal score
+  }
+
   test("as-of join: latest build row at or before each probe, inner semantics") {
     import graft.operators.AsOfJoin
     val build = Seq((1L, 10L, "a"), (1L, 20L, "b"), (3L, 5L, "z"))
