@@ -250,8 +250,8 @@ object ExtensionOracleSql {
     "multimodal_features" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
-        |  [CAST(octet_length(encode(text)) AS DOUBLE), CAST(n_chars AS DOUBLE),
-        |   CAST(doc_id % 7 AS DOUBLE)] AS mm_feat
+        |  array_to_string([CAST(octet_length(encode(text)) AS BIGINT), CAST(n_chars AS BIGINT),
+        |   CAST(doc_id % 7 AS BIGINT)], '|') AS mm_feat
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "multimodal_resize" ->

@@ -40,8 +40,15 @@ object ExtensionQueries {
       TextAnalysis.tokenStats(docs(s, dir))),
     "text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(docs(s, dir))),
-    "multimodal_features" -> ((s, dir) =>
-      Multimodal.extractFeatures(s, docs(s, dir))),
+    "multimodal_features" -> { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      // declared-surface encoding: feature values are integral by construction,
+      // so render them as '|'-joined BIGINTs (scalar cell for the driver
+      // comparator; the array-native operator output is unchanged)
+      Multimodal.extractFeatures(s, docs(s, dir))
+        .withColumn("mm_feat",
+          array_join(transform(col("mm_feat"), _.cast("bigint")), "|"))
+    },
     "multimodal_resize" -> ((s, dir) =>
       Multimodal.resize(s, docs(s, dir), targetW = 32, targetH = 32)),
     "multimodal_frames" -> ((s, dir) =>

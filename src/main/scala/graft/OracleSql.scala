@@ -164,7 +164,7 @@ object OracleSql {
          |latest AS (
          |  SELECT * FROM changelog
          |  QUALIFY row_number() OVER (PARTITION BY key ORDER BY seq DESC) = 1)
-         |SELECT client, list_sort(list(DISTINCT key)) AS nasdaq_position_ids
+         |SELECT client, array_to_string(list_sort(list(DISTINCT key)), '|') AS nasdaq_position_ids
          |FROM latest
          |WHERE NOT tombstone AND exchange = 'NASDAQ'
          |GROUP BY client
@@ -324,11 +324,11 @@ object OracleSql {
 
     "q34_array_funcs" ->
       """SELECT p_partkey,
-        |  list_sort(list_distinct(list_concat(string_split(p_type, ' '), string_split(p_brand, '#')))) AS union_w,
-        |  list_sort(list_filter(list_distinct(string_split(p_type, ' ')),
-        |    w -> w != 'PROMO' AND w != 'STANDARD')) AS minus_w,
+        |  COALESCE(array_to_string(list_sort(list_distinct(list_concat(string_split(p_type, ' '), string_split(p_brand, '#')))), '|'), '') AS union_w,
+        |  COALESCE(array_to_string(list_sort(list_filter(list_distinct(string_split(p_type, ' ')),
+        |    w -> w != 'PROMO' AND w != 'STANDARD')), '|'), '') AS minus_w,
         |  list_contains(string_split(p_type, ' '), 'BRUSHED') AS has_brushed,
-        |  list_slice(list_sort(string_split(p_type, ' ')), 1, 2) AS first_two,
+        |  COALESCE(array_to_string(list_slice(list_sort(string_split(p_type, ' ')), 1, 2), '|'), '') AS first_two,
         |  CAST(len(string_split(p_type, ' ')) AS INT) AS n_words
         |FROM part ORDER BY p_partkey""".stripMargin
   )

@@ -234,6 +234,9 @@ object Queries {
     */
   def q18ReferenceQuery(s: SparkSession, dir: String): DataFrame =
     ShareHolders.nasdaqPositionsByClient(Tables.shareHoldersChangelog(s, dir))
+      // declared-surface encoding: the driver's comparator needs scalar cells,
+      // so the position-id set is emitted '|'-joined (already sorted+distinct)
+      .withColumn("nasdaq_position_ids", array_join(col("nasdaq_position_ids"), "|"))
 
   // ---------------------------------------------------------------- Q19
   /** tumbling 1-hour time-window aggregation (batch form of window()). */
@@ -429,17 +432,20 @@ object Queries {
   }
 
   // ---------------------------------------------------------------- Q34
-  /** array function sweep: union/except/contains/slice over token arrays. */
+  /** array function sweep: union/except/contains/slice over token arrays.
+    * Array results are '|'-joined at the declared surface (sorted first, so
+    * the encoding is deterministic) — the driver comparator needs scalar cells.
+    */
   def q34ArrayFuncs(s: SparkSession, dir: String): DataFrame = {
     val words = split(col("p_type"), " ")
     val brandWords = split(col("p_brand"), "#")
     T(s, dir, "part")
       .select(
         col("p_partkey"),
-        sort_array(array_union(words, brandWords)).as("union_w"),
-        sort_array(array_except(words, array(lit("PROMO"), lit("STANDARD")))).as("minus_w"),
+        array_join(sort_array(array_union(words, brandWords)), "|").as("union_w"),
+        array_join(sort_array(array_except(words, array(lit("PROMO"), lit("STANDARD")))), "|").as("minus_w"),
         array_contains(words, "BRUSHED").as("has_brushed"),
-        slice(sort_array(words), 1, 2).as("first_two"),
+        array_join(slice(sort_array(words), 1, 2), "|").as("first_two"),
         size(words).as("n_words"))
       .orderBy("p_partkey")
   }
