@@ -21,37 +21,51 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Warmup (untimed): run every query once at the smallest scale factor so
-    // janino codegen compilation and JIT are charged to warmup, not to the
-    // first measured run of each plan shape. Falls back to the target dir if
-    // the tiny fixture isn't present.
+    // Warmup dir: tiny fixture if present so warmup passes are cheap.
     val warmDir = {
       val tiny = "/root/testdata/sf0.001"
       if (new java.io.File(tiny).isDirectory) tiny else sfDir
     }
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-      try fn(spark, warmDir).count() catch { case _: Throwable => () }
-    }
+    // Boot warmup: absorb SparkSession/JIT/first-codegen startup once.
+    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     spark.catalog.clearCache()
 
-    // best of two runs per query: single-run times on a shared box carry
+    // Per-query untimed warmup IMMEDIATELY before measurement (not one global
+    // pass): janino codegen + JIT for THIS plan shape are charged to warmup,
+    // and the first measured heavy queries aren't paying session-wide warmup
+    // (round-1 driver runs charged ~1.5 s of it to the first aggregate).
+    //
+    // Then best of two measured runs: single-run times on a shared box carry
     // 20-30% noise; min is the achievable time. Caches are cleared between
     // runs, so the second run repeats ALL work (no warm-cache flattery —
     // operator-internal persists from one query must not tax the next).
+    //
+    // A query that throws is reported explicitly ("failed" list, -1 sentinel
+    // time, nonzero exit) — a failure must never make the bench look faster.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      spark.catalog.clearCache()
+      var err: Option[String] = None
       val dts = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable =>
+            err = Some(e.toString.linesIterator.next().take(200))
+        }
         val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
         dt
       }
-      name -> dts.min
+      (name, if (err.isEmpty) dts.min else -1.0, err)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val failures = results.collect { case (n, _, Some(e)) => (n, e) }
+    failures.foreach { case (n, e) => System.err.println(s"BENCH FAILURE $n: $e") }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failedJson = failures.map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    val total = results.collect { case (_, v, None) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
+    if (failures.nonEmpty) sys.exit(1)
   }
 }

@@ -24,10 +24,27 @@ object Tables {
     * cast, so the oracle (which truncates via CAST) sees identical values.
     */
   private def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    // Scope the legacy conf to this load: save and restore around the read so
+    // later parquet reads in the same session don't silently inherit
+    // nanos-as-long semantics. (Schema resolution happens inside the load;
+    // execution-time readers take the flag from the relation's captured
+    // options, see below.)
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try {
+      // Pass the conf as a read option too: per-relation options are merged
+      // into the Hadoop conf each time the scan is planned, keeping lazy
+      // executions correct after the session conf is restored.
+      spark.read.option(key, "true").parquet(s"$dir/events.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
   }
 
   /** Synthetic changelog modeling the reference's compacted `share-holders`

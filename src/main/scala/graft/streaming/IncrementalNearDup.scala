@@ -29,8 +29,16 @@ class IncrementalNearDup(
   private def bandsDir = s"$historyDir/bands"
   private def setsDir = s"$historyDir/sets"
 
-  private def readIfExists(spark: SparkSession, dir: String): Option[DataFrame] =
-    if (new java.io.File(dir).exists()) Some(spark.read.parquet(dir)) else None
+  /** History existence via the Hadoop FileSystem API so the check honors the
+    * configured filesystem (HDFS/S3 at scale, local in tests) — a
+    * java.io.File probe would silently report "absent" on any non-local FS
+    * and admit every cross-batch near-duplicate.
+    */
+  private def readIfExists(spark: SparkSession, dir: String): Option[DataFrame] = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(path)) Some(spark.read.parquet(dir)) else None
+  }
 
   /** Process one batch of (doc_id, text): returns the admitted doc ids
     * (near-dups of history or earlier-in-batch docs are rejected) and
