@@ -5,7 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
 import graft.sources.KafkaChangelog
-import graft.streaming.{KTableProcessor, Serving}
+import graft.streaming.{KTableProcessor, ParquetServing}
 
 /** End-to-end demo of the reference application loop (README.md:20-26 of the
   * reference): produce upserts/tombstones, watch the continuously-maintained
@@ -25,12 +25,14 @@ object Demo {
 
     val input = MemoryStream[graft.streaming.KTableStream.ShareUpdate]
     val views = KTableProcessor.usShareHolders(spark, input.toDS())
-    val serving = new Serving
+    // distributed parquet-backed serving store (the scale path; `new Serving`
+    // swaps in the driver-local TrieMap demo store)
+    val serving = new ParquetServing(Files.createTempDirectory("demo-store").toString)
     val q = views.writeStream
       .outputMode("update")
       .option("checkpointLocation", Files.createTempDirectory("demo").toString)
-      .foreachBatch { (b: org.apache.spark.sql.Dataset[graft.streaming.KTableStream.ClientView], _: Long) =>
-        serving.upsertBatch(b)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[graft.streaming.KTableStream.ClientView], id: Long) =>
+        serving.upsertBatch(b, id)
       }
       .start()
 

@@ -2,42 +2,52 @@ package graft.streaming
 
 import scala.collection.concurrent.TrieMap
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
+import graft.operators.LatestPerKey
 import KTableStream.ClientView
 
 /** Serving layer ≈ the reference's queryable state store + interactive query
   * (kafka_streams.clj:80,83-89): `foreachBatch` upserts the change stream into
-  * an in-memory table, queried via [[snapshot]] / a temp view.
+  * a queryable store, read via [[snapshot]] / a temp view.
   *
   * Deliberate upgrade over the reference (SURVEY.md §3.2): the served view is
   * COMPLETE — the reference's `GET /local-state` returns only the partitions
-  * local to one of the 3 instances. In a cluster deployment `foreachBatch`
-  * would upsert into Delta/JDBC instead; the in-memory TrieMap keeps the demo
-  * self-contained.
+  * local to one of the 3 instances.
+  *
+  * Two implementations:
+  *  - [[ParquetServing]] (default): distributed keyed upsert — each batch's
+  *    changed keys are written executor-side, nothing is materialized on the
+  *    driver. This is the 100 TB path.
+  *  - [[Serving]]: driver-local TrieMap, demo/test convenience only.
   */
-class Serving(viewName: String = "us_share_holders") {
-  private val store = TrieMap.empty[String, Seq[String]]
+trait ServingSink {
+  def viewName: String
+
+  /** Apply one micro-batch of view changes (idempotent per (key, batch)). */
+  def upsertBatch(batch: Dataset[ClientView], batchId: Long): Unit
+
+  /** The complete materialized view (interactive query surface,
+    * kafka_streams.clj:83-89).
+    */
+  def snapshot(spark: SparkSession): DataFrame
+
+  /** Driver-side convenience read of the full view — an interactive query,
+    * bounded by the number of live clients, NOT part of the streaming hot
+    * path.
+    */
+  def asMap: Map[String, Seq[String]]
+
   // the session whose catalog serves interactive queries; foreachBatch runs
   // with a CLONED session, so views registered there would be invisible
-  @volatile private var servingSession: Option[SparkSession] = None
+  @volatile protected var servingSession: Option[SparkSession] = None
 
-  /** Apply one micro-batch of view changes (idempotent per key), then
-    * refresh the SQL-visible view so `spark.table(viewName)` — the
-    * interactive-query surface (kafka_streams.clj:83-89) — always serves
-    * the current state.
-    */
-  def upsertBatch(batch: Dataset[ClientView]): Unit = {
-    batch.collect().foreach { cv =>
-      if (cv.deleted) store.remove(cv.client)
-      else store.put(cv.client, cv.nasdaq_position_ids)
-    }
-    val session = servingSession
+  protected def sessionFor(batch: Dataset[ClientView]): SparkSession =
+    servingSession
       .orElse(SparkSession.getDefaultSession)
       .getOrElse(batch.sparkSession)
-    snapshot(session).createOrReplaceTempView(viewName)
-  }
 
   def start(spark: SparkSession, views: Dataset[ClientView], checkpointDir: String): StreamingQuery = {
     servingSession = Some(spark)
@@ -45,12 +55,81 @@ class Serving(viewName: String = "us_share_holders") {
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: Dataset[ClientView], _: Long) => upsertBatch(batch) }
+      .foreachBatch { (batch: Dataset[ClientView], batchId: Long) => upsertBatch(batch, batchId) }
       .queryName(viewName)
       .start()
   }
+}
 
-  /** The complete materialized view, as a DataFrame (interactive query). */
+/** Distributed serving sink: the view is maintained as an append-only keyed
+  * changelog in parquet — exactly the reference's store + changelog-topic
+  * pairing (kafka_streams.clj:80), with the parquet files as the changelog
+  * and read-side latest-per-key compaction as the store.
+  *
+  *  - Write path: each micro-batch appends ONLY its changed keys (update-mode
+  *    emission), written executor-side — no driver materialization, no
+  *    collect. Partitioned by batch id with dynamic partition overwrite, so a
+  *    replayed batch after restart overwrites its own partition: idempotent
+  *    exactly-once output.
+  *  - Read path: latest-per-key over the changelog (partial-agg `max_by`, one
+  *    shuffle), tombstoned rows dropped. At 100 TB-scale view sizes a
+  *    periodic compaction job would fold old batch partitions; the read is
+  *    partition-prunable either way.
+  *
+  * In a deployment with a transactional table format (Delta/Iceberg) the
+  * upsert becomes a MERGE; plain parquet keeps this self-contained.
+  */
+class ParquetServing(storeDir: String, val viewName: String = "us_share_holders")
+    extends ServingSink {
+
+  def upsertBatch(batch: Dataset[ClientView], batchId: Long): Unit = {
+    batch.toDF()
+      .withColumn("batch_id", lit(batchId))
+      .write
+      .mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(storeDir)
+    val session = sessionFor(batch)
+    snapshot(session).createOrReplaceTempView(viewName)
+  }
+
+  def snapshot(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val path = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    val changes =
+      if (fs.exists(path)) spark.read.parquet(storeDir)
+      else Seq.empty[(String, Seq[String], Boolean, Long)]
+        .toDF("client", "nasdaq_position_ids", "deleted", "batch_id")
+    LatestPerKey(changes, keys = Seq("client"), ordering = Seq("batch_id"))
+      .filter(!col("deleted"))
+      .select("client", "nasdaq_position_ids")
+      .orderBy("client")
+  }
+
+  def asMap: Map[String, Seq[String]] = {
+    val spark = servingSession.orElse(SparkSession.getDefaultSession).get
+    snapshot(spark).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+  }
+}
+
+/** Driver-local serving store (demo/tests): a TrieMap upsert per batch.
+  * NOT the scale path — `collect()` materializes every batch on the driver;
+  * use [[ParquetServing]] anywhere real.
+  */
+class Serving(val viewName: String = "us_share_holders") extends ServingSink {
+  private val store = TrieMap.empty[String, Seq[String]]
+
+  def upsertBatch(batch: Dataset[ClientView], batchId: Long): Unit = {
+    batch.collect().foreach { cv =>
+      if (cv.deleted) store.remove(cv.client)
+      else store.put(cv.client, cv.nasdaq_position_ids)
+    }
+    snapshot(sessionFor(batch)).createOrReplaceTempView(viewName)
+  }
+
   def snapshot(spark: SparkSession): DataFrame = {
     import spark.implicits._
     store.toSeq.map { case (c, ids) => (c, ids) }

@@ -24,7 +24,7 @@ class KTableStreamSpec extends SparkSpec {
     * flatMapGroupsWithState (default) or the transformWithState processor.
     */
   private def run(steps: Seq[Seq[ShareUpdate]],
-                  serving: Serving = new Serving,
+                  serving: ServingSink = new Serving,
                   checkpoint: String = Files.createTempDirectory("ktable").toString,
                   impl: (org.apache.spark.sql.SparkSession, org.apache.spark.sql.Dataset[ShareUpdate]) => org.apache.spark.sql.Dataset[KTableStream.ClientView] = KTableStream.usShareHolders)
       : Seq[Map[String, Seq[String]]] = {
@@ -35,8 +35,8 @@ class KTableStreamSpec extends SparkSpec {
     val q = views.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (b: org.apache.spark.sql.Dataset[KTableStream.ClientView], _: Long) =>
-        serving.upsertBatch(b)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[KTableStream.ClientView], id: Long) =>
+        serving.upsertBatch(b, id)
       }
       .start()
     val out = steps.map { batch =>
@@ -119,6 +119,54 @@ class KTableStreamSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
     assert(viaSql == Map(
       "daniel" -> Seq("daniel:::AAPL"), "kima" -> Seq("kima:::MSFT")))
+  }
+
+  test("distributed parquet serving sink: M4 gate (canonical scenario via spark.table)") {
+    val store = Files.createTempDirectory("serving-store").toString
+    val serving = new ParquetServing(store, viewName = "us_share_holders_pq")
+    val states = run(Seq(
+      Seq(upsert(0, "daniel", "AAPL", "NASDAQ", 99)),
+      Seq(upsert(1, "daniel", "BT.A", "LON")),
+      Seq(tombstone(2, "daniel", "AAPL"), upsert(3, "kima", "MSFT", "NASDAQ"))),
+      serving)
+    assert(states(0) == Map("daniel" -> Seq("daniel:::AAPL")))
+    assert(states(1) == Map("daniel" -> Seq("daniel:::AAPL"))) // LON filtered
+    assert(states(2) == Map("kima" -> Seq("kima:::MSFT"))) // daniel's set emptied => deleted
+    // interactive query through SQL over the registered view
+    val viaSql = spark.sql(
+      "SELECT client, nasdaq_position_ids FROM us_share_holders_pq ORDER BY client")
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(viaSql == Map("kima" -> Seq("kima:::MSFT")))
+  }
+
+  test("distributed parquet serving sink: restart replay is idempotent") {
+    val store = Files.createTempDirectory("serving-store-restart").toString
+    val checkpoint = Files.createTempDirectory("ktable-pq-restart").toString
+    val all = Seq(
+      Seq(upsert(0, "c", "T1", "NASDAQ"), upsert(1, "c", "T2", "NASDAQ"),
+        upsert(2, "b", "T9", "LON")),
+      Seq(tombstone(3, "c", "T1"), upsert(4, "b", "T9", "NASDAQ")),
+      Seq(upsert(5, "a", "T3", "NASDAQ")))
+    run(Seq(all.head), new ParquetServing(store), checkpoint)
+    // a new query over the same checkpoint + store: the source replays the
+    // full changelog; committed batches re-run through foreachBatch, and the
+    // dynamic partition overwrite folds the replay onto its own batch
+    // partition instead of duplicating rows
+    val resumed = run(all, new ParquetServing(store), checkpoint).last
+    assert(resumed == Map(
+      "a" -> Seq("a:::T3"), "b" -> Seq("b:::T9"), "c" -> Seq("c:::T2")))
+  }
+
+  test("distributed serving snapshot plan has no driver-side materialization") {
+    val store = Files.createTempDirectory("serving-store-plan").toString
+    val serving = new ParquetServing(store)
+    run(Seq(Seq(upsert(0, "a", "T1", "NASDAQ"))), serving)
+    // read path = scan + partial/final agg (latest-per-key) + filter; the
+    // write path appended executor-side. Nothing collects: the snapshot is a
+    // plain distributed plan over the parquet changelog.
+    val plan = serving.snapshot(spark).queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate") || plan.contains("ObjectHashAggregate") ||
+      plan.contains("SortAggregate"))
   }
 
   test("transformWithState processor: canonical scenario + retraction") {
