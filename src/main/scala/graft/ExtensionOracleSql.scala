@@ -40,6 +40,26 @@ object ExtensionOracleSql {
   private def bitExpr(i: Int): String =
     s"(CASE WHEN list_sum(list_transform(range(1, 65), d -> CAST(embedding[d] AS DOUBLE) * (${signList(i)})[d])) > 0 THEN 1 ELSE 0 END * ${1 << (i % 4)})"
 
+  /** One deterministic Lloyd round: assign to nearest cent${n-1} (cosine,
+    * rounded to 6, ties to lower id), then recompute means with exact
+    * integer-quantized sums — in lock-step with
+    * graft.operators.Similarity.lloydCentroids.
+    */
+  private def lloydIterCte(n: Int): String =
+    s"""asg$n AS (
+       |  SELECT vec_id, embedding, centroid_id FROM (
+       |    SELECT e.vec_id, e.embedding, c.centroid_id,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY round(${cos("e.embedding", "c.cvec")}, 6) DESC, c.centroid_id) AS rn
+       |    FROM embeddings e CROSS JOIN cent${n - 1} c) WHERE rn = 1),
+       |cent$n AS (
+       |  SELECT centroid_id, list(cval ORDER BY idx) AS cvec FROM (
+       |    SELECT centroid_id, idx, CAST(SUM(q) AS DOUBLE) / (1e9 * COUNT(*)) AS cval
+       |    FROM (SELECT centroid_id, generate_subscripts(embedding, 1) AS idx,
+       |            CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1e9) AS BIGINT) AS q
+       |          FROM asg$n)
+       |    GROUP BY centroid_id, idx) GROUP BY centroid_id)""".stripMargin
+
   val all: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT MIN(doc_id) AS canonical_id, COUNT(*) AS dup_count
@@ -170,7 +190,10 @@ object ExtensionOracleSql {
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "simsearch_ivf" ->
-      s"""WITH cent AS (SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+      s"""WITH cent0 AS (SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+         |${lloydIterCte(1)},
+         |${lloydIterCte(2)},
+         |cent AS (SELECT * FROM cent2),
          |probe AS (SELECT embedding AS pv FROM embeddings WHERE vec_id = 0),
          |asn AS (
          |  SELECT e.vec_id, c.centroid_id,

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.{Vectors => VecF}
 
@@ -15,11 +16,10 @@ import graft.functions.{Vectors => VecF}
   *    scale the pair join is a block nested loop. The 100 TB path is bucketed
   *    candidate generation (hyperplane LSH), same final filter.
   *  - [[ivfTopK]]: IVF-style bucketed search — vectors are assigned to their
-  *    nearest centroid at "index build" time; a probe only scans `nprobe`
-  *    centroid buckets. Centroid selection here is a deterministic stub
-  *    (first `nlist` vectors) standing in for k-means, so the whole path is
-  *    oracle-checkable; the Spark plumbing (partition pruning by centroid id)
-  *    is the real thing.
+  *    nearest k-means centroid at "index build" time ([[lloydCentroids]]:
+  *    seedless init + deterministic Lloyd rounds with exact integer-quantized
+  *    means, so the index is oracle-checkable); a probe only scans `nprobe`
+  *    centroid buckets (partition pruning by centroid id).
   */
 object Similarity {
 
@@ -107,22 +107,54 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
-  /** IVF top-k: assign every vector to its nearest of `nlist` centroids
-    * (deterministic stub: centroids are the vectors with vec_id < nlist);
-    * search only the `nprobe` centroid buckets nearest to the probe.
-    * Ties in centroid assignment break toward the lower centroid id.
+  /** Nearest-centroid assignment: max cosine, ties toward the lower
+    * centroid id. One broadcast of the (tiny) centroid set, one narrow pass.
     */
-  def ivfTopK(emb: DataFrame, probeId: Long, k: Int,
-              nlist: Int = 8, nprobe: Int = 2): DataFrame = {
-    val centroids = broadcast(
-      emb.filter(col("vec_id") < nlist)
-        .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec")))
-
-    // index build: nearest centroid per vector (max cosine, tie -> lower id)
-    val assigned = emb.crossJoin(centroids)
+  private def assignToCentroids(emb: DataFrame, centroids: DataFrame): DataFrame =
+    emb.crossJoin(broadcast(centroids))
       .withColumn("csim", round(VecF.cosine(col("embedding"), col("cvec")), 6))
       .groupBy(col("vec_id"), col("embedding"))
       .agg(max_by(col("centroid_id"), struct(col("csim"), -col("centroid_id"))).as("centroid_id"))
+
+  /** Deterministic k-means (Lloyd) centroids: seedless init = the `nlist`
+    * lowest vec_ids, then `iters` assign/recompute rounds.
+    *
+    * Cross-engine determinism of the mean: float sums are order-dependent, so
+    * each component is quantized to an exact integer (`floor(x * 1e9)`),
+    * summed exactly (decimal — overflow-proof at any cluster size), and only
+    * then divided back in double. Both engines do the identical IEEE ops, so
+    * centroids are bit-identical and the index stays oracle-checkable.
+    *
+    * Scale shape per iteration: one broadcast join (centroids are nlist
+    * rows), one partial-agg groupBy on (centroid, dim) — no shuffle of the
+    * vectors themselves beyond the aggregation exchange.
+    */
+  def lloydCentroids(emb: DataFrame, nlist: Int, iters: Int): DataFrame = {
+    val init = emb.filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+    (1 to iters).foldLeft(init) { (cent, _) =>
+      assignToCentroids(emb, cent)
+        .select(col("centroid_id"), posexplode(col("embedding")).as(Seq("idx", "comp")))
+        .withColumn("q", floor(col("comp").cast("double") * lit(1e9)).cast(DecimalType(38, 0)))
+        .groupBy(col("centroid_id"), col("idx"))
+        .agg((sum(col("q")).cast("double") / (lit(1e9) * count(lit(1)))).as("cval"))
+        .groupBy(col("centroid_id"))
+        .agg(transform(sort_array(collect_list(struct(col("idx"), col("cval")))),
+          x => x.getField("cval")).as("cvec"))
+    }
+  }
+
+  /** IVF top-k: assign every vector to its nearest of `nlist` centroids
+    * (k-means: seedless init from the lowest vec_ids + `iters` deterministic
+    * Lloyd rounds); search only the `nprobe` centroid buckets nearest to the
+    * probe. Ties in centroid assignment break toward the lower centroid id.
+    */
+  def ivfTopK(emb: DataFrame, probeId: Long, k: Int,
+              nlist: Int = 8, nprobe: Int = 2, iters: Int = 2): DataFrame = {
+    val centroids = broadcast(lloydCentroids(emb, nlist, iters))
+
+    // index build: nearest centroid per vector (max cosine, tie -> lower id)
+    val assigned = assignToCentroids(emb, centroids)
 
     // probe: its nprobe nearest centroids
     val probeVec = emb.filter(col("vec_id") === probeId)

@@ -224,6 +224,30 @@ class OperatorSpec extends SparkSpec {
     assert(splits.values.sum == docs.count())
   }
 
+  test("IVF with Lloyd k-means: recall vs brute force; centroids are real means") {
+    import graft.operators.Similarity
+    val emb = Tables.table(spark, "/root/testdata/sf0.01", "embeddings")
+    val k = 5
+    // recall@5 across several probes: the nprobe=2 bucket scan must recover
+    // most of the exact top-k (ANN quality gate, not an exactness gate)
+    val probes = Seq(0L, 7L, 42L, 99L, 123L)
+    val recalls = probes.map { p =>
+      val exact = Similarity.bruteForceTopK(emb, p, k).collect().map(_.getLong(0)).toSet
+      val ivf = Similarity.ivfTopK(emb, p, k).collect().map(_.getLong(0)).toSet
+      exact.intersect(ivf).size.toDouble / k
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"mean recall@5 over ${probes.size} probes: $mean%.2f (${recalls.mkString(", ")})")
+    assert(mean >= 0.5, s"mean recall $mean below 0.5: $recalls")
+    // Lloyd actually moved the centroids: means are not data vectors
+    val cents = Similarity.lloydCentroids(emb, nlist = 8, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(cents.nonEmpty && cents.size <= 8)
+    val dataVecs = emb.filter(col("vec_id") < 8)
+      .collect().map(_.getSeq[Float](1).map(_.toDouble)).toSet
+    assert(cents.values.forall(c => !dataVecs.contains(c)), "centroids still raw data vectors")
+  }
+
   test("q31 approx_count_distinct within HLL error of exact counts") {
     val approx = Queries.q31ApproxDistinct(spark, sf0001).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
