@@ -60,6 +60,11 @@ object Dedup {
   /** Exact n-gram (word k-shingle) Jaccard near-dup pairs via an inverted
     * index: explode shingle hashes, equi-join on the hash, count common per pair.
     * No document cross join; the join key is a 60-bit shingle hash.
+    *
+    * This is the exact BASELINE: a stop-shingle shared by d documents still
+    * contributes O(d²) candidate pairs. At 100 TB use
+    * [[ngramJaccardCappedPairs]] (df-capped index, still exact-verified) or
+    * [[minHashLshPairs]] — those are the scale defaults.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 3, threshold: Double = 0.5,

@@ -39,6 +39,11 @@ object Similarity {
     * Norms are computed once per vector before the pair join — the join then
     * evaluates one codegen'd dot product per pair instead of three array
     * traversals. Same values: norm-per-row is bit-identical to norm-per-pair.
+    *
+    * This is the exact O(n²) BASELINE — a deliberate quadratic. At 100 TB use
+    * [[embeddingLshPairs]] (hyperplane-LSH candidates + exact-cosine verify):
+    * that is the scale default; keep this one for small corpora and for
+    * validating the LSH path's recall.
     */
   def embeddingNearDupPairs(emb0: DataFrame, threshold: Double): DataFrame = {
     // spread: a single small parquet file = one partition = a serial
