@@ -65,6 +65,47 @@ object ExtensionOracleSql {
       """SELECT MIN(doc_id) AS canonical_id, COUNT(*) AS dup_count
         |FROM documents GROUP BY text ORDER BY canonical_id""".stripMargin,
 
+    "dedup_normalized" ->
+      s"""WITH n AS (
+         |  SELECT doc_id,
+         |    ${h60("trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))")} AS norm_hash
+         |  FROM documents)
+         |SELECT MIN(doc_id) AS canonical_id, COUNT(*) AS dup_count, norm_hash
+         |FROM n GROUP BY norm_hash ORDER BY canonical_id""".stripMargin,
+
+    "decontaminate" ->
+      s"""WITH t AS (SELECT doc_id, $toksOf AS toks FROM documents),
+         |s AS (SELECT doc_id, ${shinglesOf(5)} AS sh FROM t),
+         |hs AS (SELECT doc_id, list_distinct(list_transform(sh, x -> ${h60("x")})) AS hs
+         |       FROM s WHERE len(sh) > 0),
+         |ex AS (SELECT doc_id, unnest(hs) AS h FROM hs),
+         |hold AS (SELECT DISTINCT h FROM ex WHERE doc_id % 97 = 0)
+         |SELECT e.doc_id, COUNT(*) AS n_hits
+         |FROM ex e JOIN hold ON e.h = hold.h
+         |WHERE e.doc_id % 97 <> 0
+         |GROUP BY e.doc_id ORDER BY e.doc_id""".stripMargin,
+
+    "embedding_quantize" ->
+      """WITH s AS (
+        |  SELECT vec_id, embedding,
+        |    127.0 / list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale
+        |  FROM embeddings
+        |  WHERE list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) > 0),
+        |q AS (
+        |  SELECT vec_id, embedding, scale,
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS BIGINT)) AS qv
+        |  FROM s)
+        |SELECT vec_id, round(scale, 6) AS scale_r,
+        |  list_min(qv) AS q_min, list_max(qv) AS q_max,
+        |  round(
+        |    list_sum(list_transform(range(1, len(embedding) + 1),
+        |      i -> CAST(embedding[i] AS DOUBLE) * (CAST(qv[i] AS DOUBLE) / scale))) /
+        |    (sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+        |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) *
+        |     sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+        |      i -> (CAST(qv[i] AS DOUBLE) / scale) * (CAST(qv[i] AS DOUBLE) / scale))))), 6) AS recon_cosine
+        |FROM q ORDER BY vec_id""".stripMargin,
+
     "dedup_ngram_jaccard" ->
       s"""WITH t AS (SELECT doc_id, $toksOf AS toks FROM documents),
          |sh AS (SELECT doc_id, ${shinglesOf(3)} AS sh FROM t),

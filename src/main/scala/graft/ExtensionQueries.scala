@@ -30,6 +30,18 @@ object ExtensionQueries {
       Similarity.embeddingLshPairs(emb(s, dir), threshold = 0.45)),
     "dedup_ngram_capped" -> ((s, dir) =>
       Dedup.ngramJaccardCappedPairs(docs(s, dir), "doc_id", "text", k = 3, threshold = 0.5, maxDf = 50)),
+    "dedup_normalized" -> ((s, dir) =>
+      TextAnalysis.normalizedDedup(docs(s, dir))),
+    "decontaminate" -> { (s, dir) =>
+      import org.apache.spark.sql.functions.col
+      // deterministic synthetic holdout: every 97th doc plays the benchmark
+      val d = docs(s, dir)
+      Dedup.contaminationReport(
+        d.filter(col("doc_id") % 97 =!= 0), d.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", k = 5)
+    },
+    "embedding_quantize" -> ((s, dir) =>
+      Similarity.quantizeInt8(emb(s, dir))),
     "simsearch_ivf" -> ((s, dir) =>
       Similarity.ivfTopK(emb(s, dir), probeId = 0L, k = 5, nlist = 8, nprobe = 2)),
     "text_langid" -> ((s, dir) =>

@@ -57,6 +57,28 @@ object Dedup {
       .distinct()
   }
 
+  /** Benchmark decontamination: flag training documents that share at least
+    * one word-k-shingle with any holdout/benchmark document — the standard
+    * "is my training corpus contaminated with my eval set" sweep.
+    *
+    * Scale shape: both sides reduce to distinct (doc_id, shingle-hash) longs;
+    * candidates come from an equi-join on the hash (holdout side is tiny in
+    * practice → AQE broadcasts it), so there is never a doc × doc join.
+    * Output: one row per contaminated training doc with the count of
+    * distinct shared shingles (n_hits), ordered by doc id.
+    */
+  def contaminationReport(train: DataFrame, holdout: DataFrame,
+                          idCol: String, textCol: String, k: Int = 5,
+                          hashFn: Column => Column = Hashing.hash60): DataFrame = {
+    val trainSh = shingleHashesExploded(train, idCol, textCol, k, hashFn)
+    val holdSh = shingleHashesExploded(holdout, idCol, textCol, k, hashFn)
+      .select(col("h")).distinct()
+    trainSh.join(holdSh, "h") // (doc_id, h) is distinct => count == distinct count
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+      .orderBy("doc_id")
+  }
+
   /** Exact n-gram (word k-shingle) Jaccard near-dup pairs via an inverted
     * index: explode shingle hashes, equi-join on the hash, count common per pair.
     * No document cross join; the join key is a 60-bit shingle hash.

@@ -112,6 +112,36 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** Symmetric int8 quantization of the embedding column — the standard
+    * 4× memory compression for ANN indexes at scale. Per vector:
+    * scale = 127 / max|x_i|, q_i = round-half-up(x_i * scale) ∈ [-127, 127].
+    * Reports the quantized range and the reconstruction cosine (original vs
+    * dequantized), the quality metric that decides whether int8 retrieval is
+    * acceptable. All arithmetic is IEEE-identical across engines (quantized
+    * values are exact integers), so the report is oracle-checkable.
+    *
+    * The per-element lambdas evaluate interpreted; at true 100 TB scale the
+    * quantize step would move into a codegen'd Expression like DotProduct —
+    * the report shape and semantics stay the same.
+    */
+  def quantizeInt8(emb: DataFrame): DataFrame = {
+    val x = col("embedding")
+    val amax = array_max(transform(x, v => abs(v.cast("double"))))
+    val scale = lit(127.0) / amax
+    val qv = transform(x, v => floor(v.cast("double") * scale + lit(0.5)).cast("long"))
+    val dequant = transform(col("qv"), q => q.cast("double") / col("scale"))
+    emb
+      .filter(amax > 0) // zero vectors are unquantizable (none in practice)
+      .select(col("vec_id"), x.as("embedding"), scale.as("scale"), qv.as("qv"))
+      .select(
+        col("vec_id"),
+        round(col("scale"), 6).as("scale_r"),
+        array_min(col("qv")).as("q_min"),
+        array_max(col("qv")).as("q_max"),
+        round(VecF.cosine(col("embedding"), dequant), 6).as("recon_cosine"))
+      .orderBy("vec_id")
+  }
+
   /** Nearest-centroid assignment: max cosine, ties toward the lower
     * centroid id. One broadcast of the (tiny) centroid set, one narrow pass.
     */

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Hashing, Text}
@@ -87,6 +87,26 @@ object TextAnalysis {
       size(Text.tokens(col("text"))).as("n_ws_tokens"),
       regexp_count(lower(col("text")), lit("[a-z0-9]+")).cast("int").as("n_re_tokens"))
       .orderBy("doc_id")
+
+  /** Canonical text normalization: lowercase, non-alphanumerics to spaces,
+    * whitespace collapsed, trimmed. Pure regex/column ops (codegen'd, no UDF)
+    * with exact DuckDB equivalents.
+    */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
+
+  /** Near-exact dedup over NORMALIZED text — catches duplicates that differ
+    * only in case/punctuation/whitespace, which byte-exact dedup misses.
+    * Same scale shape as exact dedup: one hash-groupBy on a 60-bit hash of
+    * the normalized text (hashes shuffle, never the text itself).
+    */
+  def normalizedDedup(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), Hashing.hash60(normalize(col("text"))).as("norm_hash"))
+      .groupBy(col("norm_hash"))
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("dup_count"))
+      .select("canonical_id", "dup_count", "norm_hash")
+      .orderBy("canonical_id")
 
   /** Rolling-hash fingerprint: minimum 60-bit hash over word 5-shingles
     * (winnowing's global-min special case). Documents shorter than 5 tokens

@@ -248,6 +248,42 @@ class OperatorSpec extends SparkSpec {
     assert(cents.values.forall(c => !dataVecs.contains(c)), "centroids still raw data vectors")
   }
 
+  test("normalizedDedup: case/punctuation/whitespace variants collapse; distinct texts don't") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "Hello, World!"),
+      (2L, "hello   world"),
+      (3L, "HELLO WORLD."),
+      (4L, "goodbye world")).toDF("doc_id", "text")
+    val got = TextAnalysis.normalizedDedup(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 4L -> 1L))
+  }
+
+  test("contaminationReport: planted benchmark overlap found, clean docs absent") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"), // contains the bench 5-gram
+      (2L, "completely unrelated training text with many words here")).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "quick brown fox jumps over everything")).toDF("doc_id", "text")
+    val got = Dedup.contaminationReport(train, bench, "doc_id", "text", k = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L)) // exactly one shared 5-shingle, doc 2 clean
+  }
+
+  test("quantizeInt8: range bounded, amax element hits ±127, reconstruction tight") {
+    import graft.operators.Similarity
+    val emb = Tables.table(spark, "/root/testdata/sf0.01", "embeddings")
+    val rows = Similarity.quantizeInt8(emb).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val (qmin, qmax, cos) = (r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(qmin >= -127 && qmax <= 127, s"int8 range violated: $qmin..$qmax")
+      assert(math.max(math.abs(qmin), math.abs(qmax)) == 127, "scale must saturate the max component")
+      assert(cos > 0.999, s"reconstruction cosine too low: $cos")
+    }
+  }
+
   test("q31 approx_count_distinct within HLL error of exact counts") {
     val approx = Queries.q31ApproxDistinct(spark, sf0001).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
