@@ -167,7 +167,7 @@ object Similarity {
   def lloydCentroids(emb: DataFrame, nlist: Int, iters: Int): DataFrame = {
     val init = emb.filter(col("vec_id") < nlist)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
-    (1 to iters).foldLeft(init) { (cent, _) =>
+    val cent = (1 to iters).foldLeft(init) { (cent, _) =>
       assignToCentroids(emb, cent)
         .select(col("centroid_id"), posexplode(col("embedding")).as(Seq("idx", "comp")))
         .withColumn("q", floor(col("comp").cast("double") * lit(1e9)).cast(DecimalType(38, 0)))
@@ -177,6 +177,12 @@ object Similarity {
         .agg(transform(sort_array(collect_list(struct(col("idx"), col("cval")))),
           x => x.getField("cval")).as("cvec"))
     }
+    // The centroid set (nlist rows) has two consumers downstream (index
+    // assignment + probe-bucket selection); without a materialization
+    // barrier each would re-run every Lloyd pass over the full corpus.
+    val persisted = cent.persist()
+    persisted.count()
+    persisted
   }
 
   /** IVF top-k: assign every vector to its nearest of `nlist` centroids

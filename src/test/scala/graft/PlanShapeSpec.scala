@@ -80,4 +80,35 @@ class PlanShapeSpec extends SparkSpec {
       assert(!p.contains("CartesianProduct"), s"cartesian product found:\n${p.take(500)}")
     }
   }
+
+  test("decontamination is an equi-join on shingle hashes, never doc x doc") {
+    val docs = Tables.table(spark, sf0001, "documents")
+    val p = plan(graft.operators.Dedup.contaminationReport(
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") % 97 =!= 0),
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") % 97 === 0),
+      "doc_id", "text", k = 5))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("[h]") || p.contains("h#"), "join must key on the shingle hash")
+  }
+
+  test("normalized dedup is one partial+final hash aggregate over hashes") {
+    val p = plan(graft.operators.TextAnalysis.normalizedDedup(
+      Tables.table(spark, sf0001, "documents")))
+    assert(p.contains("partial_min") || p.contains("partial_count"))
+    assert(!p.contains("Join"), "no join belongs in a hash-groupBy dedup")
+  }
+
+  test("int8 quantization is narrow: no shuffle before the final sort") {
+    val df = Similarity.quantizeInt8(Tables.table(spark, sf0001, "embeddings"))
+    val p = plan(df)
+    // exactly the output-ordering exchange; no aggregation/join exchanges
+    assert(!p.contains("HashAggregate") && !p.contains("Join"))
+  }
+
+  test("k-means assignment broadcasts the centroid set each round") {
+    val emb = Tables.table(spark, sf0001, "embeddings")
+    val p = plan(Similarity.lloydCentroids(emb, nlist = 8, iters = 1))
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("partial_sum"), "centroid means must partial-aggregate map-side")
+  }
 }
