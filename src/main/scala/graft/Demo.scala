@@ -52,6 +52,22 @@ object Demo {
     step("daniel sells all AAPL (tombstone) — row deleted",
       KafkaChangelog.update("daniel", "AAPL", "NASDAQ", 0, 3))
 
+    // the reference's HTTP surface (fake_producer.clj:38-46): POST /set-shares
+    // and GET /local-state against the same pipeline
+    val seq = new java.util.concurrent.atomic.AtomicLong(4)
+    val facade = new graft.streaming.HttpFacade(
+      produce = (c, t, e, a) => {
+        input.addData(KafkaChangelog.update(c, t, e, a, seq.getAndIncrement()))
+        q.processAllAvailable()
+      },
+      state = () => serving.asMap)
+    facade.start()
+    println(s"== HTTP facade on port ${facade.boundPort}: " +
+      s"""curl --data "client=c1&exchange=NASDAQ&amount=1&ticker=AAPL" """ +
+      s"-X POST http://localhost:${facade.boundPort}/set-shares ; " +
+      s"curl http://localhost:${facade.boundPort}/local-state")
+
+    facade.stop()
     q.stop()
     spark.stop()
   }

@@ -36,5 +36,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           DotProduct(a, b),
           Multiply(Sqrt(DotProduct(a, a)), Sqrt(DotProduct(b, b))))
       }))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_hash60"),
+      info("graft_hash60", "graft_hash60(s) - 60-bit md5-prefix hash (DuckDB-reproducible)"),
+      (exprs: Seq[Expression]) => Md5Prefix60(exprs(0))))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_normalize"),
+      info("graft_normalize",
+        "graft_normalize(s) - canonical text normalization: lowercase, " +
+          "non-alphanumerics to spaces, whitespace collapsed, trimmed"),
+      (exprs: Seq[Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.{Literal, Lower, RegExpReplace, StringTrim}
+        val lowered = Lower(exprs(0))
+        val alnum = RegExpReplace(lowered, Literal("[^a-z0-9 ]"), Literal(" "))
+        val collapsed = RegExpReplace(alnum, Literal(" +"), Literal(" "))
+        StringTrim(collapsed)
+      }))
   }
 }

@@ -51,6 +51,24 @@ class ScaleToolsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(math.abs(r.getDouble(1) - 1.0) < 1e-9) // cos(v, v) = 1
   }
 
+  test("graft_hash60 / graft_normalize are callable from pure SQL") {
+    Tables.table(spark, sf0001, "documents").createOrReplaceTempView("docs_sqlfn")
+    val r = spark.sql(
+      """SELECT graft_normalize('  Hello,   WORLD!! ') AS n,
+        |       graft_hash60('abc') AS h FROM docs_sqlfn LIMIT 1""".stripMargin).head()
+    assert(r.getString(0) == "hello world")
+    assert(r.getLong(1) == java.lang.Long.parseLong("900150983cd24fb", 16))
+    // SQL normalize agrees with the operator's column form on real docs
+    val viaSql = spark.sql(
+      "SELECT graft_hash60(graft_normalize(text)) AS h FROM docs_sqlfn ORDER BY doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    val viaCol = Tables.table(spark, sf0001, "documents")
+      .orderBy("doc_id")
+      .select(graft.functions.Hashing.hash60(
+        graft.operators.TextAnalysis.normalize(col("text"))).as("h"))
+    assert(viaSql == viaCol.collect().map(_.getLong(0)).toSeq)
+  }
+
   test("scalar spark.udf.register is usable from SQL") {
     spark.udf.register("ws_token_count", (s: String) => s.split(" ").count(_.nonEmpty))
     Tables.table(spark, sf0001, "part").createOrReplaceTempView("part_udf")
