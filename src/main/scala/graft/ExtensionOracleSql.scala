@@ -311,6 +311,17 @@ object ExtensionOracleSql {
          |    ${h60("text")}) AS fingerprint
          |FROM s ORDER BY doc_id""".stripMargin,
 
+    "text_redact" -> {
+      // regexes referenced from the operator so both engines stay in lockstep
+      val em = graft.operators.TextAnalysis.emailRe
+      val ph = graft.operators.TextAnalysis.phoneRe
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$em')) AS INT) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '$ph')) AS INT) AS n_phones,
+         |  ${h60(s"regexp_replace(regexp_replace(text, '$em', '<EMAIL>', 'g'), '$ph', '<PHONE>', 'g')")} AS redacted_hash
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
     "multimodal_features" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,

@@ -52,6 +52,8 @@ object ExtensionQueries {
       TextAnalysis.tokenStats(docs(s, dir))),
     "text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(docs(s, dir))),
+    "text_redact" -> ((s, dir) =>
+      TextAnalysis.redactPii(docs(s, dir))),
     "multimodal_features" -> { (s, dir) =>
       import org.apache.spark.sql.functions._
       // declared-surface encoding: feature values are integral by construction,

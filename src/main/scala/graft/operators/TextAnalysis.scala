@@ -108,6 +108,29 @@ object TextAnalysis {
       .select("canonical_id", "dup_count", "norm_hash")
       .orderBy("canonical_id")
 
+  /** PII redaction sweep: replace email addresses and long digit runs
+    * (phone-ish) with fixed placeholder tokens, reporting per-doc match
+    * counts and a hash of the redacted text. Regexes use explicit character
+    * classes only, so Java regex (Spark) and RE2 (DuckDB) agree exactly.
+    * Pure regexp_count/regexp_replace — codegen'd, no UDF; at scale this is
+    * a narrow map over the corpus.
+    */
+  val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z]{2,}"
+  val phoneRe = "[0-9][0-9 ()+-]{5,}[0-9]"
+
+  def redactPii(docs: DataFrame): DataFrame = {
+    val redacted =
+      regexp_replace(
+        regexp_replace(col("text"), emailRe, "<EMAIL>"),
+        phoneRe, "<PHONE>")
+    docs.select(
+      col("doc_id"),
+      regexp_count(col("text"), lit(emailRe)).cast("int").as("n_emails"),
+      regexp_count(col("text"), lit(phoneRe)).cast("int").as("n_phones"),
+      Hashing.hash60(redacted).as("redacted_hash"))
+      .orderBy("doc_id")
+  }
+
   /** Rolling-hash fingerprint: minimum 60-bit hash over word 5-shingles
     * (winnowing's global-min special case). Documents shorter than 5 tokens
     * fall back to hashing the whole text.

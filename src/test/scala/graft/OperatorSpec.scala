@@ -284,6 +284,22 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("redactPii: planted email/phone found and replaced, clean text untouched") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "contact me at jane.doe+x@example.co.uk or +44 20 7946 0958 thanks"),
+      (2L, "no pii here, just text with a year 2024 in it")).toDF("doc_id", "text")
+    val got = TextAnalysis.redactPii(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    assert(got == Map(1L -> ((1, 1)), 2L -> ((0, 0))))
+    // the redacted hash of the clean doc equals the hash of its raw text
+    val rawHash = docs.filter($"doc_id" === 2L)
+      .select(Hashing.hash60($"text")).head.getLong(0)
+    val redHash = TextAnalysis.redactPii(docs).filter($"doc_id" === 2L)
+      .select($"redacted_hash").head.getLong(0)
+    assert(rawHash == redHash)
+  }
+
   test("q31 approx_count_distinct within HLL error of exact counts") {
     val approx = Queries.q31ApproxDistinct(spark, sf0001).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
