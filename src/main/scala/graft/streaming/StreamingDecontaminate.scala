@@ -1,0 +1,38 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Streaming benchmark-decontamination gate: inside `foreachBatch`, drop any
+  * incoming document that shares a word-k-shingle with the benchmark/holdout
+  * index — dedup-at-ingest's sibling for eval-set hygiene.
+  *
+  * The index is built ONCE from the holdout corpus ([[buildIndex]]) and holds
+  * only distinct 60-bit shingle hashes — fixed-width longs, tiny relative to
+  * any corpus, partition-prunable, and exactly what would live in a
+  * Delta/Iceberg table at 100 TB. Per batch the gate is one equi-join of the
+  * batch's shingle hashes against the index (AQE broadcasts the index side
+  * while it is small) followed by a left-anti join — never a doc×doc join,
+  * no driver materialization.
+  */
+class StreamingDecontaminate(indexDir: String, k: Int = 5) {
+
+  /** Offline step: persist the holdout corpus's distinct shingle hashes. */
+  def buildIndex(holdout: DataFrame, idCol: String = "doc_id", textCol: String = "text"): Unit =
+    Dedup.shingleIndex(holdout, idCol, textCol, k)
+      .select("h").distinct()
+      .write.mode(SaveMode.Overwrite).parquet(indexDir)
+
+  /** One micro-batch of documents -> the uncontaminated survivors. */
+  def processBatch(spark: SparkSession, batch: DataFrame,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val idx = spark.read.parquet(indexDir)
+    val contaminated = Dedup.shingleIndex(batch, idCol, textCol, k)
+      .join(idx, "h")
+      .select(col("doc_id").as("__contaminated_id"))
+      .distinct()
+    batch.join(contaminated, col(idCol) === col("__contaminated_id"), "left_anti")
+  }
+}

@@ -28,3 +28,36 @@ object AggregatorLaws extends Properties("SetAggregator") {
       (s == 1.0 || s == -1.0) && s == graft.operators.Similarity.hyperplaneSign(i, d)
     }
 }
+
+/** Laws for the bounded top-k buffer: any partitioning of the input into
+  * reduce/merge trees must equal the global sorted top-k — the property that
+  * makes map-side combine safe at any parallelism.
+  */
+object TopKLaws extends Properties("TopKAggregator") {
+  import graft.operators.TopKAggregator
+  import graft.operators.TopKAggregator.Scored
+
+  private val rows = Gen.listOf(for {
+    score <- Gen.chooseNum(-1e6, 1e6)
+    id <- Gen.chooseNum(0L, 50L) // small id range => score ties happen
+  } yield Scored(score, id))
+
+  private def globalTopK(xs: Seq[Scored], k: Int): Seq[Scored] =
+    xs.sortBy(s => (-s.score, s.id)).take(k)
+
+  property("fold-reduce equals sorted top-k") =
+    Prop.forAll(rows, Gen.choose(1, 7)) { (xs, k) =>
+      val agg = TopKAggregator(k)
+      agg.finish(xs.foldLeft(agg.zero)(agg.reduce)) == globalTopK(xs, k)
+    }
+
+  property("arbitrary partition + merge equals sorted top-k (shuffle independence)") =
+    Prop.forAll(rows, Gen.choose(1, 7), Gen.choose(1, 5)) { (xs, k, nParts) =>
+      val agg = TopKAggregator(k)
+      val partials = xs.zipWithIndex
+        .groupBy(_._2 % nParts).values.map(_.map(_._1))
+        .map(_.foldLeft(agg.zero)(agg.reduce))
+      val merged = partials.foldLeft(agg.zero)(agg.merge)
+      agg.finish(merged) == globalTopK(xs, k)
+    }
+}

@@ -1,0 +1,49 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+
+class StreamingDecontaminateSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("contaminated docs dropped per batch; clean docs pass; gate works in foreachBatch") {
+    val dir = Files.createTempDirectory("decontam-index").toString
+    val gate = new StreamingDecontaminate(dir, k = 5)
+
+    val benchDoc = "the quick brown fox jumps over the lazy dog today"
+    gate.buildIndex(Seq((1000L, benchDoc)).toDF("doc_id", "text"))
+
+    // batch 1: one doc embedding a benchmark 5-gram, one clean doc
+    val admitted1 = gate.processBatch(spark, Seq(
+      (1L, "we observed the quick brown fox jumps over a fence"), // shares a 5-shingle
+      (2L, "completely unrelated training text with many other words")).toDF("doc_id", "text"))
+      .collect().map(_.getLong(0)).toSet
+    assert(admitted1 == Set(2L))
+
+    // batch 2 (fresh batch, same index): clean passes, short doc passes
+    val admitted2 = gate.processBatch(spark, Seq(
+      (10L, "short doc"),
+      (11L, "fox jumps over the lazy dog today is in the benchmark")).toDF("doc_id", "text"))
+      .collect().map(_.getLong(0)).toSet
+    assert(admitted2 == Set(10L))
+
+    // drive it through a real streaming query via foreachBatch
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val out = scala.collection.mutable.Set.empty[Long]
+    val q = input.toDS().toDF("doc_id", "text").writeStream
+      .outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("decontam-ckpt").toString)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        out ++= gate.processBatch(spark, b).collect().map(_.getLong(0))
+        ()
+      }
+      .start()
+    input.addData((20L, "the quick brown fox jumps over everything again"),
+      (21L, "yet another perfectly clean training document right here"))
+    q.processAllAvailable()
+    q.stop()
+    assert(out.toSet == Set(21L))
+  }
+}
