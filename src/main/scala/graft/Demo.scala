@@ -62,10 +62,21 @@ object Demo {
       },
       state = () => serving.asMap)
     facade.start()
-    println(s"== HTTP facade on port ${facade.boundPort}: " +
-      s"""curl --data "client=c1&exchange=NASDAQ&amount=1&ticker=AAPL" """ +
-      s"-X POST http://localhost:${facade.boundPort}/set-shares ; " +
-      s"curl http://localhost:${facade.boundPort}/local-state")
+    val port = facade.boundPort
+    // drive the reference curl scenario against the live endpoints so the
+    // demo actually demonstrates them before shutting down
+    val http = java.net.http.HttpClient.newHttpClient()
+    def curl(req: java.net.http.HttpRequest): String =
+      http.send(req, java.net.http.HttpResponse.BodyHandlers.ofString()).body()
+    println("== POST /set-shares client=arya ticker=NVDA exchange=NASDAQ amount=3 -> " +
+      curl(java.net.http.HttpRequest.newBuilder(
+        java.net.URI.create(s"http://localhost:$port/set-shares"))
+        .header("Content-Type", "application/x-www-form-urlencoded")
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+          "client=arya&ticker=NVDA&exchange=NASDAQ&amount=3")).build()))
+    println("== GET /local-state -> " +
+      curl(java.net.http.HttpRequest.newBuilder(
+        java.net.URI.create(s"http://localhost:$port/local-state")).build()))
 
     facade.stop()
     q.stop()

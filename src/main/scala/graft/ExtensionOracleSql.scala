@@ -315,11 +315,14 @@ object ExtensionOracleSql {
       // regexes referenced from the operator so both engines stay in lockstep
       val em = graft.operators.TextAnalysis.emailRe
       val ph = graft.operators.TextAnalysis.phoneRe
-      s"""SELECT doc_id,
+      s"""WITH er AS (
+         |  SELECT doc_id, text, regexp_replace(text, '$em', '<EMAIL>', 'g') AS email_redacted
+         |  FROM documents)
+         |SELECT doc_id,
          |  CAST(len(regexp_extract_all(text, '$em')) AS INT) AS n_emails,
-         |  CAST(len(regexp_extract_all(text, '$ph')) AS INT) AS n_phones,
-         |  ${h60(s"regexp_replace(regexp_replace(text, '$em', '<EMAIL>', 'g'), '$ph', '<PHONE>', 'g')")} AS redacted_hash
-         |FROM documents ORDER BY doc_id""".stripMargin
+         |  CAST(len(regexp_extract_all(email_redacted, '$ph')) AS INT) AS n_phones,
+         |  ${h60(s"regexp_replace(email_redacted, '$ph', '<PHONE>', 'g')")} AS redacted_hash
+         |FROM er ORDER BY doc_id""".stripMargin
     },
 
     "multimodal_features" ->

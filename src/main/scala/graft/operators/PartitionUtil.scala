@@ -31,12 +31,19 @@ object PartitionUtil {
     * per-row work. A small parquet source (single file, single row group —
     * exactly what the local fixtures are) arrives as ONE partition and
     * serializes everything downstream; one cheap shuffle of the raw rows
-    * buys full parallelism. File inputs that are already wide (the 100 TB
-    * case: thousands of input splits) pass through untouched — never shrink.
+    * buys full parallelism. Inputs that are already wide (the 100 TB case:
+    * thousands of input splits) pass through untouched — never shrink.
+    *
+    * Width detection is tiered by cost: file-backed plans use the statistics
+    * estimate (free); other batch plans fall back to the physical partition
+    * count (one extra planning pass — only the rare in-memory case pays it);
+    * streaming frames can't be inspected and always buy parallelism.
     */
   def spread(df: DataFrame, byCol: String): DataFrame = {
     val parallelism = df.sparkSession.sparkContext.defaultParallelism
-    estimatedScanPartitions(df) match {
+    val width = estimatedScanPartitions(df).orElse(
+      if (df.isStreaming) None else Some(df.rdd.getNumPartitions.toLong))
+    width match {
       case Some(n) if n >= parallelism => df
       case _ => df.repartition(parallelism, col(byCol))
     }

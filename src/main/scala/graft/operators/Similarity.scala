@@ -167,7 +167,7 @@ object Similarity {
   def lloydCentroids(emb: DataFrame, nlist: Int, iters: Int): DataFrame = {
     val init = emb.filter(col("vec_id") < nlist)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
-    val cent = (1 to iters).foldLeft(init) { (cent, _) =>
+    (1 to iters).foldLeft(init) { (cent, _) =>
       assignToCentroids(emb, cent)
         .select(col("centroid_id"), posexplode(col("embedding")).as(Seq("idx", "comp")))
         .withColumn("q", floor(col("comp").cast("double") * lit(1e9)).cast(DecimalType(38, 0)))
@@ -177,12 +177,21 @@ object Similarity {
         .agg(transform(sort_array(collect_list(struct(col("idx"), col("cval")))),
           x => x.getField("cval")).as("cvec"))
     }
-    // The centroid set (nlist rows) has two consumers downstream (index
-    // assignment + probe-bucket selection); without a materialization
-    // barrier each would re-run every Lloyd pass over the full corpus.
-    val persisted = cent.persist()
-    persisted.count()
-    persisted
+  }
+
+  /** [[lloydCentroids]] materialized to a local relation: the centroid set
+    * is `nlist` rows of index METADATA (bounded by construction, like any
+    * broadcast dimension), so one driver collect evaluates the Lloyd passes
+    * exactly once and hands every downstream consumer a broadcastable local
+    * table — no cached-DataFrame leak, no per-consumer recompute of the
+    * training passes.
+    */
+  def lloydCentroidsLocal(emb: DataFrame, nlist: Int, iters: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    lloydCentroids(emb, nlist, iters).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .toSeq.toDF("centroid_id", "cvec")
   }
 
   /** IVF top-k: assign every vector to its nearest of `nlist` centroids
@@ -192,7 +201,7 @@ object Similarity {
     */
   def ivfTopK(emb: DataFrame, probeId: Long, k: Int,
               nlist: Int = 8, nprobe: Int = 2, iters: Int = 2): DataFrame = {
-    val centroids = broadcast(lloydCentroids(emb, nlist, iters))
+    val centroids = broadcast(lloydCentroidsLocal(emb, nlist, iters))
 
     // index build: nearest centroid per vector (max cosine, tie -> lower id)
     val assigned = assignToCentroids(emb, centroids)

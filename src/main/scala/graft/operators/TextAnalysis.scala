@@ -119,14 +119,15 @@ object TextAnalysis {
   val phoneRe = "[0-9][0-9 ()+-]{5,}[0-9]"
 
   def redactPii(docs: DataFrame): DataFrame = {
-    val redacted =
-      regexp_replace(
-        regexp_replace(col("text"), emailRe, "<EMAIL>"),
-        phoneRe, "<PHONE>")
+    val emailRedacted = regexp_replace(col("text"), emailRe, "<EMAIL>")
+    val redacted = regexp_replace(emailRedacted, phoneRe, "<PHONE>")
     docs.select(
       col("doc_id"),
       regexp_count(col("text"), lit(emailRe)).cast("int").as("n_emails"),
-      regexp_count(col("text"), lit(phoneRe)).cast("int").as("n_phones"),
+      // phones are counted on the email-redacted text — the text the phone
+      // replacement actually runs on — so counts always equal replacements
+      // (a digit run inside an email local part is an email, not a phone)
+      regexp_count(emailRedacted, lit(phoneRe)).cast("int").as("n_phones"),
       Hashing.hash60(redacted).as("redacted_hash"))
       .orderBy("doc_id")
   }

@@ -17,6 +17,7 @@ import org.apache.spark.sql.expressions.Aggregator
 class TopKAggregator(k: Int)
   extends Aggregator[TopKAggregator.Scored, Seq[TopKAggregator.Scored], Seq[TopKAggregator.Scored]] {
   import TopKAggregator.Scored
+  require(k > 0, s"top-k needs k > 0, got $k")
 
   /** `a` ranks strictly before `b` (score desc, id asc). */
   private def before(a: Scored, b: Scored): Boolean =

@@ -96,12 +96,18 @@ class ParquetServing(storeDir: String, val viewName: String = "us_share_holders"
 
   def snapshot(spark: SparkSession): DataFrame = {
     import spark.implicits._
+    def emptyChanges = Seq.empty[(String, Seq[String], Boolean, Long)]
+      .toDF("client", "nasdaq_position_ids", "deleted", "batch_id")
     val path = new org.apache.hadoop.fs.Path(storeDir)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
     val changes =
-      if (fs.exists(path)) spark.read.parquet(storeDir)
-      else Seq.empty[(String, Seq[String], Boolean, Long)]
-        .toDF("client", "nasdaq_position_ids", "deleted", "batch_id")
+      if (!fs.exists(path)) emptyChanges
+      else try spark.read.parquet(storeDir) catch {
+        // dir exists but holds no parquet yet (pre-created store dir, or an
+        // all-empty first batch that wrote only _SUCCESS): schema inference
+        // fails — an empty store, not an error
+        case _: org.apache.spark.sql.AnalysisException => emptyChanges
+      }
     LatestPerKey(changes, keys = Seq("client"), ordering = Seq("batch_id"))
       .filter(!col("deleted"))
       .select("client", "nasdaq_position_ids")

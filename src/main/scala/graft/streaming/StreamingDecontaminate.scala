@@ -19,18 +19,40 @@ import graft.operators.Dedup
   */
 class StreamingDecontaminate(indexDir: String, k: Int = 5) {
 
+  // the index is immutable after buildIndex, so it is read + cached once per
+  // gate instead of paying listing/footer/scan every micro-batch; close()
+  // releases the cache when the gate retires
+  @volatile private var cachedIndex: Option[DataFrame] = None
+
   /** Offline step: persist the holdout corpus's distinct shingle hashes. */
-  def buildIndex(holdout: DataFrame, idCol: String = "doc_id", textCol: String = "text"): Unit =
+  def buildIndex(holdout: DataFrame, idCol: String = "doc_id", textCol: String = "text"): Unit = {
     Dedup.shingleIndex(holdout, idCol, textCol, k)
       .select("h").distinct()
       .write.mode(SaveMode.Overwrite).parquet(indexDir)
+    close() // a rebuilt index invalidates any cached copy
+  }
+
+  private def index(spark: SparkSession): DataFrame =
+    cachedIndex.getOrElse(synchronized {
+      cachedIndex.getOrElse {
+        val idx = spark.read.parquet(indexDir).persist()
+        idx.count()
+        cachedIndex = Some(idx)
+        idx
+      }
+    })
+
+  /** Release the cached index (call when the gate retires). */
+  def close(): Unit = synchronized {
+    cachedIndex.foreach(_.unpersist())
+    cachedIndex = None
+  }
 
   /** One micro-batch of documents -> the uncontaminated survivors. */
   def processBatch(spark: SparkSession, batch: DataFrame,
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val idx = spark.read.parquet(indexDir)
     val contaminated = Dedup.shingleIndex(batch, idCol, textCol, k)
-      .join(idx, "h")
+      .join(index(spark), "h")
       .select(col("doc_id").as("__contaminated_id"))
       .distinct()
     batch.join(contaminated, col(idCol) === col("__contaminated_id"), "left_anti")

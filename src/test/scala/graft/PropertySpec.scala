@@ -51,6 +51,11 @@ object TopKLaws extends Properties("TopKAggregator") {
       agg.finish(xs.foldLeft(agg.zero)(agg.reduce)) == globalTopK(xs, k)
     }
 
+  property("non-positive k is rejected at construction") =
+    Prop.forAll(Gen.choose(-5, 0)) { k =>
+      Prop.throws(classOf[IllegalArgumentException])(TopKAggregator(k))
+    }
+
   property("arbitrary partition + merge equals sorted top-k (shuffle independence)") =
     Prop.forAll(rows, Gen.choose(1, 7), Gen.choose(1, 5)) { (xs, k, nParts) =>
       val agg = TopKAggregator(k)

@@ -56,6 +56,10 @@ class HttpFacadeSpec extends SparkSpec {
     facade.start()
     val port = facade.boundPort
     try {
+      // state query BEFORE any ingest: empty view, not a crash (the parquet
+      // store dir exists but holds no data yet)
+      assert(get(port) == "[]")
+
       // curl --data "client=client1&exchange=NASDAQ&amount=1&ticker=AAPL" -X POST .../set-shares
       val r1 = post(port, "client=client1&exchange=NASDAQ&amount=1&ticker=AAPL")
       assert(r1.statusCode() == 200 && r1.body() == "\"done!\"")
@@ -73,6 +77,11 @@ class HttpFacadeSpec extends SparkSpec {
       // malformed request: 400, engine unaffected
       assert(post(port, "client=only").statusCode() == 400)
       assert(get(port) == "[]")
+
+      // control characters in a key must be escaped into valid JSON
+      post(port, "client=a%0Ab&exchange=NASDAQ&amount=1&ticker=T")
+      val body = get(port)
+      assert(body.contains("a\\nb") && !body.exists(c => c == '\n'))
     } finally {
       facade.stop()
       q.stop()
