@@ -311,6 +311,21 @@ object ExtensionOracleSql {
          |    ${h60("text")}) AS fingerprint
          |FROM s ORDER BY doc_id""".stripMargin,
 
+    "text_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $toksOf AS toks FROM documents),
+         |s AS (SELECT doc_id, ${shinglesOf(2)} AS sh FROM t),
+         |ex AS (SELECT doc_id, unnest(sh) AS g FROM s),
+         |per AS (SELECT doc_id, g, COUNT(*) AS c FROM ex GROUP BY 1, 2),
+         |st AS (SELECT doc_id, SUM(c) AS n2, COUNT(*) AS nd, MAX(c) AS tc FROM per GROUP BY 1)
+         |SELECT d.doc_id,
+         |  COALESCE(CAST(n2 AS BIGINT), 0) AS n_2grams,
+         |  COALESCE(CAST(nd AS BIGINT), 0) AS n_distinct_2grams,
+         |  CASE WHEN COALESCE(n2, 0) > 0
+         |    THEN round(1.0 - CAST(nd AS DOUBLE) / CAST(n2 AS DOUBLE), 6) ELSE 0.0 END AS dup_2gram_frac,
+         |  COALESCE(CAST(tc AS BIGINT), 0) AS top_2gram_cnt
+         |FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
     "text_redact" -> {
       // regexes referenced from the operator so both engines stay in lockstep
       val em = graft.operators.TextAnalysis.emailRe

@@ -54,6 +54,8 @@ object ExtensionQueries {
       TextAnalysis.fingerprint(docs(s, dir))),
     "text_redact" -> ((s, dir) =>
       TextAnalysis.redactPii(docs(s, dir))),
+    "text_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionStats(docs(s, dir))),
     "multimodal_features" -> { (s, dir) =>
       import org.apache.spark.sql.functions._
       // declared-surface encoding: feature values are integral by construction,

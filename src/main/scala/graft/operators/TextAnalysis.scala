@@ -88,6 +88,33 @@ object TextAnalysis {
       regexp_count(lower(col("text")), lit("[a-z0-9]+")).cast("int").as("n_re_tokens"))
       .orderBy("doc_id")
 
+  /** Repetition quality metrics (the duplicate-n-gram family of corpus
+    * quality rules): per document, the total and distinct word-2-gram
+    * counts, the duplicate fraction (1 - distinct/total), and the top
+    * 2-gram's occurrence count. Shape at scale: explode + two-level hash
+    * aggregation — partial combine collapses each doc's grams map-side, so
+    * the shuffle carries (doc, gram) counts, not raw text.
+    */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    val grams = docs.select(
+      col("doc_id"),
+      explode(Text.wordShingles(Text.tokens(col("text")), 2)).as("g"))
+    val perGram = grams.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+    val stats = perGram.groupBy("doc_id").agg(
+      sum(col("c")).as("n2"), count(lit(1)).as("nd"), max(col("c")).as("tc"))
+    docs.select("doc_id") // short docs (<2 tokens) have no grams: keep, zeroed
+      .join(stats, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n2"), lit(0L)).as("n_2grams"),
+        coalesce(col("nd"), lit(0L)).as("n_distinct_2grams"),
+        when(coalesce(col("n2"), lit(0L)) > 0,
+          round(lit(1.0) - col("nd").cast("double") / col("n2").cast("double"), 6))
+          .otherwise(lit(0.0)).as("dup_2gram_frac"),
+        coalesce(col("tc"), lit(0L)).as("top_2gram_cnt"))
+      .orderBy("doc_id")
+  }
+
   /** Canonical text normalization: lowercase, non-alphanumerics to spaces,
     * whitespace collapsed, trimmed. Pure regex/column ops (codegen'd, no UDF)
     * with exact DuckDB equivalents.

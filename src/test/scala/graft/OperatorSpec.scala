@@ -300,6 +300,19 @@ class OperatorSpec extends SparkSpec {
     assert(rawHash == redHash)
   }
 
+  test("repetitionStats: repeated 2-grams counted, short docs zeroed") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "a b a b a b"), // 2-grams: ab ba ab ba ab -> 5 total, 2 distinct, top=3
+      (2L, "all words here are different ones"),
+      (3L, "solo")).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionStats(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))).toMap
+    assert(got(1L) == ((5L, 2L, 0.6, 3L)))
+    assert(got(2L) == ((5L, 5L, 0.0, 1L)))
+    assert(got(3L) == ((0L, 0L, 0.0, 0L)))
+  }
+
   test("q31 approx_count_distinct within HLL error of exact counts") {
     val approx = Queries.q31ApproxDistinct(spark, sf0001).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
