@@ -53,15 +53,23 @@ object KafkaChangelog {
         .option("startingOffsets", "earliest")
         .load())
 
+  /** Typed changelog -> Kafka frame (key, value): upserts as JSON, `None`
+    * values as genuine nulls (the tombstone encoding,
+    * kafka_streams.clj:21-26). Factored from [[writeBatch]] so the
+    * encoding — the only transformation on the producer path — is unit
+    * testable without a broker.
+    */
+  def encode(updates: Dataset[ShareUpdate]): DataFrame =
+    updates.select(
+      col("key"),
+      when(col("value").isNull, lit(null).cast("string"))
+        .otherwise(to_json(col("value"))).as("value"))
+
   /** Batch produce of upserts/tombstones (op #7, fake_producer.clj:11-36):
     * rows with `value = None` are written as genuine null-value records.
     */
   def writeBatch(updates: Dataset[ShareUpdate], brokers: String, topic: String): Unit =
-    updates
-      .select(
-        col("key"),
-        when(col("value").isNull, lit(null).cast("string"))
-          .otherwise(to_json(col("value"))).as("value"))
+    encode(updates)
       .write
       .format("kafka")
       .option("kafka.bootstrap.servers", brokers)

@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.SparkSpec
@@ -36,6 +37,26 @@ class KafkaChangelogSpec extends SparkSpec {
   test("producer helper: amount=0 encodes a tombstone (fake_producer.clj:26-29)") {
     assert(KafkaChangelog.update("c", "T", "NASDAQ", 0, 5L).value.isEmpty)
     assert(KafkaChangelog.update("c", "T", "NASDAQ", 7, 6L).value.exists(_.amount == 7))
+  }
+
+  test("encode: upserts roundtrip through parse; tombstones are genuine nulls") {
+    import spark.implicits._
+    val updates = Seq(
+      KafkaChangelog.update("daniel", "AAPL", "NASDAQ", 99, 0L),
+      KafkaChangelog.update("daniel", "AAPL", "NASDAQ", 0, 1L)).toDS()
+    val frame = KafkaChangelog.encode(updates).collect()
+    val byKeyNull = frame.map(r => r.isNullAt(1))
+    assert(byKeyNull.count(_ == false) == 1 && byKeyNull.count(_ == true) == 1,
+      "one JSON upsert, one genuine null tombstone")
+
+    // produced bytes parse back to the original typed changelog
+    val reframed = KafkaChangelog.encode(updates)
+      .withColumn("key", $"key".cast("binary"))
+      .withColumn("value", $"value".cast("binary"))
+      .withColumn("offset", monotonically_increasing_id())
+    val roundtrip = KafkaChangelog.parse(spark, reframed)
+      .collect().map(u => (u.key, u.value.map(_.amount))).toSet
+    assert(roundtrip == Set(("daniel:::AAPL", Some(99)), ("daniel:::AAPL", None)))
   }
 
   /** No broker exists in this container, so this e2e drives the EXACT chain
