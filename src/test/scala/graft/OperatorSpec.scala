@@ -325,6 +325,18 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("csv source: changelog roundtrip through the csv format") {
+    val dir = java.nio.file.Files.createTempDirectory("csv-src").toString
+    Tables.shareHoldersChangelog(spark, sf0001).limit(100)
+      .write.mode("overwrite").option("header", "true").csv(dir)
+    val back = spark.read.option("header", "true").option("inferSchema", "true").csv(dir)
+    assert(back.count() == 100)
+    assert(back.columns.sorted.toSeq ==
+      Seq("client", "exchange", "key", "seq", "ticker", "tombstone"))
+    assert(back.schema("seq").dataType == org.apache.spark.sql.types.IntegerType ||
+      back.schema("seq").dataType == org.apache.spark.sql.types.LongType)
+  }
+
   test("json source: changelog roundtrip through the json format") {
     val dir = java.nio.file.Files.createTempDirectory("json-src").toString
     Tables.shareHoldersChangelog(spark, sf0001).limit(100)
