@@ -362,6 +362,13 @@ object ExtensionOracleSql {
         |WHERE rk <= 3
         |ORDER BY c_mktsegment, rank""".stripMargin,
 
+    "skew_salted_join" ->
+      """SELECT p_brand,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
     "asof_join" ->
       """WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id FROM events),
         |b AS (

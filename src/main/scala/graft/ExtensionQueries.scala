@@ -99,6 +99,21 @@ object ExtensionQueries {
           col("s.id").as("o_orderkey"), col("s.score").as("o_totalprice"))
         .orderBy("c_mktsegment", "rank")
     },
+    "skew_salted_join" -> { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types.DecimalType
+      // the salted join must return exactly the plain join's rows — declared
+      // here so the skew tooling sits inside the oracle-checked surface
+      val li = Tables.table(s, dir, "lineitem").select(col("l_partkey"), col("l_quantity"))
+      val part = Tables.table(s, dir, "part")
+        .select(col("p_partkey").as("l_partkey"), col("p_brand"))
+      graft.operators.SkewJoin.saltedInnerJoin(li, part, "l_partkey", saltFactor = 8)
+        .groupBy(col("p_brand"))
+        .agg(
+          sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("sum_qty"),
+          count(lit(1)).as("n"))
+        .orderBy("p_brand")
+    },
     "asof_join" -> { (s, dir) =>
       import org.apache.spark.sql.functions.col
       val probe = Tables.table(s, dir, "events").select("event_id", "user_id", "ts")

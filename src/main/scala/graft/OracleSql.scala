@@ -322,6 +322,24 @@ object OracleSql {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (o_orderstatus = 'P') AS DOUBLE) AS P_total
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
+    "q37_scalar_subquery" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+        |  round((SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        |         FROM orders o2 WHERE o2.o_custkey = orders.o_custkey), 6) AS cust_avg
+        |FROM orders
+        |WHERE o_totalprice > 300000
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q38_exists_subquery" ->
+      """SELECT 'has_urgent' AS op, c_custkey FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |UNION ALL
+        |SELECT 'no_orders' AS op, c_custkey FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY op, c_custkey""".stripMargin,
+
     "q34_array_funcs" ->
       """SELECT p_partkey,
         |  COALESCE(array_to_string(list_sort(list_distinct(list_concat(string_split(p_type, ' '), string_split(p_brand, '#')))), '|'), '') AS union_w,

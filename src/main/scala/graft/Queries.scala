@@ -479,6 +479,38 @@ object Queries {
       .na.fill(0L, Seq("F_n", "O_n", "P_n"))
       .orderBy("o_orderpriority")
 
+  // ---------------------------------------------------------------- Q37
+  /** correlated scalar subquery: each order vs its customer's average
+    * (Catalyst rewrites the subquery to an aggregate + join — no per-row
+    * re-execution).
+    */
+  def q37ScalarSubquery(s: SparkSession, dir: String): DataFrame = {
+    T(s, dir, "orders").createOrReplaceTempView("orders_ssq")
+    s.sql(
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+        |  round((SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        |         FROM orders_ssq o2 WHERE o2.o_custkey = orders_ssq.o_custkey), 6) AS cust_avg
+        |FROM orders_ssq
+        |WHERE o_totalprice > 300000
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  // ---------------------------------------------------------------- Q38
+  /** EXISTS / NOT EXISTS subqueries (rewritten to semi/anti joins), tagged. */
+  def q38ExistsSubquery(s: SparkSession, dir: String): DataFrame = {
+    T(s, dir, "customer").createOrReplaceTempView("customer_esq")
+    T(s, dir, "orders").createOrReplaceTempView("orders_esq")
+    s.sql(
+      """SELECT 'has_urgent' AS op, c_custkey FROM customer_esq
+        |WHERE EXISTS (SELECT 1 FROM orders_esq
+        |              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |UNION ALL
+        |SELECT 'no_orders' AS op, c_custkey FROM customer_esq
+        |WHERE NOT EXISTS (SELECT 1 FROM orders_esq WHERE o_custkey = c_custkey)
+        |ORDER BY op, c_custkey""".stripMargin)
+  }
+
   /** Core relational surface, keyed by SURVEY.md §2.B query id. */
   val core: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_filter_project" -> (q1FilterProject _),
@@ -516,6 +548,8 @@ object Queries {
     "q33_range_frame" -> (q33RangeFrame _),
     "q34_array_funcs" -> (q34ArrayFuncs _),
     "q35_percentiles" -> (q35Percentiles _),
-    "q36_pivot" -> (q36Pivot _)
+    "q36_pivot" -> (q36Pivot _),
+    "q37_scalar_subquery" -> (q37ScalarSubquery _),
+    "q38_exists_subquery" -> (q38ExistsSubquery _)
   )
 }
