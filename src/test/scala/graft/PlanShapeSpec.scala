@@ -81,6 +81,18 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q38: EXISTS / NOT EXISTS decorrelate to semi/anti joins") {
+    val p = plan(Queries.q38ExistsSubquery(spark, sf0001))
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q37: correlated scalar subquery decorrelates (one aggregate + join, no per-row re-execution)") {
+    val p = plan(Queries.q37ScalarSubquery(spark, sf0001))
+    assert(p.contains("HashAggregate"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("decontamination is an equi-join on shingle hashes, never doc x doc") {
     val docs = Tables.table(spark, sf0001, "documents")
     val p = plan(graft.operators.Dedup.contaminationReport(
