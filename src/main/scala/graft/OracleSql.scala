@@ -340,6 +340,16 @@ object OracleSql {
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |ORDER BY op, c_custkey""".stripMargin,
 
+    "q39_recursive_cte" ->
+      """WITH RECURSIVE b(bucket) AS (
+        |  SELECT 0
+        |  UNION ALL SELECT bucket + 1 FROM b WHERE bucket < 9)
+        |SELECT bucket, COUNT(o_orderkey) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM b LEFT JOIN orders
+        |  ON CAST(floor(o_totalprice / 60000) AS INT) = bucket
+        |GROUP BY bucket ORDER BY bucket""".stripMargin,
+
     "q34_array_funcs" ->
       """SELECT p_partkey,
         |  COALESCE(array_to_string(list_sort(list_distinct(list_concat(string_split(p_type, ' '), string_split(p_brand, '#')))), '|'), '') AS union_w,

@@ -511,6 +511,23 @@ object Queries {
         |ORDER BY op, c_custkey""".stripMargin)
   }
 
+  // ---------------------------------------------------------------- Q39
+  /** recursive CTE (Spark 4.x WITH RECURSIVE): generate price buckets
+    * recursively, left-join order totals per bucket (empty buckets kept).
+    */
+  def q39RecursiveCte(s: SparkSession, dir: String): DataFrame = {
+    T(s, dir, "orders").createOrReplaceTempView("orders_rec")
+    s.sql(
+      """WITH RECURSIVE b(bucket) AS (
+        |  SELECT 0
+        |  UNION ALL SELECT bucket + 1 FROM b WHERE bucket < 9)
+        |SELECT bucket, COUNT(o_orderkey) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM b LEFT JOIN orders_rec
+        |  ON CAST(floor(o_totalprice / 60000) AS INT) = bucket
+        |GROUP BY bucket ORDER BY bucket""".stripMargin)
+  }
+
   /** Core relational surface, keyed by SURVEY.md §2.B query id. */
   val core: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_filter_project" -> (q1FilterProject _),
@@ -550,6 +567,7 @@ object Queries {
     "q35_percentiles" -> (q35Percentiles _),
     "q36_pivot" -> (q36Pivot _),
     "q37_scalar_subquery" -> (q37ScalarSubquery _),
-    "q38_exists_subquery" -> (q38ExistsSubquery _)
+    "q38_exists_subquery" -> (q38ExistsSubquery _),
+    "q39_recursive_cte" -> (q39RecursiveCte _)
   )
 }

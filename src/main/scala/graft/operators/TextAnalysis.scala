@@ -96,9 +96,15 @@ object TextAnalysis {
     * the shuffle carries (doc, gram) counts, not raw text.
     */
   def repetitionStats(docs: DataFrame): DataFrame = {
-    val grams = docs.select(
-      col("doc_id"),
-      explode(Text.wordShingles(Text.tokens(col("text")), 2)).as("g"))
+    // grams via posexplode + lead() rather than the array-HOF shingle form:
+    // HOF lambdas evaluate interpreted, while tokenize/lead/concat here stay
+    // inside whole-stage codegen (same reformulation as Dedup's index build)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("pos")
+    val grams = docs
+      .select(col("doc_id"), posexplode(Text.tokens(col("text"))).as(Seq("pos", "t")))
+      .withColumn("t1", lead(col("t"), 1).over(w))
+      .filter(col("t1").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("t"), col("t1")).as("g"))
     val perGram = grams.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
     val stats = perGram.groupBy("doc_id").agg(
       sum(col("c")).as("n2"), count(lit(1)).as("nd"), max(col("c")).as("tc"))
