@@ -16,6 +16,8 @@ object Graft {
       .builder()
       .master(s"local[$cpus]")
       .appName(appName)
+      // graft_dot / graft_cosine / graft_hash60 / graft_normalize in SQL
+      .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
