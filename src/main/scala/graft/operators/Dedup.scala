@@ -44,8 +44,8 @@ object Dedup {
     * which tokenize/lead/concat/md5 all stay in codegen. The window sort is
     * per-document on the already-spread exchange.
     */
-  private def shingleHashesExploded(df0: DataFrame, idCol: String, textCol: String, k: Int,
-                                    hashFn: Column => Column): DataFrame = {
+  private def shingleHashesRaw(df0: DataFrame, idCol: String, textCol: String, k: Int,
+                               hashFn: Column => Column): DataFrame = {
     val w = Window.partitionBy("doc_id").orderBy("pos")
     val tok = spread(df0, idCol)
       .select(col(idCol).as("doc_id"), posexplode(Text.tokens(col(textCol))).as(Seq("pos", "t")))
@@ -54,7 +54,36 @@ object Dedup {
     tok.select(col("doc_id") +: col("t") +: leads: _*)
       .filter(col(s"t${k - 1}").isNotNull)
       .select(col("doc_id"), hashFn(shingle).as("h"))
-      .distinct()
+  }
+
+  private def shingleHashesExploded(df0: DataFrame, idCol: String, textCol: String, k: Int,
+                                    hashFn: Column => Column): DataFrame =
+    shingleHashesRaw(df0, idCol, textCol, k, hashFn).distinct()
+
+  /** Persist-lifecycle bracket for the exploded shingle index.
+    *
+    * The index is consumed by several downstream stages (sizes, signatures,
+    * both verify sides), so it must be cached — but a long-lived session
+    * running the whole dedup surface must not ACCUMULATE cached indexes
+    * (the round-2 `CacheManager: already cached` smell). The bracket:
+    * persist + count-barrier the index, build the result, eagerly
+    * materialize it (`localCheckpoint` — the result is the bounded
+    * pair/report output, orders of magnitude smaller than the index, and
+    * its blocks are GC-managed by the ContextCleaner rather than pinned in
+    * the CacheManager), then unpersist the index before returning. Callers
+    * that only want the lazy plan (plan-shape tests, `explain`) pass
+    * `materialize = false` and get the raw dataflow with no caching at all.
+    */
+  private def withShingleIndex(ex0raw: DataFrame, materialize: Boolean)
+                              (build: DataFrame => DataFrame): DataFrame = {
+    if (!materialize) build(ex0raw)
+    else {
+      val ex0 = ex0raw.persist()
+      ex0.count() // materialization barrier: downstream stages run concurrently
+                  // and would otherwise each recompute the index into the cache
+      try build(ex0).localCheckpoint()
+      finally ex0.unpersist(blocking = false)
+    }
   }
 
   /** Benchmark decontamination: flag training documents that share at least
@@ -70,12 +99,20 @@ object Dedup {
   def contaminationReport(train: DataFrame, holdout: DataFrame,
                           idCol: String, textCol: String, k: Int = 5,
                           hashFn: Column => Column = Hashing.hash60): DataFrame = {
-    val trainSh = shingleHashesExploded(train, idCol, textCol, k, hashFn)
-    val holdSh = shingleHashesExploded(holdout, idCol, textCol, k, hashFn)
+    // holdout is a benchmark set — tiny by definition at any scale. One
+    // distinct over bare hashes (no per-doc distinct needed: membership is
+    // all the train side asks), then an EXPLICIT broadcast so the big train
+    // side is filtered with zero shuffle — not left to AQE runtime conversion.
+    val holdSh = shingleHashesRaw(holdout, idCol, textCol, k, hashFn)
       .select(col("h")).distinct()
-    trainSh.join(holdSh, "h") // (doc_id, h) is distinct => count == distinct count
+    // train side stays RAW: the broadcast join discards the overwhelming
+    // majority of shingle occurrences before any exchange, so deduplicating
+    // (doc_id, h) moves from a full-corpus shuffle to count(DISTINCT h) over
+    // only the contaminated remnant.
+    shingleHashesRaw(train, idCol, textCol, k, hashFn)
+      .join(broadcast(holdSh), "h")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_hits"))
+      .agg(countDistinct(col("h")).as("n_hits"))
       .orderBy("doc_id")
   }
 
@@ -90,29 +127,29 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 3, threshold: Double = 0.5,
-                        hashFn: Column => Column = Hashing.hash60): DataFrame = {
-    // persist the exploded inverted index: the self-join would otherwise
-    // recompute tokenization+md5 for both sides. The persisted form is
-    // (doc_id, h) longs — far smaller than the source text.
-    val ex0 = shingleHashesExploded(df, idCol, textCol, k, hashFn).persist()
-    ex0.count() // materialization barrier: downstream stages run concurrently
-               // and would otherwise each recompute the index into the cache
-    val sz = ex0.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    // sz is one row per doc — AQE turns this into a broadcast join locally;
-    // at scale it's a co-partitioned shuffle on doc_id either way
-    val ex = ex0.join(sz, "doc_id").select(col("doc_id"), col("sz"), col("h"))
-    ex.as("a").join(ex.as("b"),
-        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(
-        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.sz").as("sza"), col("b.sz").as("szb"))
-      .agg(count(lit(1)).as("common"))
-      .withColumn("jaccard", round(
-        col("common").cast("double") /
-          (col("sza") + col("szb") - col("common")).cast("double"), 6))
-      .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "jaccard")
-      .orderBy("doc_a", "doc_b")
+                        hashFn: Column => Column = Hashing.hash60,
+                        materialize: Boolean = true): DataFrame = {
+    // the exploded inverted index is cached for the bracket's lifetime only:
+    // the self-join would otherwise recompute tokenization+md5 for both
+    // sides. The persisted form is (doc_id, h) longs — far smaller than the
+    // source text.
+    withShingleIndex(shingleHashesExploded(df, idCol, textCol, k, hashFn), materialize) { ex0 =>
+      val sz = ex0.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      // sz is one row per doc — AQE turns this into a broadcast join locally;
+      // at scale it's a co-partitioned shuffle on doc_id either way
+      val ex = ex0.join(sz, "doc_id").select(col("doc_id"), col("sz"), col("h"))
+      ex.as("a").join(ex.as("b"),
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(
+          col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.sz").as("sza"), col("b.sz").as("szb"))
+        .agg(count(lit(1)).as("common"))
+        .withColumn("jaccard", round(
+          col("common").cast("double") /
+            (col("sza") + col("szb") - col("common")).cast("double"), 6))
+        .filter(col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    }.orderBy("doc_a", "doc_b")
   }
 
   /** n-gram Jaccard with a document-frequency cap on the *index* — the
@@ -125,9 +162,9 @@ object Dedup {
     */
   def ngramJaccardCappedPairs(df: DataFrame, idCol: String, textCol: String,
                               k: Int = 3, threshold: Double = 0.5, maxDf: Int = 50,
-                              hashFn: Column => Column = Hashing.hash60): DataFrame = {
-    val ex0 = shingleHashesExploded(df, idCol, textCol, k, hashFn).persist()
-    ex0.count() // materialization barrier
+                              hashFn: Column => Column = Hashing.hash60,
+                              materialize: Boolean = true): DataFrame = {
+    withShingleIndex(shingleHashesExploded(df, idCol, textCol, k, hashFn), materialize) { ex0 =>
     val rare = ex0.groupBy("h").agg(count(lit(1)).as("df")).filter(col("df") <= maxDf)
     val idx = ex0.join(rare, "h").select("doc_id", "h")
 
@@ -165,7 +202,7 @@ object Dedup {
           (col("sza") + col("szb") - col("common")).cast("double"), 6))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
-      .orderBy("doc_a", "doc_b")
+    }.orderBy("doc_a", "doc_b")
   }
 
   /** MinHash + banded LSH near-dup pairs, verified with exact Jaccard over
@@ -206,30 +243,31 @@ object Dedup {
   def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       k: Int = 3, numPerm: Int = 64, bands: Int = 16,
                       threshold: Double = 0.5,
-                      hashFn: Column => Column = Hashing.hash60): DataFrame = {
-    // persisted: consumed three times (signature build + both verify sides)
-    val ex0 = shingleHashesExploded(df, idCol, textCol, k, hashFn).persist()
-    ex0.count() // materialization barrier (see ngramJaccardPairs)
-    val sh = shingleSets(ex0)
-    val banded = bandedSignatures(ex0, numPerm, bands)
+                      hashFn: Column => Column = Hashing.hash60,
+                      materialize: Boolean = true): DataFrame = {
+    // index cached for the bracket only: consumed three times (signature
+    // build + both verify sides)
+    withShingleIndex(shingleHashesExploded(df, idCol, textCol, k, hashFn), materialize) { ex0 =>
+      val sh = shingleSets(ex0)
+      val banded = bandedSignatures(ex0, numPerm, bands)
 
-    val cand = banded.as("a")
-      .join(banded.as("b"),
-        col("a.band_id") === col("b.band_id") && col("a.sig") === col("b.sig") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+      val cand = banded.as("a")
+        .join(banded.as("b"),
+          col("a.band_id") === col("b.band_id") && col("a.sig") === col("b.sig") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
 
-    cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("hs").as("hsa"), col("sz").as("sza")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("hs").as("hsb"), col("sz").as("szb")), "doc_b")
-      .withColumn("common", size(array_intersect(col("hsa"), col("hsb"))))
-      .withColumn("jaccard", round(
-        col("common").cast("double") /
-          (col("sza") + col("szb") - col("common")).cast("double"), 6))
-      .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "jaccard")
-      .orderBy("doc_a", "doc_b")
+      cand
+        .join(sh.select(col("doc_id").as("doc_a"), col("hs").as("hsa"), col("sz").as("sza")), "doc_a")
+        .join(sh.select(col("doc_id").as("doc_b"), col("hs").as("hsb"), col("sz").as("szb")), "doc_b")
+        .withColumn("common", size(array_intersect(col("hsa"), col("hsb"))))
+        .withColumn("jaccard", round(
+          col("common").cast("double") /
+            (col("sza") + col("szb") - col("common")).cast("double"), 6))
+        .filter(col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    }.orderBy("doc_a", "doc_b")
   }
 
   /** SimHash near-dup pairs. 60-bit simhash over token hashes; candidate

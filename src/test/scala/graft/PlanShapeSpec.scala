@@ -70,10 +70,12 @@ class PlanShapeSpec extends SparkSpec {
 
   test("dedup candidate generation never plans a cartesian product") {
     val docs = Tables.table(spark, sf0001, "documents")
+    // materialize = false: lock the LAZY dataflow (the materializing form
+    // checkpoints the result, which would make these assertions vacuous)
     Seq(
-      graft.operators.Dedup.ngramJaccardPairs(docs, "doc_id", "text"),
-      graft.operators.Dedup.ngramJaccardCappedPairs(docs, "doc_id", "text"),
-      graft.operators.Dedup.minHashLshPairs(docs, "doc_id", "text"),
+      graft.operators.Dedup.ngramJaccardPairs(docs, "doc_id", "text", materialize = false),
+      graft.operators.Dedup.ngramJaccardCappedPairs(docs, "doc_id", "text", materialize = false),
+      graft.operators.Dedup.minHashLshPairs(docs, "doc_id", "text", materialize = false),
       graft.operators.Dedup.simHashPairs(docs, "doc_id", "text")
     ).foreach { df =>
       val p = plan(df)
@@ -101,6 +103,11 @@ class PlanShapeSpec extends SparkSpec {
       "doc_id", "text", k = 5))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
     assert(p.contains("[h]") || p.contains("h#"), "join must key on the shingle hash")
+    // the holdout shingle set is a benchmark set — tiny at any scale — and
+    // must be EXPLICITLY broadcast (not left to AQE runtime conversion), so
+    // the train side is filtered with zero shuffle
+    assert(p.contains("BroadcastExchange"), "holdout shingle set must broadcast")
+    assert(p.contains("BroadcastHashJoin"), "train x holdout must be a broadcast hash join")
   }
 
   test("normalized dedup is one partial+final hash aggregate over hashes") {
