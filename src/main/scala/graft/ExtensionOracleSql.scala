@@ -231,10 +231,12 @@ object ExtensionOracleSql {
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "simsearch_ivf" ->
-      s"""WITH cent0 AS (SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+      s"""WITH cent0 AS (SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings WHERE vec_id < 4),
          |${lloydIterCte(1)},
          |${lloydIterCte(2)},
-         |cent AS (SELECT * FROM cent2),
+         |${lloydIterCte(3)},
+         |${lloydIterCte(4)},
+         |cent AS (SELECT * FROM cent4),
          |probe AS (SELECT embedding AS pv FROM embeddings WHERE vec_id = 0),
          |asn AS (
          |  SELECT e.vec_id, c.centroid_id,
@@ -247,7 +249,7 @@ object ExtensionOracleSql {
          |  SELECT centroid_id FROM (
          |    SELECT c.centroid_id, round(${cos("c.cvec", "p.pv")}, 6) AS csim
          |    FROM cent c CROSS JOIN probe p)
-         |  QUALIFY row_number() OVER (ORDER BY csim DESC, centroid_id) <= 2)
+         |  QUALIFY row_number() OVER (ORDER BY csim DESC, centroid_id) <= 3)
          |SELECT e.vec_id, round(${cos("e.embedding", "p.pv")}, 6) AS sim
          |FROM best
          |JOIN embeddings e ON e.vec_id = best.vec_id

@@ -43,7 +43,7 @@ object ExtensionQueries {
     "embedding_quantize" -> ((s, dir) =>
       Similarity.quantizeInt8(emb(s, dir))),
     "simsearch_ivf" -> ((s, dir) =>
-      Similarity.ivfTopK(emb(s, dir), probeId = 0L, k = 5, nlist = 8, nprobe = 2)),
+      Similarity.ivfTopK(emb(s, dir), probeId = 0L, k = 5, nlist = 4, nprobe = 3, iters = 4)),
     "text_langid" -> ((s, dir) =>
       TextAnalysis.langId(s, docs(s, dir))),
     "text_quality" -> ((s, dir) =>

@@ -19,9 +19,22 @@ class TopKAggregator(k: Int)
   import TopKAggregator.Scored
   require(k > 0, s"top-k needs k > 0, got $k")
 
-  /** `a` ranks strictly before `b` (score desc, id asc). */
-  private def before(a: Scored, b: Scored): Boolean =
-    a.score > b.score || (a.score == b.score && a.id < b.id)
+  /** `a` ranks strictly before `b` (score desc, id asc). A TOTAL order even
+    * on NaN: NaN ranks LAST (a NaN score never displaces a real one; two
+    * NaNs tie by id), everything else via `java.lang.Double.compare` (so
+    * -0.0 < 0.0 is defined too). Raw `>`/`==` would rank NaN "not before"
+    * in both directions, breaking the sorted-buffer invariant and letting
+    * insert/merge evict rows non-deterministically across partitionings.
+    * Matches `sortBy(-score, id)` under scala's `Double.TotalOrdering`.
+    */
+  private def before(a: Scored, b: Scored): Boolean = {
+    val an = a.score.isNaN; val bn = b.score.isNaN
+    if (an || bn) bn && (!an || a.id < b.id) // NaN last; NaN-NaN tie by id
+    else {
+      val c = java.lang.Double.compare(b.score, a.score)
+      c < 0 || (c == 0 && a.id < b.id)
+    }
+  }
 
   // Invariant: buffers are always rank-sorted with at most k elements, so
   // per-row reduce is O(1) for the overwhelmingly common below-the-kth case

@@ -20,16 +20,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def info(name: String, usage: String) =
     new ExpressionInfo(classOf[DotProduct].getName, null, name, usage, "", "", "", "", "", "", "scala_udf")
 
+  /** Wrong arity must surface as an analysis error (`SELECT graft_hash60()`),
+    * not an IndexOutOfBoundsException from `exprs(0)`.
+    */
+  private def arity(name: String, n: Int)(build: Seq[Expression] => Expression)
+      : Seq[Expression] => Expression = { exprs =>
+    if (exprs.length != n)
+      throw org.apache.spark.sql.graftbridge.ColumnBridge.wrongNumArgs(name, n, exprs.length)
+    build(exprs)
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       info("graft_dot", "graft_dot(a, b) - dot product of two float/double arrays"),
-      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+      arity("graft_dot", 2)(exprs => DotProduct(exprs(0), exprs(1)))))
 
     ext.injectFunction((
       FunctionIdentifier("graft_cosine"),
       info("graft_cosine", "graft_cosine(a, b) - cosine similarity of two float/double arrays"),
-      (exprs: Seq[Expression]) => {
+      arity("graft_cosine", 2) { exprs =>
         import org.apache.spark.sql.catalyst.expressions.{Divide, Multiply, Sqrt}
         val (a, b) = (exprs(0), exprs(1))
         Divide(
@@ -40,14 +50,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("graft_hash60"),
       info("graft_hash60", "graft_hash60(s) - 60-bit md5-prefix hash (DuckDB-reproducible)"),
-      (exprs: Seq[Expression]) => Md5Prefix60(exprs(0))))
+      arity("graft_hash60", 1)(exprs => Md5Prefix60(exprs(0)))))
 
     ext.injectFunction((
       FunctionIdentifier("graft_normalize"),
       info("graft_normalize",
         "graft_normalize(s) - canonical text normalization: lowercase, " +
           "non-alphanumerics to spaces, whitespace collapsed, trimmed"),
-      (exprs: Seq[Expression]) => {
+      arity("graft_normalize", 1) { exprs =>
         import org.apache.spark.sql.catalyst.expressions.{Literal, Lower, RegExpReplace, StringTrim}
         val lowered = Lower(exprs(0))
         val alnum = RegExpReplace(lowered, Literal("[^a-z0-9 ]"), Literal(" "))

@@ -100,14 +100,23 @@ class ParquetServing(storeDir: String, val viewName: String = "us_share_holders"
       .toDF("client", "nasdaq_position_ids", "deleted", "batch_id")
     val path = new org.apache.hadoop.fs.Path(storeDir)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
-    val changes =
-      if (!fs.exists(path)) emptyChanges
-      else try spark.read.parquet(storeDir) catch {
-        // dir exists but holds no parquet yet (pre-created store dir, or an
-        // all-empty first batch that wrote only _SUCCESS): schema inference
-        // fails — an empty store, not an error
-        case _: org.apache.spark.sql.AnalysisException => emptyChanges
+    // "empty store" is decided by LISTING, not by catching AnalysisException:
+    // a blanket catch would serve a genuinely corrupt or schema-incompatible
+    // store as "no data". Only a missing dir or a dir with zero data files
+    // (pre-created store dir; an all-empty first batch that wrote only
+    // _SUCCESS) is empty — anything the read then throws propagates.
+    def hasDataFile: Boolean = {
+      val it = fs.listFiles(path, true)
+      var found = false
+      while (!found && it.hasNext) {
+        val name = it.next().getPath.getName
+        found = !name.startsWith("_") && !name.startsWith(".")
       }
+      found
+    }
+    val changes =
+      if (!fs.exists(path) || !hasDataFile) emptyChanges
+      else spark.read.parquet(storeDir)
     LatestPerKey(changes, keys = Seq("client"), ordering = Seq("batch_id"))
       .filter(!col("deleted"))
       .select("client", "nasdaq_position_ids")

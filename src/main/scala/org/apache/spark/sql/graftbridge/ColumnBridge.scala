@@ -12,4 +12,13 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Spark's standard WRONG_NUM_ARGS analysis error — the same error class
+    * built-in functions raise — for the SQL functions injected by
+    * `graft.plans.GraftExtensions`. `QueryCompilationErrors` is
+    * `private[sql]`, hence exposed through this bridge.
+    */
+  def wrongNumArgs(name: String, expected: Int, actual: Int): Throwable =
+    org.apache.spark.sql.errors.QueryCompilationErrors
+      .wrongNumArgsError(name, Seq(expected), actual)
 }

@@ -38,17 +38,28 @@ object TopKLaws extends Properties("TopKAggregator") {
   import graft.operators.TopKAggregator.Scored
 
   private val rows = Gen.listOf(for {
-    score <- Gen.chooseNum(-1e6, 1e6)
+    // NaN included: the buffer order must stay total (NaN ranks last) or
+    // insert/merge evict non-deterministically across partitionings
+    score <- Gen.frequency(
+      9 -> Gen.chooseNum(-1e6, 1e6),
+      1 -> Gen.const(Double.NaN))
     id <- Gen.chooseNum(0L, 50L) // small id range => score ties happen
   } yield Scored(score, id))
 
+  // scala 2.13's default Ordering[Double] is TotalOrdering: NaN is the
+  // maximum, so -score ascending ranks NaN last — same order as the
+  // aggregator's `before`
   private def globalTopK(xs: Seq[Scored], k: Int): Seq[Scored] =
     xs.sortBy(s => (-s.score, s.id)).take(k)
+
+  // case-class == is IEEE on the Double field (NaN != NaN); compare bits
+  private def canon(xs: Seq[Scored]): Seq[(Long, Long)] =
+    xs.map(s => (java.lang.Double.doubleToLongBits(s.score), s.id))
 
   property("fold-reduce equals sorted top-k") =
     Prop.forAll(rows, Gen.choose(1, 7)) { (xs, k) =>
       val agg = TopKAggregator(k)
-      agg.finish(xs.foldLeft(agg.zero)(agg.reduce)) == globalTopK(xs, k)
+      canon(agg.finish(xs.foldLeft(agg.zero)(agg.reduce))) == canon(globalTopK(xs, k))
     }
 
   property("non-positive k is rejected at construction") =
@@ -63,6 +74,6 @@ object TopKLaws extends Properties("TopKAggregator") {
         .groupBy(_._2 % nParts).values.map(_.map(_._1))
         .map(_.foldLeft(agg.zero)(agg.reduce))
       val merged = partials.foldLeft(agg.zero)(agg.merge)
-      agg.finish(merged) == globalTopK(xs, k)
+      canon(agg.finish(merged)) == canon(globalTopK(xs, k))
     }
 }

