@@ -21,11 +21,6 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Warmup dir: tiny fixture if present so warmup passes are cheap.
-    val warmDir = {
-      val tiny = "/root/testdata/sf0.001"
-      if (new java.io.File(tiny).isDirectory) tiny else sfDir
-    }
     // Boot warmup: absorb SparkSession/JIT/first-codegen startup once.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     spark.catalog.clearCache()
@@ -34,6 +29,10 @@ object Bench {
     // pass): janino codegen + JIT for THIS plan shape are charged to warmup,
     // and the first measured heavy queries aren't paying session-wide warmup
     // (round-1 driver runs charged ~1.5 s of it to the first aggregate).
+    // The warmup runs at the MEASURED sf dir: a smaller fixture warms a
+    // subtly different plan (AQE coalescing, broadcast thresholds, codegen
+    // specializations differ with input stats), leaving the first measured
+    // run still paying compile time for the real shape.
     //
     // Then best of two measured runs: single-run times on a shared box carry
     // 20-30% noise; min is the achievable time. Caches are cleared between
@@ -43,7 +42,7 @@ object Bench {
     // A query that throws is reported explicitly ("failed" list, -1 sentinel
     // time, nonzero exit) — a failure must never make the bench look faster.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      try fn(spark, sfDir).count() catch { case _: Throwable => () }
       spark.catalog.clearCache()
       var err: Option[String] = None
       val dts = (1 to 2).map { _ =>

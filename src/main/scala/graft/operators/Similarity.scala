@@ -144,12 +144,20 @@ object Similarity {
 
   /** Nearest-centroid assignment: max cosine, ties toward the lower
     * centroid id. One broadcast of the (tiny) centroid set, one narrow pass.
+    *
+    * Groups by `vec_id` ONLY — the embedding rides along via `first` (every
+    * row in a group carries the identical array, so `first` is
+    * deterministic). Grouping by the array itself would hash+compare ~1 KB
+    * keys per row in the aggregate exchange; at Lloyd-loop call frequency
+    * that was the measured hot spot of the IVF build.
     */
   private def assignToCentroids(emb: DataFrame, centroids: DataFrame): DataFrame =
     emb.crossJoin(broadcast(centroids))
       .withColumn("csim", round(VecF.cosine(col("embedding"), col("cvec")), 6))
-      .groupBy(col("vec_id"), col("embedding"))
-      .agg(max_by(col("centroid_id"), struct(col("csim"), -col("centroid_id"))).as("centroid_id"))
+      .groupBy(col("vec_id"))
+      .agg(
+        max_by(col("centroid_id"), struct(col("csim"), -col("centroid_id"))).as("centroid_id"),
+        first(col("embedding")).as("embedding"))
 
   /** Deterministic k-means (Lloyd) centroids: seedless init = the `nlist`
     * lowest vec_ids, then `iters` assign/recompute rounds.
