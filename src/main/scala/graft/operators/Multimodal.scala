@@ -6,11 +6,12 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: opaque `BINARY` payloads with typed metadata,
   * processed by a batched per-partition "decode" stage.
   *
-  * The container has no image/audio codecs, so [[MediaCodec.decodeStub]] is a
+  * The container has no image/audio codecs, so [[StubCodec]] is a
   * clearly-marked deterministic fake; everything around it — binary column
   * handling, metadata struct, the `mapPartitions` batch shape (mirroring an
-  * Arrow-batched pandas UDF), partitioning — is real and tested. Swapping in a
-  * real decoder changes only the stub body.
+  * Arrow-batched pandas UDF), partitioning — is real and tested. A real
+  * decoder is a drop-in: implement [[MediaCodec]] and pass it to the
+  * operators.
   */
 object Multimodal {
 
@@ -20,17 +21,6 @@ object Multimodal {
   /** Decoded features: fixed-width vector per media item. */
   case class MediaFeatures(doc_id: Long, n_bytes: Int, feat: Array[Double])
 
-  object MediaCodec {
-    /** STUB — stands in for image/audio decode + feature extraction.
-      * Deterministic: [byte length, char length, doc_id mod 7].
-      */
-    def decodeStub(row: MediaRow): MediaFeatures =
-      MediaFeatures(
-        row.doc_id,
-        row.payload.length,
-        Array(row.payload.length.toDouble, row.n_chars.toDouble, (row.doc_id % 7).toDouble))
-  }
-
   /** Resized media: payload truncated in proportion (deterministic stub for
     * a real resampler), metadata updated.
     */
@@ -38,6 +28,56 @@ object Multimodal {
 
   /** One sampled frame of a "video" payload. */
   case class Frame(doc_id: Long, frame_idx: Int, frame: Array[Byte], frame_mean: Double)
+
+  /** The pluggable decode seam: the three per-record media operations the
+    * engine needs, isolated from all Spark plumbing so a real image/audio
+    * library implementation is a drop-in.
+    *
+    * Implementations ship to executors, hence `Serializable`; heavyweight
+    * state (codec handles, model weights) belongs in `@transient lazy val`
+    * fields so it initializes once per executor JVM, never on the driver.
+    */
+  trait MediaCodec extends Serializable {
+    /** Decode + feature-extract one media item. */
+    def features(row: MediaRow): MediaFeatures
+
+    /** Resample payload to target dimensions. */
+    def resize(id: Long, payload: Array[Byte], width: Int, height: Int,
+               targetW: Int, targetH: Int): ResizedMedia
+
+    /** Decode a "video" payload into sampled frames. */
+    def frames(row: MediaRow, frameBytes: Int, stride: Int): Iterator[Frame]
+  }
+
+  /** STUB codec — the container has no media libraries, so each operation is
+    * a deterministic fake of the right shape:
+    *  - features: [byte length, char length, doc_id mod 7]
+    *  - resize: keeps a byte prefix proportional to the pixel ratio
+    *  - frames: fixed-size byte blocks, every `stride`-th, mean-byte feature
+    */
+  object StubCodec extends MediaCodec {
+    def features(row: MediaRow): MediaFeatures =
+      MediaFeatures(
+        row.doc_id,
+        row.payload.length,
+        Array(row.payload.length.toDouble, row.n_chars.toDouble, (row.doc_id % 7).toDouble))
+
+    def resize(id: Long, payload: Array[Byte], width: Int, height: Int,
+               targetW: Int, targetH: Int): ResizedMedia = {
+      val ratio = (targetW.toLong * targetH).toDouble / (width.toLong * height)
+      val keep = math.max(1, math.min(payload.length, (payload.length * ratio).toInt))
+      ResizedMedia(id, targetW, targetH, payload.take(keep))
+    }
+
+    def frames(row: MediaRow, frameBytes: Int, stride: Int): Iterator[Frame] =
+      row.payload.grouped(frameBytes).zipWithIndex
+        .filter { case (_, i) => i % stride == 0 }
+        .map { case (block, i) =>
+          val mean = if (block.isEmpty) 0.0
+            else block.map(_ & 0xff).sum.toDouble / block.length
+          Frame(row.doc_id, i, block, mean)
+        }
+  }
 
   /** Build a media table from `documents`: payload = UTF-8 bytes of the text
     * (standing in for image bytes), typed metadata (width/height derived
@@ -56,34 +96,33 @@ object Multimodal {
     * Batching matters at scale: a real codec amortizes model/codec init per
     * partition, not per row.
     */
-  def extractFeatures(spark: SparkSession, docs: DataFrame): DataFrame = {
+  def extractFeatures(spark: SparkSession, docs: DataFrame,
+                      codec: MediaCodec = StubCodec): DataFrame = {
     import spark.implicits._
     mediaTable(docs)
       .select("doc_id", "payload", "n_chars")
       .as[MediaRow]
       .mapPartitions { rows =>
-        // per-partition init would go here (codec handles, model weights)
-        rows.map(MediaCodec.decodeStub)
+        // per-partition init happens in the codec's transient lazy state
+        rows.map(codec.features)
       }
       .toDF()
       .select(col("doc_id"), col("n_bytes"), col("feat").as("mm_feat"))
       .orderBy("doc_id")
   }
 
-  /** Resize: STUB resampler — keeps a deterministic byte prefix proportional
-    * to the target/original pixel ratio. The mapPartitions shape (batched,
+  /** Resize via the codec's resampler. The mapPartitions shape (batched,
     * metadata-aware) is what a real image resampler plugs into.
     */
-  def resize(spark: SparkSession, docs: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+  def resize(spark: SparkSession, docs: DataFrame, targetW: Int, targetH: Int,
+             codec: MediaCodec = StubCodec): DataFrame = {
     import spark.implicits._
     mediaTable(docs)
       .select(col("doc_id"), col("payload"), col("width"), col("height"))
       .as[(Long, Array[Byte], Int, Int)]
       .mapPartitions { rows =>
         rows.map { case (id, payload, w, h) =>
-          val ratio = (targetW.toLong * targetH).toDouble / (w.toLong * h)
-          val keep = math.max(1, math.min(payload.length, (payload.length * ratio).toInt))
-          ResizedMedia(id, targetW, targetH, payload.take(keep))
+          codec.resize(id, payload, w, h, targetW, targetH)
         }
       }
       .toDF()
@@ -92,25 +131,17 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
-  /** Frame sampling: STUB decoder — treats the payload as fixed-size frame
-    * blocks and emits every `stride`-th block with a cheap per-frame feature
-    * (mean byte value). flatMap shape = one input row fanning out to frames.
+  /** Frame sampling via the codec's frame decoder. flatMap shape = one input
+    * row fanning out to frames.
     */
   def sampleFrames(spark: SparkSession, docs: DataFrame,
-                   frameBytes: Int = 16, stride: Int = 4): DataFrame = {
+                   frameBytes: Int = 16, stride: Int = 4,
+                   codec: MediaCodec = StubCodec): DataFrame = {
     import spark.implicits._
     mediaTable(docs)
       .select("doc_id", "payload", "n_chars")
       .as[MediaRow]
-      .flatMap { row =>
-        row.payload.grouped(frameBytes).zipWithIndex
-          .filter { case (_, i) => i % stride == 0 }
-          .map { case (block, i) =>
-            val mean = if (block.isEmpty) 0.0
-              else block.map(_ & 0xff).sum.toDouble / block.length
-            Frame(row.doc_id, i, block, mean)
-          }
-      }
+      .flatMap(row => codec.frames(row, frameBytes, stride))
       .toDF()
       .select(col("doc_id"), col("frame_idx"), length(col("frame")).as("n_bytes"),
         round(col("frame_mean"), 6).as("frame_mean"))

@@ -128,6 +128,52 @@ class ParquetServing(storeDir: String, val viewName: String = "us_share_holders"
     snapshot(spark).collect()
       .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
   }
+
+  /** Periodic changelog compaction: fold old batch partitions into a single
+    * base partition so the read-side latest-per-key scans O(base + recent)
+    * instead of O(all batches ever). Read results are unchanged.
+    *
+    * Safety invariants:
+    *  - Only batches STRICTLY BELOW the current max are folded. The max
+    *    batch is the one batch a restart can replay (its `foreachBatch` ran
+    *    but the stream checkpoint may not have committed); every batch below
+    *    it must have committed for the max to have run at all. Leaving the
+    *    max partition untouched keeps replay-overwrites-its-own-partition
+    *    idempotency intact.
+    *  - The base RETAINS tombstone rows (`deleted = true`): dropping them
+    *    would let a replayed pre-compaction upsert resurrect a deleted key.
+    *  - The base is stamped with the MAX FOLDED batch id, so at read time it
+    *    supersedes every folded partition per key (`max_by` on batch_id) —
+    *    a crash between the base write and the partition deletes just leaves
+    *    redundant rows that the next compact() sweeps; re-running converges.
+    */
+  def compact(spark: SparkSession): Unit = {
+    val path = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(path)) return
+    val batchIds = fs.listStatus(path).toSeq
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("batch_id=") => n.stripPrefix("batch_id=").toLong }
+      .sorted
+    if (batchIds.size < 3) return // nothing worth folding below the max
+    val maxBatch = batchIds.last
+    val baseId = batchIds.init.last // max folded id = the base partition
+    val folded = LatestPerKey(
+        spark.read.parquet(storeDir).filter(col("batch_id") < lit(maxBatch)),
+        keys = Seq("client"), ordering = Seq("batch_id"))
+      .withColumn("batch_id", lit(baseId))
+      // materialize BEFORE writing: the write overwrites partitions the plan
+      // reads from
+      .localCheckpoint()
+    folded.write
+      .mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(storeDir)
+    batchIds.filter(_ < baseId).foreach { id =>
+      fs.delete(new org.apache.hadoop.fs.Path(path, s"batch_id=$id"), true)
+    }
+  }
 }
 
 /** Driver-local serving store (demo/tests): a TrieMap upsert per batch.

@@ -151,6 +151,31 @@ class OperatorSpec extends SparkSpec {
     assert(frames.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("MediaCodec is a drop-in seam: a custom codec replaces the stub") {
+    import Multimodal.{Frame, MediaFeatures, MediaRow, ResizedMedia, StubCodec}
+    // a "real decoder" stand-in that provably differs from the stub
+    object MarkerCodec extends Multimodal.MediaCodec {
+      def features(row: MediaRow): MediaFeatures =
+        MediaFeatures(row.doc_id, row.payload.length, Array(-1.0, -2.0, -3.0))
+      def resize(id: Long, payload: Array[Byte], w: Int, h: Int,
+                 tw: Int, th: Int): ResizedMedia =
+        ResizedMedia(id, tw, th, Array[Byte](42))
+      def frames(row: MediaRow, frameBytes: Int, stride: Int): Iterator[Frame] =
+        Iterator(Frame(row.doc_id, 0, Array[Byte](1), 99.0))
+    }
+    val docs = Tables.table(spark, sf0001, "documents").limit(5)
+    val feats = Multimodal.extractFeatures(spark, docs, MarkerCodec).collect()
+    assert(feats.length == 5 && feats.forall(_.getSeq[Double](2) == Seq(-1.0, -2.0, -3.0)))
+    val resized = Multimodal.resize(spark, docs, 32, 32, MarkerCodec).collect()
+    assert(resized.forall(_.getInt(3) == 1)) // 1-byte payload from the codec
+    val frames = Multimodal.sampleFrames(spark, docs, codec = MarkerCodec).collect()
+    assert(frames.length == 5 && frames.forall(_.getDouble(3) == 99.0))
+    // and the default stays the stub (schema + rows unchanged)
+    assert(Multimodal.extractFeatures(spark, docs).collect()
+      .forall(r => r.getSeq[Double](2).head == r.getInt(1).toDouble))
+    assert(StubCodec.features(MediaRow(3L, Array[Byte](7, 7), 2L)).feat.toSeq == Seq(2.0, 2.0, 3.0))
+  }
+
   test("SetAggregator: typed groupByKey path equals the DataFrame pipeline (Q18)") {
     import org.apache.spark.sql.functions.udaf
     val changelog = Tables.shareHoldersChangelog(spark, sf0001)
