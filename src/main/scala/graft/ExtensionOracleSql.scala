@@ -258,6 +258,77 @@ object ExtensionOracleSql {
          |WHERE e.vec_id <> 0
          |ORDER BY sim DESC, e.vec_id LIMIT 5""".stripMargin,
 
+    "cluster_assign" ->
+      s"""WITH cent0 AS (SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings WHERE vec_id < 4),
+         |${lloydIterCte(1)},
+         |${lloydIterCte(2)},
+         |cent AS (SELECT * FROM cent2),
+         |asn AS (
+         |  SELECT e.vec_id, c.centroid_id,
+         |    round(${cos("e.embedding", "c.cvec")}, 6) AS csim
+         |  FROM embeddings e CROSS JOIN cent c),
+         |best AS (
+         |  SELECT vec_id, centroid_id, csim FROM asn
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, centroid_id) = 1)
+         |SELECT centroid_id, COUNT(*) AS n_vectors,
+         |  round(CAST(SUM(CAST(csim AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS mean_csim
+         |FROM best GROUP BY centroid_id ORDER BY centroid_id""".stripMargin,
+
+    "knn_join" ->
+      s"""WITH probes AS (
+         |  SELECT vec_id AS probe_id, embedding AS pv FROM embeddings WHERE vec_id % 100 = 0),
+         |pairs AS (
+         |  SELECT p.probe_id, e.vec_id,
+         |    round(${cos("e.embedding", "p.pv")}, 6) AS sim
+         |  FROM embeddings e CROSS JOIN probes p
+         |  WHERE e.vec_id <> p.probe_id)
+         |SELECT probe_id, CAST(rn AS INT) AS rank, vec_id AS neighbor_id, sim
+         |FROM (SELECT pairs.*, row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rn
+         |      FROM pairs)
+         |WHERE rn <= 3
+         |ORDER BY probe_id, rank""".stripMargin,
+
+    "text_gopher" ->
+      s"""WITH m AS (
+         |  SELECT doc_id, n_chars,
+         |    len($toksOf) AS n_words,
+         |    COALESCE(list_sum(list_transform($toksOf, t -> len(t))), 0) AS sum_len,
+         |    len(string_split(text, chr(10))) AS n_lines,
+         |    len(regexp_extract_all(text, '(^|\\n)[-*] ')) AS n_bullet,
+         |    len(regexp_extract_all(text, '\\.\\.\\.(\\n|$$)')) AS n_ellipsis,
+         |    len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, n_words,
+         |    CASE WHEN n_words > 0
+         |      THEN round(CAST(sum_len AS DOUBLE) / CAST(n_words AS DOUBLE), 6) ELSE 0.0 END AS mean_word_len,
+         |    CASE WHEN n_chars > 0
+         |      THEN round(CAST(n_alpha AS DOUBLE) / CAST(n_chars AS DOUBLE), 6) ELSE 0.0 END AS alpha_ratio,
+         |    round(CAST(n_bullet AS DOUBLE) / CAST(n_lines AS DOUBLE), 6) AS bullet_ratio,
+         |    round(CAST(n_ellipsis AS DOUBLE) / CAST(n_lines AS DOUBLE), 6) AS ellipsis_ratio
+         |  FROM m)
+         |SELECT doc_id, n_words, mean_word_len, alpha_ratio, bullet_ratio, ellipsis_ratio,
+         |  (n_words >= 5 AND n_words <= 100000 AND mean_word_len >= 2.0 AND mean_word_len <= 12.0
+         |   AND bullet_ratio <= 0.9 AND alpha_ratio >= 0.6) AS quality_pass
+         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "text_tfidf" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($toksOf) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+         |df AS (SELECT term, COUNT(*) AS df
+         |       FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY term),
+         |n AS (SELECT COUNT(*) AS n FROM documents),
+         |scored AS (
+         |  SELECT tf.doc_id, tf.term,
+         |    round(CAST(tf.tf AS DOUBLE) *
+         |          round(ln(CAST(n.n AS DOUBLE) / CAST(df.df AS DOUBLE)), 6), 6) AS tfidf
+         |  FROM tf JOIN df USING (term) CROSS JOIN n)
+         |SELECT doc_id, CAST(rn AS INT) AS rank, term, tfidf
+         |FROM (SELECT scored.*, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+         |      FROM scored)
+         |WHERE rn <= 3
+         |ORDER BY doc_id, rank""".stripMargin,
+
     "text_langid" ->
       s"""WITH prof(lang, word) AS (VALUES
          |  ('en','the'),('en','a'),('en','and'),('en','of'),('en','to'),('en','in'),('en','is'),('en','for'),('en','on'),('en','with'),

@@ -44,6 +44,14 @@ object ExtensionQueries {
       Similarity.quantizeInt8(emb(s, dir))),
     "simsearch_ivf" -> ((s, dir) =>
       Similarity.ivfTopK(emb(s, dir), probeId = 0L, k = 5, nlist = 4, nprobe = 3, iters = 4)),
+    "cluster_assign" -> ((s, dir) =>
+      Similarity.kmeansClusterStats(emb(s, dir), nlist = 4, iters = 2)),
+    "knn_join" -> { (s, dir) =>
+      import org.apache.spark.sql.functions.col
+      val e = emb(s, dir)
+      // bounded probe batch: every 100th vector plays the inference set
+      Similarity.knnJoin(e, e.filter(col("vec_id") % 100 === 0), k = 3)
+    },
     "text_langid" -> ((s, dir) =>
       TextAnalysis.langId(s, docs(s, dir))),
     "text_quality" -> ((s, dir) =>
@@ -56,6 +64,10 @@ object ExtensionQueries {
       TextAnalysis.redactPii(docs(s, dir))),
     "text_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionStats(docs(s, dir))),
+    "text_gopher" -> ((s, dir) =>
+      TextAnalysis.gopherRules(docs(s, dir))),
+    "text_tfidf" -> ((s, dir) =>
+      TextAnalysis.tfidfTopTerms(docs(s, dir), k = 3)),
     "multimodal_features" -> { (s, dir) =>
       import org.apache.spark.sql.functions._
       // declared-surface encoding: feature values are integral by construction,

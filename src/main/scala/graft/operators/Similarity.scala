@@ -241,4 +241,54 @@ object Similarity {
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(k)
   }
+
+  /** Per-cluster report over the deterministic Lloyd k-means index: cluster
+    * size and mean cosine-to-centroid (a cluster-quality / corpus-structure
+    * probe). Mean determinism across engines: per-row cosines are rounded to
+    * 6, summed EXACTLY as decimal, and only then divided — no
+    * order-dependent float accumulation.
+    */
+  def kmeansClusterStats(emb: DataFrame, nlist: Int = 4, iters: Int = 2): DataFrame = {
+    val centroids = broadcast(lloydCentroidsLocal(emb, nlist, iters))
+    assignToCentroids(emb, centroids)
+      .join(centroids, "centroid_id")
+      .withColumn("csim", round(VecF.cosine(col("embedding"), col("cvec")), 6))
+      .groupBy(col("centroid_id"))
+      .agg(
+        count(lit(1)).as("n_vectors"),
+        round(sum(col("csim").cast(DecimalType(18, 6))).cast("double") / count(lit(1)), 6)
+          .as("mean_csim"))
+      .orderBy("centroid_id")
+  }
+
+  /** Batch kNN join: top-k cosine neighbors for EVERY probe in a bounded
+    * probe set — the batch-inference sibling of [[bruteForceTopK]].
+    *
+    * Shape at scale: the probe set broadcasts (bounded by the inference
+    * batch), the corpus streams through ONE narrow pass scoring
+    * |corpus|×|probes| pairs, and the per-probe top-k is the bounded-buffer
+    * [[TopKAggregator]] — map-side combine reduces each task to k rows per
+    * probe before the exchange. No window sort of the cross product, no
+    * corpus shuffle. Ties break toward the lower neighbor id (the
+    * aggregator's order).
+    */
+  def knnJoin(emb: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val p = broadcast(
+      probes.select(col("vec_id").as("probe_id"), col("embedding").as("pv")))
+    emb.crossJoin(p)
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        round(VecF.cosine(col("embedding"), col("pv")), 6).as("sim"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(t => TopKAggregator.Scored(t._3, t._2))
+      .agg(TopKAggregator(k).toColumn.name("top"))
+      .toDF("probe_id", "top")
+      .select(col("probe_id"), posexplode(col("top")).as(Seq("rk", "s")))
+      .select(col("probe_id"), (col("rk") + 1).cast("int").as("rank"),
+        col("s.id").as("neighbor_id"), col("s.score").as("sim"))
+      .orderBy("probe_id", "rank")
+  }
 }

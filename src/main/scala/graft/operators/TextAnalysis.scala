@@ -78,6 +78,72 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Gopher-style document quality rules (line + word structure): word
+    * count, mean word length, alphabetic-character ratio, bullet-line ratio,
+    * ellipsis-line-end ratio, and the pass/fail gate a corpus filter would
+    * apply. All regexp_count / integer arithmetic — codegen'd, and every
+    * ratio is integer/integer divided once then rounded, so both engines do
+    * the identical IEEE ops.
+    */
+  def gopherRules(docs: DataFrame,
+                  minWords: Int = 5, maxWords: Int = 100000,
+                  minMeanLen: Double = 2.0, maxMeanLen: Double = 12.0,
+                  maxBulletRatio: Double = 0.9, minAlphaRatio: Double = 0.6): DataFrame = {
+    val toks = Text.tokens(col("text"))
+    docs
+      .withColumn("n_words", size(toks))
+      .withColumn("sum_len", aggregate(toks, lit(0), (acc, t) => acc + length(t)))
+      .withColumn("n_lines", size(split(col("text"), "\n")))
+      .withColumn("n_bullet", regexp_count(col("text"), lit("(^|\n)[-*] ")).cast("int"))
+      .withColumn("n_ellipsis", regexp_count(col("text"), lit("\\.\\.\\.(\n|$)")).cast("int"))
+      .withColumn("n_alpha", regexp_count(col("text"), lit("[A-Za-z]")).cast("int"))
+      .withColumn("mean_word_len",
+        when(col("n_words") > 0,
+          round(col("sum_len").cast("double") / col("n_words").cast("double"), 6))
+          .otherwise(lit(0.0)))
+      .withColumn("bullet_ratio",
+        round(col("n_bullet").cast("double") / col("n_lines").cast("double"), 6))
+      .withColumn("ellipsis_ratio",
+        round(col("n_ellipsis").cast("double") / col("n_lines").cast("double"), 6))
+      .withColumn("alpha_ratio",
+        when(col("n_chars") > 0,
+          round(col("n_alpha").cast("double") / col("n_chars").cast("double"), 6))
+          .otherwise(lit(0.0)))
+      .select(
+        col("doc_id"), col("n_words"), col("mean_word_len"),
+        col("alpha_ratio"), col("bullet_ratio"), col("ellipsis_ratio"),
+        (col("n_words") >= minWords && col("n_words") <= maxWords &&
+          col("mean_word_len") >= minMeanLen && col("mean_word_len") <= maxMeanLen &&
+          col("bullet_ratio") <= maxBulletRatio &&
+          col("alpha_ratio") >= minAlphaRatio).as("quality_pass"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-document top-k terms by tf-idf. Shape at scale: one explode + two
+    * hash aggregations (tf per (doc, term); df per term — both partial/final
+    * with map-side combine), a term-keyed join of tf with df (AQE broadcasts
+    * the df side when the vocabulary is small; co-partitioned exchange
+    * otherwise), then a per-doc window over ≤ |doc vocabulary| rows. idf and
+    * the product are rounded after identical-order arithmetic so both
+    * engines hash-match.
+    */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = docs.count() // corpus size: one scalar, computed once
+    val toks = docs.select(col("doc_id"), explode(Text.tokens(col("text"))).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = toks.select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
+    tf.join(df, "term")
+      .withColumn("idf", round(log(lit(n.toDouble) / col("df").cast("double")), 6))
+      .withColumn("tfidf", round(col("tf").cast("double") * col("idf"), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), col("tfidf"))
+      .orderBy("doc_id", "rank")
+  }
+
   /** Token counting: whitespace tokens and BPE-ish regex tokens
     * (`[a-z0-9]+` runs over the lowercased text).
     */
