@@ -79,7 +79,8 @@ trait ServingSink {
   * In a deployment with a transactional table format (Delta/Iceberg) the
   * upsert becomes a MERGE; plain parquet keeps this self-contained.
   */
-class ParquetServing(storeDir: String, val viewName: String = "us_share_holders")
+class ParquetServing(storeDir: String, val viewName: String = "us_share_holders",
+                     compactEvery: Int = 0)
     extends ServingSink {
 
   def upsertBatch(batch: Dataset[ClientView], batchId: Long): Unit = {
@@ -91,6 +92,10 @@ class ParquetServing(storeDir: String, val viewName: String = "us_share_holders"
       .partitionBy("batch_id")
       .parquet(storeDir)
     val session = sessionFor(batch)
+    // periodic fold: keeps the changelog partition count bounded under a
+    // long-running stream. Replay-safe — a replayed batch re-runs its own
+    // compact() too, which converges (see compact's invariants).
+    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) compact(session)
     snapshot(session).createOrReplaceTempView(viewName)
   }
 

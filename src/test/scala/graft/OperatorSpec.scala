@@ -372,6 +372,19 @@ class OperatorSpec extends SparkSpec {
       Seq("client", "exchange", "key", "seq", "ticker", "tombstone"))
   }
 
+  test("orc source: changelog roundtrip preserves types exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("orc-src").toString
+    val orig = Tables.shareHoldersChangelog(spark, sf0001).limit(100)
+    orig.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.count() == 100)
+    // orc is self-describing: names+types come back exact (unlike csv's
+    // inference); nullability widens on read, as for any file source
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      orig.schema.map(f => (f.name, f.dataType)))
+    assert(back.exceptAll(orig).isEmpty && orig.exceptAll(back).isEmpty)
+  }
+
   test("rate source smoke: streaming micro-batch from the rate format") {
     val q = spark.readStream.format("rate").option("rowsPerSecond", "100").load()
       .writeStream.format("memory").queryName("rate_smoke")

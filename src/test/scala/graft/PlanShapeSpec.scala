@@ -130,4 +130,29 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"))
     assert(p.contains("partial_sum"), "centroid means must partial-aggregate map-side")
   }
+
+  test("knn join: probes broadcast, top-k is a partial object aggregate, no window sort") {
+    val emb = Tables.table(spark, sf0001, "embeddings")
+    val p = plan(Similarity.knnJoin(emb, emb.filter(
+      org.apache.spark.sql.functions.col("vec_id") % 100 === 0), k = 3))
+    assert(p.contains("BroadcastExchange"), "probe set must broadcast")
+    // the typed TopKAggregator plans as ObjectHashAggregate with a partial
+    // pass — each task contributes k rows per probe, not the cross product
+    assert(p.contains("ObjectHashAggregate"), "top-k must be the bounded aggregator")
+    assert(!p.contains("Window"), "no row_number window sort over the cross product")
+  }
+
+  test("cluster stats: centroids broadcast, mean is a partial hash aggregate") {
+    val emb = Tables.table(spark, sf0001, "embeddings")
+    val p = plan(Similarity.kmeansClusterStats(emb))
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("partial_sum"), "cluster mean must partial-aggregate map-side")
+  }
+
+  test("tf-idf: two partial hash aggregations, no cartesian join") {
+    val docs = Tables.table(spark, sf0001, "documents")
+    val p = plan(graft.operators.TextAnalysis.tfidfTopTerms(docs))
+    assert(p.contains("partial_count"), "tf/df must partial-aggregate map-side")
+    assert(!p.contains("CartesianProduct"))
+  }
 }

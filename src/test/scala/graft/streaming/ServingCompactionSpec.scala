@@ -63,6 +63,18 @@ class ServingCompactionSpec extends SparkSpec {
     assert(serving.asMap == before + ("alice" -> Seq("alice:::TSLA")))
   }
 
+  test("auto-compaction keeps the partition count bounded under a stream") {
+    val dir = Files.createTempDirectory("serving-autocompact").toString
+    val serving = new ParquetServing(dir, viewName = "autocompact_view", compactEvery = 2)
+    (0L to 6L).foreach { i =>
+      serving.upsertBatch(views((s"c$i", Seq(s"c$i:::T"), false)), i)
+    }
+    // folds ran at batches 2/4/6; partitions stay at (base, max) + at most
+    // compactEvery recent ones instead of 7
+    assert(partitions(dir).size <= 3, s"got ${partitions(dir)}")
+    assert(serving.asMap == (0L to 6L).map(i => s"c$i" -> Seq(s"c$i:::T")).toMap)
+  }
+
   test("compact is a no-op below three batch partitions") {
     val dir = Files.createTempDirectory("serving-compact2").toString
     val serving = new ParquetServing(dir, viewName = "compact_spec_view2")
