@@ -258,6 +258,22 @@ object ExtensionOracleSql {
          |WHERE e.vec_id <> 0
          |ORDER BY sim DESC, e.vec_id LIMIT 5""".stripMargin,
 
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE j AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    round(${cos("a.embedding", "b.embedding")}, 6) AS sim
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+         |p AS (SELECT vec_a, vec_b FROM j WHERE sim >= 0.45),
+         |edges AS (
+         |  SELECT vec_a AS src, vec_b AS dst FROM p
+         |  UNION ALL SELECT vec_b, vec_a FROM p),
+         |reach AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+         |SELECT src AS vec_id, least(src, min(dst)) AS cluster_id
+         |FROM reach GROUP BY src ORDER BY vec_id""".stripMargin,
+
     "cluster_assign" ->
       s"""WITH cent0 AS (SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings WHERE vec_id < 4),
          |${lloydIterCte(1)},

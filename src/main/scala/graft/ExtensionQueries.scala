@@ -44,6 +44,15 @@ object ExtensionQueries {
       Similarity.quantizeInt8(emb(s, dir))),
     "simsearch_ivf" -> ((s, dir) =>
       Similarity.ivfTopK(emb(s, dir), probeId = 0L, k = 5, nlist = 4, nprobe = 3, iters = 4)),
+    "dedup_clusters" -> { (s, dir) =>
+      import org.apache.spark.sql.functions.col
+      // canonical-doc selection: collapse the near-dup pair graph into
+      // components; cluster_id = min member id
+      val pairs = Similarity.embeddingNearDupPairs(emb(s, dir), threshold = 0.45)
+      graft.operators.ConnectedComponents.components(pairs, "vec_a", "vec_b")
+        .select(col("node").as("vec_id"), col("cluster_id"))
+        .orderBy("vec_id")
+    },
     "cluster_assign" -> ((s, dir) =>
       Similarity.kmeansClusterStats(emb(s, dir), nlist = 4, iters = 2)),
     "knn_join" -> { (s, dir) =>

@@ -372,6 +372,21 @@ class OperatorSpec extends SparkSpec {
       Seq("client", "exchange", "key", "seq", "ticker", "tombstone"))
   }
 
+  test("connected components: chains collapse to min id, components stay isolated") {
+    import spark.implicits._
+    // chain 1-2, 2-3, 3-4 (diameter 3 => needs multiple propagation rounds),
+    // separate pair 10-11, clique 20-21, 20-22, 21-22
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (20L, 22L), (21L, 22L)).toDF("a", "b")
+    val got = graft.operators.ConnectedComponents.components(pairs, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+    // empty pair list => empty result, no crash
+    assert(graft.operators.ConnectedComponents.components(
+      Seq.empty[(Long, Long)].toDF("a", "b"), "a", "b").isEmpty)
+  }
+
   test("orc source: changelog roundtrip preserves types exactly") {
     val dir = java.nio.file.Files.createTempDirectory("orc-src").toString
     val orig = Tables.shareHoldersChangelog(spark, sf0001).limit(100)
