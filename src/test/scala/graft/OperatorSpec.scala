@@ -387,6 +387,33 @@ class OperatorSpec extends SparkSpec {
       Seq.empty[(Long, Long)].toDF("a", "b"), "a", "b").isEmpty)
   }
 
+  test("connected components agree with a local union-find on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42) // seeded: deterministic test
+    for (_ <- 1 to 3) {
+      val n = 40
+      val pairs = Seq.fill(30)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .distinct
+      // reference: classic union-find
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = parent.keys.toSeq.map(x => x -> find(x)).toMap // toSeq: find mutates the map
+      val got = graft.operators.ConnectedComponents
+        .components(pairs.toDF("a", "b"), "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"pairs=$pairs")
+    }
+  }
+
   test("orc source: changelog roundtrip preserves types exactly") {
     val dir = java.nio.file.Files.createTempDirectory("orc-src").toString
     val orig = Tables.shareHoldersChangelog(spark, sf0001).limit(100)
