@@ -350,6 +350,19 @@ object OracleSql {
         |  ON CAST(floor(o_totalprice / 60000) AS INT) = bucket
         |GROUP BY bucket ORDER BY bucket""".stripMargin,
 
+    "q40_gapfill" ->
+      s"""WITH ev AS ($eventsUs),
+         |b AS (SELECT date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1 FROM ev),
+         |spine AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour_start FROM b),
+         |agg AS (
+         |  SELECT date_trunc('hour', ts) AS hour_start, COUNT(*) AS n,
+         |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         |  FROM ev WHERE event_type = 'purchase' GROUP BY 1)
+         |SELECT CAST(spine.hour_start AS TIMESTAMP) AS hour_start,
+         |  COALESCE(n, 0) AS n, COALESCE(sum_value, 0.0) AS sum_value
+         |FROM spine LEFT JOIN agg ON agg.hour_start = spine.hour_start
+         |ORDER BY hour_start""".stripMargin,
+
     "q34_array_funcs" ->
       """SELECT p_partkey,
         |  COALESCE(array_to_string(list_sort(list_distinct(list_concat(string_split(p_type, ' '), string_split(p_brand, '#')))), '|'), '') AS union_w,

@@ -528,6 +528,30 @@ object Queries {
         |GROUP BY bucket ORDER BY bucket""".stripMargin)
   }
 
+  // ---------------------------------------------------------------- Q40
+  /** time-bucket resample with gap-fill: hourly counts/sums over a sparse
+    * event subset, with EVERY hour between the corpus min and max present
+    * (missing hours as zero rows) — the sequence + left-join spine idiom.
+    * The spine explodes from a one-row bounds aggregate (broadcast side),
+    * so no driver-side range materialization; the fact side keeps its
+    * partial+final hash aggregation.
+    */
+  def q40Gapfill(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir, "events")
+    val hours = ev
+      .agg(date_trunc("hour", min(col("ts"))).as("h0"),
+        date_trunc("hour", max(col("ts"))).as("h1"))
+      .select(explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("hour_start"))
+    val agg = ev.filter(col("event_type") === "purchase")
+      .groupBy(date_trunc("hour", col("ts")).as("hour_start"))
+      .agg(count(lit(1)).as("n"), sum(dec2(col("value"))).cast("double").as("sum_value"))
+    hours.join(agg, Seq("hour_start"), "left")
+      .select(col("hour_start"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
+      .orderBy("hour_start")
+  }
+
   /** Core relational surface, keyed by SURVEY.md §2.B query id. */
   val core: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_filter_project" -> (q1FilterProject _),
@@ -568,6 +592,7 @@ object Queries {
     "q36_pivot" -> (q36Pivot _),
     "q37_scalar_subquery" -> (q37ScalarSubquery _),
     "q38_exists_subquery" -> (q38ExistsSubquery _),
-    "q39_recursive_cte" -> (q39RecursiveCte _)
+    "q39_recursive_cte" -> (q39RecursiveCte _),
+    "q40_gapfill" -> (q40Gapfill _)
   )
 }
