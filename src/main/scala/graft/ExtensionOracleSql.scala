@@ -345,6 +345,18 @@ object ExtensionOracleSql {
          |WHERE rn <= 3
          |ORDER BY doc_id, rank""".stripMargin,
 
+    "text_unigram_nll" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($toksOf) AS term FROM documents),
+         |freq AS (SELECT term, COUNT(*) AS cnt FROM toks GROUP BY term),
+         |tot AS (SELECT SUM(cnt) AS total FROM freq),
+         |sc AS (
+         |  SELECT doc_id,
+         |    round(ln(CAST(total AS DOUBLE) / CAST(cnt AS DOUBLE)), 6) AS nll
+         |  FROM toks JOIN freq USING (term) CROSS JOIN tot)
+         |SELECT doc_id, COUNT(*) AS n_tokens,
+         |  round(CAST(SUM(CAST(nll AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS mean_nll
+         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "text_langid" ->
       s"""WITH prof(lang, word) AS (VALUES
          |  ('en','the'),('en','a'),('en','and'),('en','of'),('en','to'),('en','in'),('en','is'),('en','for'),('en','on'),('en','with'),

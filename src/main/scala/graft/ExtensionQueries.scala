@@ -77,6 +77,8 @@ object ExtensionQueries {
       TextAnalysis.gopherRules(docs(s, dir))),
     "text_tfidf" -> ((s, dir) =>
       TextAnalysis.tfidfTopTerms(docs(s, dir), k = 3)),
+    "text_unigram_nll" -> ((s, dir) =>
+      TextAnalysis.unigramLogprob(docs(s, dir))),
     "multimodal_features" -> { (s, dir) =>
       import org.apache.spark.sql.functions._
       // declared-surface encoding: feature values are integral by construction,

@@ -144,6 +144,30 @@ object TextAnalysis {
       .orderBy("doc_id", "rank")
   }
 
+  /** Unigram negative-log-likelihood scoring — the perplexity-style corpus
+    * quality filter (CCNet-family): docs whose tokens are improbable under
+    * the corpus unigram distribution score high. Shape at scale: explode +
+    * term-frequency hash agg, a one-row total broadcast, a term-keyed join
+    * back, one per-doc hash agg. Mean determinism: per-token NLLs rounded,
+    * summed exactly as decimal, divided once.
+    */
+  def unigramLogprob(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val toks = docs.select(col("doc_id"), explode(Text.tokens(col("text"))).as("term"))
+    val freq = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+    val total = broadcast(freq.agg(sum(col("cnt")).as("total")))
+    toks.join(freq, "term")
+      .crossJoin(total)
+      .withColumn("nll",
+        round(log(col("total").cast("double") / col("cnt").cast("double")), 6))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        round(sum(col("nll").cast(DecimalType(18, 6))).cast("double") / count(lit(1)), 6)
+          .as("mean_nll"))
+      .orderBy("doc_id")
+  }
+
   /** Token counting: whitespace tokens and BPE-ish regex tokens
     * (`[a-z0-9]+` runs over the lowercased text).
     */
