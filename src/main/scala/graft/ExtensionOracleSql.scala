@@ -73,6 +73,19 @@ object ExtensionOracleSql {
          |SELECT MIN(doc_id) AS canonical_id, COUNT(*) AS dup_count, norm_hash
          |FROM n GROUP BY norm_hash ORDER BY canonical_id""".stripMargin,
 
+    "dedup_edit_distance" ->
+      s"""WITH n AS (
+         |  SELECT doc_id,
+         |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS t
+         |  FROM documents),
+         |p AS (SELECT doc_id, len(t) AS l, substr(t, 1, 32) AS pre FROM n),
+         |c AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(levenshtein(a.pre, b.pre) AS INT) AS dist
+         |  FROM p a JOIN p b ON a.doc_id < b.doc_id AND abs(a.l - b.l) <= 16)
+         |SELECT doc_a, doc_b, dist FROM c WHERE dist <= 8
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
     "decontaminate" ->
       s"""WITH t AS (SELECT doc_id, $toksOf AS toks FROM documents),
          |s AS (SELECT doc_id, ${shinglesOf(5)} AS sh FROM t),

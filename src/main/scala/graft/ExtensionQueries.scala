@@ -32,6 +32,8 @@ object ExtensionQueries {
       Dedup.ngramJaccardCappedPairs(docs(s, dir), "doc_id", "text", k = 3, threshold = 0.5, maxDf = 50)),
     "dedup_normalized" -> ((s, dir) =>
       TextAnalysis.normalizedDedup(docs(s, dir))),
+    "dedup_edit_distance" -> ((s, dir) =>
+      Dedup.editDistancePairs(docs(s, dir), "doc_id", "text")),
     "decontaminate" -> { (s, dir) =>
       import org.apache.spark.sql.functions.col
       // deterministic synthetic holdout: every 97th doc plays the benchmark

@@ -311,4 +311,48 @@ object Dedup {
       .select("doc_a", "doc_b", "hamming")
       .orderBy("doc_a", "doc_b")
   }
+
+  /** Edit-distance fuzzy dedup: pairs whose normalized texts have
+    * |length difference| ≤ `maxLenDiff` AND whose `prefixLen`-char
+    * normalized prefixes are within `maxDist` Levenshtein edits — catches
+    * char-level mutations (typos, OCR noise) that token-shingle methods
+    * miss.
+    *
+    * Blocking: the length bound is enforced by BUCKET EQUI-JOINS, never an
+    * all-pairs comparison. With bucket width `maxLenDiff + 1`, a qualifying
+    * pair's buckets differ by at most 1, so candidates = same-bucket pairs
+    * (ordered `doc_a < doc_b`, each unordered pair compared ONCE) plus
+    * adjacent-bucket pairs (bucket k joined to k+1 — also once; the two
+    * branches are disjoint, so no dedup pass is needed). Candidate fan-out
+    * is bounded by the length histogram, and the quadratic Levenshtein only
+    * runs on the bounded prefix of length-compatible candidates.
+    */
+  def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
+                        maxDist: Int = 8, prefixLen: Int = 32,
+                        maxLenDiff: Int = 16): DataFrame = {
+    val w = maxLenDiff + 1
+    val base = spread(df, idCol).select(
+        col(idCol).as("doc_id"),
+        TextAnalysis.normalize(col(textCol)).as("t"))
+      .select(col("doc_id"), length(col("t")).as("len"),
+        substring(col("t"), 1, prefixLen).as("pre"))
+      .withColumn("bkt", floor(col("len") / w))
+    def cand(joinKeys: Column, ordered: Boolean) =
+      base.as("a").join(base.as("b"),
+          joinKeys &&
+            (if (ordered) col("a.doc_id") < col("b.doc_id") else lit(true)) &&
+            abs(col("a.len") - col("b.len")) <= maxLenDiff)
+        .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+          greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"),
+          col("a.pre").as("p1"), col("b.pre").as("p2"))
+    cand(col("a.bkt") === col("b.bkt"), ordered = true)
+      .union(cand(col("a.bkt") + lit(1L) === col("b.bkt"), ordered = false))
+      // thresholded levenshtein: banded DP, O(prefixLen * maxDist) per pair
+      // with early exit, returning -1 above the threshold — ~4x less work
+      // than the full O(prefixLen^2) distance at maxDist=8/prefixLen=32
+      .withColumn("dist", levenshtein(col("p1"), col("p2"), maxDist))
+      .filter(col("dist") >= 0)
+      .select("doc_a", "doc_b", "dist")
+      .orderBy("doc_a", "doc_b")
+  }
 }
