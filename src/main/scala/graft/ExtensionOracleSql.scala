@@ -492,6 +492,31 @@ object ExtensionOracleSql {
         |FROM ev e ASOF JOIN b ON e.user_id = b.user_id AND e.ts >= b.o_orderdate
         |ORDER BY e.event_id""".stripMargin,
 
+    "asof_tolerance" ->
+      """WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id FROM events),
+        |b AS (
+        |  SELECT o_custkey AS user_id, o_orderdate, o_orderkey, o_totalprice FROM orders
+        |  QUALIFY row_number() OVER (PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) = 1),
+        |m AS (
+        |  SELECT e.event_id, e.user_id, e.ts, b.o_orderdate, b.o_orderkey, b.o_totalprice
+        |  FROM ev e ASOF JOIN b ON e.user_id = b.user_id AND e.ts >= b.o_orderdate)
+        |SELECT event_id, user_id, ts, o_orderkey, o_totalprice FROM m
+        |WHERE epoch_us(ts) - epoch_us(CAST(o_orderdate AS TIMESTAMP)) <= 2592000000000
+        |ORDER BY event_id""".stripMargin,
+
+    "asof_forward" ->
+      """WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id FROM events),
+        |b AS (
+        |  SELECT o_custkey AS user_id, o_orderdate, o_orderkey, o_totalprice FROM orders
+        |  QUALIFY row_number() OVER (PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) = 1)
+        |SELECT event_id, user_id, ts, o_orderkey, o_totalprice
+        |FROM (
+        |  SELECT e.event_id, e.user_id, e.ts, b.o_orderkey, b.o_totalprice
+        |  FROM ev e JOIN b ON e.user_id = b.user_id
+        |    AND CAST(b.o_orderdate AS TIMESTAMP) >= e.ts
+        |  QUALIFY row_number() OVER (PARTITION BY e.event_id ORDER BY b.o_orderdate) = 1)
+        |ORDER BY event_id""".stripMargin,
+
     "sample_mix" ->
       s"""SELECT doc_id, source,
          |  ${h60("'mix:order:' || CAST(doc_id AS VARCHAR)")} % 10000 AS mix_order

@@ -147,6 +147,27 @@ object ExtensionQueries {
           col("o_orderkey"), col("o_totalprice"))
       graft.operators.AsOfJoin.asOf(probe, build, "user_id", "ts", "o_orderdate")
         .orderBy("event_id")
+    },
+    "asof_tolerance" -> { (s, dir) =>
+      import org.apache.spark.sql.functions.col
+      val probe = Tables.table(s, dir, "events").select("event_id", "user_id", "ts")
+      val build = Tables.table(s, dir, "orders")
+        .select(col("o_custkey").as("user_id"), col("o_orderdate"),
+          col("o_orderkey"), col("o_totalprice"))
+      // only matches within 30 days of the event
+      graft.operators.AsOfJoin.asOf(probe, build, "user_id", "ts", "o_orderdate",
+          toleranceMicros = Some(30L * 24 * 3600 * 1000000L))
+        .orderBy("event_id")
+    },
+    "asof_forward" -> { (s, dir) =>
+      import org.apache.spark.sql.functions.col
+      val probe = Tables.table(s, dir, "events").select("event_id", "user_id", "ts")
+      val build = Tables.table(s, dir, "orders")
+        .select(col("o_custkey").as("user_id"), col("o_orderdate"),
+          col("o_orderkey"), col("o_totalprice"))
+      graft.operators.AsOfJoin.asOf(probe, build, "user_id", "ts", "o_orderdate",
+          direction = "forward")
+        .orderBy("event_id")
     }
   )
 }
