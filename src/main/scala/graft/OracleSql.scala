@@ -363,6 +363,17 @@ object OracleSql {
          |FROM spine LEFT JOIN agg ON agg.hour_start = spine.hour_start
          |ORDER BY hour_start""".stripMargin,
 
+    "q41_sliding_window" ->
+      s"""WITH ev AS ($eventsUs),
+         |e2 AS (SELECT date_trunc('hour', ts) AS h, event_type, value FROM ev),
+         |w AS (
+         |  SELECT CAST(h AS TIMESTAMP) AS win_start, event_type, value FROM e2
+         |  UNION ALL
+         |  SELECT CAST(h - INTERVAL 1 HOUR AS TIMESTAMP), event_type, value FROM e2)
+         |SELECT win_start, event_type, COUNT(*) AS n,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "q34_array_funcs" ->
       """SELECT p_partkey,
         |  COALESCE(array_to_string(list_sort(list_distinct(list_concat(string_split(p_type, ' '), string_split(p_brand, '#')))), '|'), '') AS union_w,

@@ -552,6 +552,21 @@ object Queries {
       .orderBy("hour_start")
   }
 
+  // ---------------------------------------------------------------- Q41
+  /** hopping (sliding) time windows in batch form: 2-hour windows sliding by
+    * 1 hour — every event lands in exactly two windows. Spark's `window()`
+    * explodes the assignment; the aggregation stays partial+final.
+    */
+  def q41SlidingWindow(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "events")
+      .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dec2(col("value"))).cast("double").as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy("win_start", "event_type")
+
   /** Core relational surface, keyed by SURVEY.md §2.B query id. */
   val core: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_filter_project" -> (q1FilterProject _),
@@ -593,6 +608,7 @@ object Queries {
     "q37_scalar_subquery" -> (q37ScalarSubquery _),
     "q38_exists_subquery" -> (q38ExistsSubquery _),
     "q39_recursive_cte" -> (q39RecursiveCte _),
-    "q40_gapfill" -> (q40Gapfill _)
+    "q40_gapfill" -> (q40Gapfill _),
+    "q41_sliding_window" -> (q41SlidingWindow _)
   )
 }
