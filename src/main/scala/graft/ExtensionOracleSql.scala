@@ -538,6 +538,22 @@ object ExtensionOracleSql {
          |      FROM documents)
          |ORDER BY doc_id""".stripMargin,
 
+    "bloom_prefilter_join" ->
+      """SELECT c_nationkey, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "interval_bucket_join" ->
+      """WITH iv AS (
+        |  SELECT CAST(i AS INT) AS iv_id, i*25000.0 - 2500.0 AS lo, (i+1)*25000.0 + 2500.0 AS hi
+        |  FROM generate_series(0, 23) AS t(i))
+        |SELECT iv_id, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders JOIN iv ON o_totalprice >= lo AND o_totalprice < hi
+        |GROUP BY iv_id ORDER BY iv_id""".stripMargin,
+
     "multimodal_frames" ->
       """WITH f AS (
         |  SELECT doc_id, octet_length(encode(text)) AS len,

@@ -168,6 +168,41 @@ object ExtensionQueries {
       graft.operators.AsOfJoin.asOf(probe, build, "user_id", "ts", "o_orderdate",
           direction = "forward")
         .orderBy("event_id")
+    },
+    "bloom_prefilter_join" -> { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types.DecimalType
+      // runtime-filter pattern: Bloom-screen the fact before the shuffle;
+      // result must equal the plain join (that's the oracle)
+      val orders = Tables.table(s, dir, "orders").select("o_custkey", "o_totalprice")
+      val buildingCustomers = Tables.table(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("o_custkey"), col("c_nationkey"))
+      graft.operators.BloomPrefilter
+        .prefilteredInnerJoin(orders, buildingCustomers, "o_custkey", expectedItems = 100000L)
+        .groupBy("c_nationkey")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("total"))
+        .orderBy("c_nationkey")
+    },
+    "interval_bucket_join" -> { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types.DecimalType
+      // overlapping price bands (each point can match 2) — the bucketed
+      // equi-join must reproduce the BNLJ range join exactly
+      val intervals = s.range(0, 24).select(
+        col("id").cast("int").as("iv_id"),
+        (col("id") * 25000.0 - 2500.0).as("lo"),
+        ((col("id") + 1) * 25000.0 + 2500.0).as("hi"))
+      val orders = Tables.table(s, dir, "orders").select("o_orderkey", "o_totalprice")
+      graft.operators.IntervalJoin
+        .pointInInterval(orders, "o_totalprice", intervals, "lo", "hi", width = 25000.0)
+        .groupBy("iv_id")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("total"))
+        .orderBy("iv_id")
     }
   )
 }

@@ -439,4 +439,34 @@ class OperatorSpec extends SparkSpec {
   test("flagship entry returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("bloom prefilter join equals the plain join (no false negatives survive)") {
+    import org.apache.spark.sql.functions._
+    val orders = sources.Tables.table(spark, sf0001, "orders")
+      .select("o_custkey", "o_orderkey")
+    val dim = sources.Tables.table(spark, sf0001, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("o_custkey"), col("c_nationkey"))
+    val pre = operators.BloomPrefilter.prefilteredInnerJoin(orders, dim, "o_custkey")
+      .select("o_orderkey", "c_nationkey")
+    val plain = orders.join(dim, "o_custkey").select("o_orderkey", "c_nationkey")
+    assert(pre.exceptAll(plain).isEmpty && plain.exceptAll(pre).isEmpty)
+    assert(pre.count() > 0)
+  }
+
+  test("interval bucket join equals the BNLJ range join, overlaps included") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // overlapping intervals: points near band edges must match both bands
+    val iv = Seq((0, 0.0, 130.0), (1, 100.0, 230.0), (2, 200.0, 330.0))
+      .toDF("iv_id", "lo", "hi")
+    val pts = (0 until 350).map(_.toDouble).toDF("p")
+    val bucketed = operators.IntervalJoin.pointInInterval(pts, "p", iv, "lo", "hi", width = 100.0)
+      .select("p", "iv_id")
+    val bnlj = pts.join(iv, col("p") >= col("lo") && col("p") < col("hi"))
+      .select("p", "iv_id")
+    assert(bucketed.exceptAll(bnlj).isEmpty && bnlj.exceptAll(bucketed).isEmpty)
+    // points in [100,130) and [200,230) sit in two bands each
+    assert(bucketed.groupBy("p").count().filter(col("count") === 2).count() === 60)
+  }
 }

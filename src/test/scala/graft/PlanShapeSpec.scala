@@ -156,4 +156,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("partial_count"), "tf/df must partial-aggregate map-side")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("interval bucket join plans as an equi-join, never BNLJ") {
+    val p = plan(ExtensionQueries.all("interval_bucket_join")(spark, sf0001))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"bucketed interval join must stay an equi-join:\n$p")
+  }
+
+  test("bloom prefilter: membership probe filters the fact before the join") {
+    val p = plan(ExtensionQueries.all("bloom_prefilter_join")(spark, sf0001))
+    assert(p.contains("UDF"), s"expected the bloom probe in the fact-side filter:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
