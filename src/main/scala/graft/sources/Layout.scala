@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 
 /** Data-layout utilities for the 100 TB design point.
   *
@@ -84,6 +84,65 @@ object Layout {
       .sortWithinPartitions(cols.head, cols.tail: _*)
       .write
       .mode(mode)
+      .parquet(path)
+  }
+
+  /** Interleaved-bit z-value of two quantized columns (integers in
+    * `[0, 2^bits)`). Bit i of x lands at position 2i, bit i of y at 2i+1, so
+    * sorting by the z-value clusters BOTH dimensions at once — the
+    * multi-column analog of [[writeClustered]]'s single-key ordering. The
+    * fold builds a flat OR tree of shift/mask terms: pure codegen
+    * arithmetic, no UDF.
+    */
+  def zValue(qx: Column, qy: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
+    import org.apache.spark.sql.functions._
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(qx, i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(qy, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+  }
+
+  /** Z-order-cluster `df` into `numFiles` parquet files over two columns.
+    *
+    * Single-key clustering gives the second column a full-table min/max
+    * envelope in every file — predicates on it skip nothing. Z-ordering
+    * trades a little envelope tightness on the first column for bounded
+    * envelopes on both, so scans filtering either column (or both) skip
+    * files. `LayoutSpec` asserts both per-file envelopes shrink vs the
+    * single-key layout.
+    *
+    * Quantization bounds come from one partial+final min/max aggregate whose
+    * single row is broadcast back onto the data — no extra shuffle of the
+    * data itself. At 100 TB, substitute precomputed bounds from a stats
+    * table for the aggregate; the z-expression is unchanged.
+    */
+  def writeZOrdered(
+      df: DataFrame,
+      path: String,
+      numFiles: Int,
+      colX: String,
+      colY: String,
+      bits: Int = 16,
+      saveMode: SaveMode = SaveMode.Overwrite): Unit = {
+    import org.apache.spark.sql.functions._
+    val bounds = df.agg(
+      min(colX).cast("double").as("__xlo"), max(colX).cast("double").as("__xhi"),
+      min(colY).cast("double").as("__ylo"), max(colY).cast("double").as("__yhi"))
+    val top = (1L << bits) - 1
+    def quantize(c: Column, lo: Column, hi: Column) =
+      when(hi === lo, lit(0L))
+        .otherwise(floor((c.cast("double") - lo) / (hi - lo) * top))
+    df.crossJoin(broadcast(bounds))
+      .withColumn("__z", zValue(
+        quantize(col(colX), col("__xlo"), col("__xhi")),
+        quantize(col(colY), col("__ylo"), col("__yhi")), bits))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z", "__xlo", "__xhi", "__ylo", "__yhi")
+      .write
+      .mode(saveMode)
       .parquet(path)
   }
 

@@ -74,6 +74,41 @@ class LayoutSpec extends SparkSpec {
     assert(q.count() === orders.filter(col("o_custkey") === probe).count())
   }
 
+  test("z-order clusters both dimensions; single-key clustering only one") {
+    val orders = Tables.table(spark, sf0001, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+
+    // mean fraction of the global [min,max] span a file's envelope covers,
+    // per dimension — the quantity parquet min/max skipping cares about
+    def meanSpans(dir: String): (Double, Double) = {
+      val g = orders.agg(
+        max("o_custkey").cast("double").minus(min("o_custkey")).as("ck"),
+        max("o_totalprice").minus(min("o_totalprice")).as("tp")).head()
+      val perFile = spark.read.parquet(dir)
+        .groupBy(input_file_name())
+        .agg(
+          (max("o_custkey") - min("o_custkey")).cast("double").as("ck"),
+          (max("o_totalprice") - min("o_totalprice")).as("tp"))
+        .agg(avg("ck"), avg("tp")).head()
+      (perFile.getDouble(0) / g.getDouble(0), perFile.getDouble(1) / g.getDouble(1))
+    }
+
+    val zDir = Files.createTempDirectory("layout_zorder").toString
+    val kDir = Files.createTempDirectory("layout_singlekey").toString
+    Layout.writeZOrdered(orders, zDir, numFiles = 8, "o_custkey", "o_totalprice")
+    Layout.writeClustered(orders, kDir, numFiles = 8, Seq("o_custkey"))
+
+    assert(spark.read.parquet(zDir).count() === orders.count())
+    val (zCk, zTp) = meanSpans(zDir)
+    val (kCk, kTp) = meanSpans(kDir)
+    // single-key layout: custkey tight, totalprice envelope ≈ full span
+    assert(kCk < 0.5, s"single-key layout should cluster custkey (got $kCk)")
+    assert(kTp > 0.8, s"single-key layout leaves totalprice unclustered (got $kTp)")
+    // z-order: BOTH envelopes strictly bounded, and totalprice far better
+    assert(zCk < 0.8 && zTp < 0.8, s"z-order must bound both dims (got $zCk, $zTp)")
+    assert(zTp < kTp / 2, s"z-order should at least halve the second-dim envelope ($zTp vs $kTp)")
+  }
+
   test("directory-partitioned write prunes partitions at planning time") {
     val dir = Files.createTempDirectory("layout_partitioned").toString
     val orders = Tables.table(spark, sf0001, "orders")
