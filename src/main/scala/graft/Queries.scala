@@ -567,6 +567,23 @@ object Queries {
         col("n"), col("sum_value"))
       .orderBy("win_start", "event_type")
 
+  // ---------------------------------------------------------------- Q42
+  /** approx percentiles (GK sketch): the scale path for Q35 — exact
+    * percentiles sort every group; the sketch is one pass, merges map-side,
+    * and holds O(accuracy) memory per group regardless of group size. Sketch
+    * internals are engine-specific, so (like Q31's HLL) declared rows-only;
+    * `OperatorSpec` gates the values against Q35's exact percentiles.
+    */
+  def q42ApproxPercentile(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(expr("approx_percentile(o_totalprice, array(0.25, 0.5, 0.75), 10000)").as("aps"))
+      .select(col("o_orderpriority"),
+        round(col("aps")(0), 6).as("p25"),
+        round(col("aps")(1), 6).as("p50"),
+        round(col("aps")(2), 6).as("p75"))
+      .orderBy("o_orderpriority")
+
   /** Core relational surface, keyed by SURVEY.md §2.B query id. */
   val core: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_filter_project" -> (q1FilterProject _),
@@ -609,6 +626,7 @@ object Queries {
     "q38_exists_subquery" -> (q38ExistsSubquery _),
     "q39_recursive_cte" -> (q39RecursiveCte _),
     "q40_gapfill" -> (q40Gapfill _),
-    "q41_sliding_window" -> (q41SlidingWindow _)
+    "q41_sliding_window" -> (q41SlidingWindow _),
+    "q42_approx_percentile" -> (q42ApproxPercentile _)
   )
 }

@@ -440,6 +440,16 @@ class OperatorSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("q42 approx percentiles within 2% of the exact q35 values") {
+    val approx = Queries.q42ApproxPercentile(spark, sf0001).collect()
+      .map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val exact = Queries.q35Percentiles(spark, sf0001).collect()
+      .map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(approx.keySet === exact.keySet)
+    for (k <- exact.keySet; (a, e) <- approx(k).zip(exact(k)))
+      assert(math.abs(a - e) / e < 0.02, s"$k: approx $a vs exact $e")
+  }
+
   test("bloom prefilter join equals the plain join (no false negatives survive)") {
     import org.apache.spark.sql.functions._
     val orders = sources.Tables.table(spark, sf0001, "orders")
