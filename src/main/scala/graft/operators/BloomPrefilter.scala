@@ -23,7 +23,10 @@ import org.apache.spark.sql.functions._
   *
   * The membership probe is a Scala UDF (off-codegen): ~100 ns/row against
   * the I/O and network it saves. `expectedItems`/`fpp` size the sketch —
-  * 1 M keys at 1% fpp ≈ 1.2 MB, broadcast like any small-dim plan.
+  * 1 M keys at 1% fpp ≈ 1.2 MB, broadcast like any small-dim plan. The
+  * broadcast sketch lives until the context cleaner collects it; a
+  * long-lived service should build the filter once and reuse it across
+  * fact scans rather than calling this per query.
   */
 object BloomPrefilter {
 
@@ -33,10 +36,23 @@ object BloomPrefilter {
       key: String,
       expectedItems: Long = 1000000L,
       fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.types._
+    val keyType = fact.schema(key).dataType
+    keyType match {
+      case ByteType | ShortType | IntegerType | LongType | StringType | BinaryType => ()
+      case dt => throw new IllegalArgumentException(
+        s"bloom prefilter supports integral/string/binary keys, got $dt for '$key'")
+    }
     // treeAggregate on the dim side; the driver holds one sketch, not rows
-    val bloom = dim.stat.bloomFilter(key, expectedItems, fpp)
-    val bc = fact.sparkSession.sparkContext.broadcast(bloom)
-    val mightContain = udf((k: Long) => bc.value.mightContainLong(k))
+    val bc = fact.sparkSession.sparkContext
+      .broadcast(dim.stat.bloomFilter(key, expectedItems, fpp))
+    // the probe must put the SAME representation the builder did, or false
+    // negatives break the no-lost-rows contract — dispatch on the key type
+    val mightContain = keyType match {
+      case StringType => udf((k: String) => bc.value.mightContainString(k))
+      case BinaryType => udf((k: Array[Byte]) => bc.value.mightContainBinary(k))
+      case _ => udf((k: Long) => bc.value.mightContainLong(k))
+    }
     fact.filter(mightContain(col(key))).join(dim, Seq(key), "inner")
   }
 }

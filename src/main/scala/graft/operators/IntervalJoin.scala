@@ -23,20 +23,35 @@ import org.apache.spark.sql.functions._
   */
 object IntervalJoin {
 
-  /** Inner join of `points` to `intervals` on `lo <= p < hi`. */
+  /** Inner join of `points` to `intervals` on `lo <= p < hi`.
+    *
+    * `maxBucketsPerInterval` bounds replication: an interval spanning more
+    * buckets than that (a sentinel `hi`, or a `width` far below the longest
+    * interval) fails the job with a clear message instead of materializing a
+    * billion-element sequence per row.
+    */
   def pointInInterval(
       points: DataFrame,
       pointCol: String,
       intervals: DataFrame,
       loCol: String,
       hiCol: String,
-      width: Double): DataFrame = {
+      width: Double,
+      maxBucketsPerInterval: Int = 4096): DataFrame = {
     require(width > 0, "bucket width must be positive")
+    require(!points.columns.contains("__bucket") && !intervals.columns.contains("__bucket"),
+      "__bucket is reserved by pointInInterval")
     val p = points.withColumn("__bucket", floor(col(pointCol) / width))
+    val loB = floor(col(loCol) / width)
     // hi is exclusive, but replicating to its bucket anyway is harmless —
     // the exact predicate drops the spurious pairs
-    val iv = intervals.withColumn("__bucket",
-      explode(sequence(floor(col(loCol) / width), floor(col(hiCol) / width))))
+    val hiB = when(
+      floor(col(hiCol) / width) - loB < maxBucketsPerInterval,
+      floor(col(hiCol) / width))
+      .otherwise(raise_error(concat(
+        lit(s"interval spans >= $maxBucketsPerInterval buckets (increase width): lo="),
+        col(loCol).cast("string"), lit(" hi="), col(hiCol).cast("string"))))
+    val iv = intervals.withColumn("__bucket", explode(sequence(loB, hiB)))
     p.join(iv, Seq("__bucket"))
       .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
       .drop("__bucket")

@@ -127,6 +127,9 @@ object Layout {
       bits: Int = 16,
       saveMode: SaveMode = SaveMode.Overwrite): Unit = {
     import org.apache.spark.sql.functions._
+    val reserved = Seq("__z", "__xlo", "__xhi", "__ylo", "__yhi")
+    require(!df.columns.exists(reserved.contains),
+      s"${reserved.mkString("/")} are reserved by writeZOrdered")
     val bounds = df.agg(
       min(colX).cast("double").as("__xlo"), max(colX).cast("double").as("__xhi"),
       min(colY).cast("double").as("__ylo"), max(colY).cast("double").as("__yhi"))

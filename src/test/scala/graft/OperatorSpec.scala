@@ -464,6 +464,28 @@ class OperatorSpec extends SparkSpec {
     assert(pre.count() > 0)
   }
 
+  test("bloom prefilter dispatches string keys (probe matches builder repr)") {
+    import spark.implicits._
+    val dim = Seq("a", "b", "c").toDF("k")
+    val fact = Seq("a", "b", "x", "y").toDF("k")
+    val out = operators.BloomPrefilter.prefilteredInnerJoin(fact, dim, "k", expectedItems = 100L)
+    assert(out.select("k").collect().map(_.getString(0)).sorted.toSeq === Seq("a", "b"))
+    val bad = Seq(1.5).toDF("k")
+    intercept[IllegalArgumentException] {
+      operators.BloomPrefilter.prefilteredInnerJoin(bad, bad, "k")
+    }
+  }
+
+  test("interval join fails fast when an interval spans too many buckets") {
+    import spark.implicits._
+    val iv = Seq((0, 0.0, 1e12)).toDF("iv_id", "lo", "hi")
+    val pts = Seq(1.0).toDF("p")
+    val e = intercept[Exception] {
+      operators.IntervalJoin.pointInInterval(pts, "p", iv, "lo", "hi", width = 1.0).count()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("interval bucket join equals the BNLJ range join, overlaps included") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -163,9 +163,22 @@ class PlanShapeSpec extends SparkSpec {
       s"bucketed interval join must stay an equi-join:\n$p")
   }
 
-  test("bloom prefilter: membership probe filters the fact before the join") {
-    val p = plan(ExtensionQueries.all("bloom_prefilter_join")(spark, sf0001))
-    assert(p.contains("UDF"), s"expected the bloom probe in the fact-side filter:\n$p")
-    assert(!p.contains("CartesianProduct"))
+  test("bloom prefilter: membership probe filters the fact BELOW the join") {
+    import org.apache.spark.sql.execution.FilterExec
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    val df = ExtensionQueries.all("bloom_prefilter_join")(spark, sf0001)
+    // collect() does not descend into AdaptiveSparkPlanExec — unwrap it
+    val exec = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val joins = exec.collect { case j: BaseJoinExec => j }
+    assert(joins.nonEmpty, s"expected a join:\n$exec")
+    // the probe must be a Filter in a join child's subtree — filtering the
+    // fact before the exchange is the whole point of the operator
+    val probeBelowJoin = joins.exists(j => (j.left +: j.right +: Nil).exists(
+      _.collect { case f: FilterExec if f.condition.toString.contains("UDF") => f }.nonEmpty))
+    assert(probeBelowJoin, s"bloom probe filter must sit below the join:\n$exec")
+    assert(!exec.toString.contains("CartesianProduct"))
   }
 }

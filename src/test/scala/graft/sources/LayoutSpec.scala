@@ -16,6 +16,19 @@ class LayoutSpec extends SparkSpec {
   private def planOf(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  /** Temp dir deleted when the body finishes (each holds a parquet copy of a
+    * fixture — repeated runs must not accumulate disk).
+    */
+  private def withTempDir(prefix: String)(body: String => Unit): Unit = {
+    val dir = Files.createTempDirectory(prefix)
+    try body(dir.toString)
+    finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("bucketed tables join with no shuffle exchange and match the plain join") {
     val orders = Tables.table(spark, sf0001, "orders")
       .select("o_orderkey", "o_custkey", "o_totalprice")
@@ -47,7 +60,7 @@ class LayoutSpec extends SparkSpec {
   }
 
   test("range-clustered files cover disjoint key ranges and push the filter") {
-    val dir = Files.createTempDirectory("layout_clustered").toString
+    withTempDir("layout_clustered") { dir =>
     val orders = Tables.table(spark, sf0001, "orders")
     Layout.writeClustered(orders, dir, numFiles = 4, cols = Seq("o_custkey"))
 
@@ -72,6 +85,7 @@ class LayoutSpec extends SparkSpec {
     assert(p.contains("PushedFilters") && p.contains("EqualTo(o_custkey"),
       s"filter must reach the parquet scan:\n$p")
     assert(q.count() === orders.filter(col("o_custkey") === probe).count())
+    }
   }
 
   test("z-order clusters both dimensions; single-key clustering only one") {
@@ -93,31 +107,35 @@ class LayoutSpec extends SparkSpec {
       (perFile.getDouble(0) / g.getDouble(0), perFile.getDouble(1) / g.getDouble(1))
     }
 
-    val zDir = Files.createTempDirectory("layout_zorder").toString
-    val kDir = Files.createTempDirectory("layout_singlekey").toString
-    Layout.writeZOrdered(orders, zDir, numFiles = 8, "o_custkey", "o_totalprice")
-    Layout.writeClustered(orders, kDir, numFiles = 8, Seq("o_custkey"))
+    withTempDir("layout_zorder") { zDir =>
+      withTempDir("layout_singlekey") { kDir =>
+        Layout.writeZOrdered(orders, zDir, numFiles = 8, "o_custkey", "o_totalprice")
+        Layout.writeClustered(orders, kDir, numFiles = 8, Seq("o_custkey"))
 
-    assert(spark.read.parquet(zDir).count() === orders.count())
-    val (zCk, zTp) = meanSpans(zDir)
-    val (kCk, kTp) = meanSpans(kDir)
-    // single-key layout: custkey tight, totalprice envelope ≈ full span
-    assert(kCk < 0.5, s"single-key layout should cluster custkey (got $kCk)")
-    assert(kTp > 0.8, s"single-key layout leaves totalprice unclustered (got $kTp)")
-    // z-order: BOTH envelopes strictly bounded, and totalprice far better
-    assert(zCk < 0.8 && zTp < 0.8, s"z-order must bound both dims (got $zCk, $zTp)")
-    assert(zTp < kTp / 2, s"z-order should at least halve the second-dim envelope ($zTp vs $kTp)")
+        assert(spark.read.parquet(zDir).count() === orders.count())
+        val (zCk, zTp) = meanSpans(zDir)
+        val (kCk, kTp) = meanSpans(kDir)
+        // single-key layout: custkey tight, totalprice envelope ≈ full span
+        assert(kCk < 0.5, s"single-key layout should cluster custkey (got $kCk)")
+        assert(kTp > 0.8, s"single-key layout leaves totalprice unclustered (got $kTp)")
+        // z-order: BOTH envelopes strictly bounded, and totalprice far better
+        assert(zCk < 0.8 && zTp < 0.8, s"z-order must bound both dims (got $zCk, $zTp)")
+        assert(zTp < kTp / 2,
+          s"z-order should at least halve the second-dim envelope ($zTp vs $kTp)")
+      }
+    }
   }
 
   test("directory-partitioned write prunes partitions at planning time") {
-    val dir = Files.createTempDirectory("layout_partitioned").toString
-    val orders = Tables.table(spark, sf0001, "orders")
-    Layout.writePartitioned(orders, dir, Seq("o_orderstatus"))
+    withTempDir("layout_partitioned") { dir =>
+      val orders = Tables.table(spark, sf0001, "orders")
+      Layout.writePartitioned(orders, dir, Seq("o_orderstatus"))
 
-    val q = spark.read.parquet(dir).filter(col("o_orderstatus") === "F")
-    val p = planOf(q)
-    assert(p.contains("PartitionFilters") && p.contains("o_orderstatus"),
-      s"expected a partition filter in the scan:\n$p")
-    assert(q.count() === orders.filter(col("o_orderstatus") === "F").count())
+      val q = spark.read.parquet(dir).filter(col("o_orderstatus") === "F")
+      val p = planOf(q)
+      assert(p.contains("PartitionFilters") && p.contains("o_orderstatus"),
+        s"expected a partition filter in the scan:\n$p")
+      assert(q.count() === orders.filter(col("o_orderstatus") === "F").count())
+    }
   }
 }
