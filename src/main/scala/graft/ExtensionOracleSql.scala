@@ -538,6 +538,19 @@ object ExtensionOracleSql {
          |      FROM documents)
          |ORDER BY doc_id""".stripMargin,
 
+    "doc_chunk" ->
+      s"""WITH t AS (SELECT doc_id, $toksOf AS toks FROM documents),
+         |d AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+         |c AS (
+         |  SELECT doc_id, toks, n,
+         |    unnest(generate_series(0,
+         |      GREATEST(1, CAST(ceil((n - 16) / 48.0) AS INT)) - 1)) AS i
+         |  FROM d)
+         |SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+         |  CAST(LEAST(64, n - i * 48) AS INT) AS n_tokens,
+         |  array_to_string(toks[i*48+1 : i*48+64], ' ') AS chunk_text
+         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+
     "bloom_prefilter_join" ->
       """SELECT c_nationkey, COUNT(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total

@@ -81,6 +81,8 @@ object ExtensionQueries {
       TextAnalysis.tfidfTopTerms(docs(s, dir), k = 3)),
     "text_unigram_nll" -> ((s, dir) =>
       TextAnalysis.unigramLogprob(docs(s, dir))),
+    "doc_chunk" -> ((s, dir) =>
+      TextAnalysis.chunkDocuments(docs(s, dir), chunkSize = 64, overlap = 16)),
     "multimodal_features" -> { (s, dir) =>
       import org.apache.spark.sql.functions._
       // declared-surface encoding: feature values are integral by construction,

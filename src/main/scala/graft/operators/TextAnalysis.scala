@@ -268,4 +268,36 @@ object TextAnalysis {
         Hashing.hash60(col("text"))).as("fingerprint"))
       .orderBy("doc_id")
   }
+
+  /** Token-window document chunking: fixed `chunkSize`-token chunks striding
+    * by `chunkSize - overlap`, so consecutive chunks share `overlap` tokens —
+    * the context-length-bounded example prep every training pipeline runs
+    * before tokenization proper. Every token lands in at least one chunk; a
+    * document shorter than `chunkSize` yields exactly one chunk.
+    *
+    * Shape at scale: tokenize + `explode(sequence(...))` + `slice` is a
+    * narrow, codegen'd pipeline — chunk count rides the row, no shuffle at
+    * all until whatever consumes the chunks. Output rows ≈ input tokens /
+    * (chunkSize - overlap), each carrying only its own slice of text.
+    */
+  def chunkDocuments(docs: DataFrame, chunkSize: Int = 64, overlap: Int = 16): DataFrame = {
+    require(overlap >= 0 && chunkSize > overlap, "need chunkSize > overlap >= 0")
+    val step = chunkSize - overlap
+    docs
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .filter(col("n") > 0)
+      // smallest m with (m-1)*step + chunkSize >= n, at least 1
+      .withColumn("nchunks",
+        greatest(lit(1), ceil((col("n") - lit(overlap)).cast("double") / step).cast("int")))
+      .select(col("doc_id"), col("toks"), col("n"),
+        explode(sequence(lit(0), col("nchunks") - 1)).as("chunk_idx"))
+      .select(
+        col("doc_id"),
+        col("chunk_idx"),
+        least(lit(chunkSize), col("n") - col("chunk_idx") * step).cast("int").as("n_tokens"),
+        array_join(slice(col("toks"), col("chunk_idx") * step + 1, lit(chunkSize)), " ")
+          .as("chunk_text"))
+      .orderBy("doc_id", "chunk_idx")
+  }
 }

@@ -464,6 +464,25 @@ class OperatorSpec extends SparkSpec {
     assert(pre.count() > 0)
   }
 
+  test("doc chunking: full coverage, exact overlap, short docs one chunk") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 100).map(i => s"w$i").mkString(" ")), // 100 tokens -> 2 chunks
+      (2L, "only three tokens"),                        // < chunkSize -> 1 chunk
+      (3L, (1 to 64).map(i => s"x$i").mkString(" ")))   // exactly chunkSize -> 1
+      .toDF("doc_id", "text")
+    val out = operators.TextAnalysis.chunkDocuments(docs, chunkSize = 64, overlap = 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    assert(out.count(_._1 == 1L) === 2 && out.count(_._1 == 2L) === 1 &&
+      out.count(_._1 == 3L) === 1)
+    val Array(c0, c1) = out.filter(_._1 == 1L).sortBy(_._2).map(_._4.split(" ").toSeq)
+    assert(c0.size === 64 && c1.size === 52, "chunk sizes")
+    assert(c0.drop(48) === c1.take(16), "consecutive chunks share exactly `overlap` tokens")
+    assert((c0 ++ c1).distinct.size === 100, "every token covered")
+    assert(out.filter(_._1 == 2L).head._3 === 3)
+  }
+
   test("bloom prefilter dispatches string keys (probe matches builder repr)") {
     import spark.implicits._
     val dim = Seq("a", "b", "c").toDF("k")
