@@ -525,6 +525,16 @@ object ExtensionOracleSql {
          |  CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 5000 WHEN 'src2' THEN 2500 ELSE -1 END
          |ORDER BY mix_order, doc_id""".stripMargin,
 
+    "sample_cap_per_group" ->
+      s"""SELECT source, doc_id FROM (
+         |  SELECT source, doc_id,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY (${h60("'quota:' || CAST(doc_id AS VARCHAR)")} % 1125899906842624) DESC,
+         |               doc_id) AS rk
+         |  FROM documents)
+         |WHERE rk <= 50
+         |ORDER BY source, doc_id""".stripMargin,
+
     "sample_stratified" ->
       s"""SELECT doc_id, lang FROM documents
          |WHERE ${h60("'strata:' || CAST(doc_id AS VARCHAR)")} % 10000 <

@@ -105,6 +105,8 @@ object ExtensionQueries {
     "sample_split" -> ((s, dir) =>
       Sampling.split(docs(s, dir), "doc_id", trainFrac = 0.8, validFrac = 0.1)
         .select("doc_id", "split").orderBy("doc_id")),
+    "sample_cap_per_group" -> ((s, dir) =>
+      Sampling.capPerGroup(docs(s, dir), "doc_id", "source", maxPerGroup = 50)),
     "sample_mix" -> ((s, dir) =>
       Sampling.mixSources(docs(s, dir), "doc_id", "source",
         Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25))

@@ -61,4 +61,33 @@ object Sampling {
         .when(b < ((trainFrac + validFrac) * 10000).toLong, "valid")
         .otherwise("test"))
   }
+
+  /** Cap each group at `maxPerGroup` rows — the corpus-balancing rule
+    * ("at most N documents per domain/source"), selected deterministically
+    * by key hash so the kept set is stable across runs and partitionings.
+    *
+    * Selection rides [[TopKAggregator]] (score = hash, desc), NOT
+    * `row_number() OVER`: the window form sorts every row of every group,
+    * while the bounded buffer ships at most `maxPerGroup` rows per group per
+    * map task through the shuffle — the same reasoning as `grouped_topk`,
+    * which matters precisely when a group is hot enough to need capping.
+    * The hash is folded into 2^50 so its double image is exact (53-bit
+    * mantissa) and the ordering matches the oracle's integer sort.
+    */
+  def capPerGroup(df: DataFrame, keyCol: String, groupCol: String, maxPerGroup: Int,
+                  salt: String = "quota"): DataFrame = {
+    import df.sparkSession.implicits._
+    val hashed = df.select(
+      col(groupCol).cast("string").as("g"),
+      col(keyCol).cast("long").as("id"),
+      pmod(Hashing.hash60(concat(lit(salt), lit(":"), col(keyCol).cast("string"))),
+        lit(1L << 50)).cast("double").as("h"))
+    hashed.as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(t => TopKAggregator.Scored(t._3, t._2))
+      .agg(TopKAggregator(maxPerGroup).toColumn.name("sel"))
+      .toDF("g", "sel")
+      .select(col("g").as(groupCol), explode(col("sel.id")).as(keyCol))
+      .orderBy(groupCol, keyCol)
+  }
 }

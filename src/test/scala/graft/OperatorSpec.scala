@@ -464,6 +464,45 @@ class OperatorSpec extends SparkSpec {
     assert(pre.count() > 0)
   }
 
+  test("capPerGroup: hot group capped, small group intact, matches window form") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val docs = ((1 to 100).map(i => (i.toLong, "hot")) ++ (101 to 130).map(i => (i.toLong, "cold")))
+      .toDF("doc_id", "source")
+    val out = operators.Sampling.capPerGroup(docs, "doc_id", "source", maxPerGroup = 50)
+    val counts = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts === Map("hot" -> 50L, "cold" -> 30L))
+    // the bounded-aggregator selection must equal the window-sort reference
+    val h = pmod(graft.functions.Hashing.hash60(
+      concat(lit("quota:"), col("doc_id").cast("string"))), lit(1L << 50))
+    val ref = docs
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("source").orderBy(h.desc, col("doc_id"))))
+      .filter(col("rk") <= 50).select("source", "doc_id")
+    assert(out.exceptAll(ref).isEmpty && ref.exceptAll(out).isEmpty)
+  }
+
+  test("interval bucket join equals BNLJ on seeded random intervals and points") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val iv = (0 until 40).map { i =>
+      val lo = rnd.nextDouble() * 1000
+      (i, lo, lo + rnd.nextDouble() * 120) // lengths 0..120, width below/above
+    }.toDF("iv_id", "lo", "hi")
+    val pts = (0 until 2000).map(_ => rnd.nextDouble() * 1100).toDF("p")
+    for (width <- Seq(25.0, 80.0, 300.0)) {
+      val bucketed = operators.IntervalJoin
+        .pointInInterval(pts, "p", iv, "lo", "hi", width).select("p", "iv_id")
+      val bnlj = pts.join(iv, col("p") >= col("lo") && col("p") < col("hi"))
+        .select("p", "iv_id")
+      assert(bucketed.exceptAll(bnlj).isEmpty && bnlj.exceptAll(bucketed).isEmpty,
+        s"mismatch at width=$width")
+    }
+  }
+
   test("doc chunking: full coverage, exact overlap, short docs one chunk") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
@@ -481,6 +520,30 @@ class OperatorSpec extends SparkSpec {
     assert(c0.drop(48) === c1.take(16), "consecutive chunks share exactly `overlap` tokens")
     assert((c0 ++ c1).distinct.size === 100, "every token covered")
     assert(out.filter(_._1 == 2L).head._3 === 3)
+  }
+
+  test("doc chunking invariants hold for every token count 1..200") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val (size, overlap) = (64, 16)
+    val step = size - overlap
+    val docs = (1 to 200).map(n => (n.toLong, (1 to n).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val per = operators.TextAnalysis.chunkDocuments(docs, size, overlap)
+      .groupBy("doc_id").agg(
+        (max("chunk_idx") + 1).as("m"),
+        sum("n_tokens").as("tok_sum"),
+        min("n_tokens").as("min_tok"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2), r.getInt(3))).toMap
+    assert(per.size === 200)
+    for (n <- 1 to 200) {
+      val (m, tokSum, minTok) = per(n.toLong)
+      val expectM = math.max(1, math.ceil((n - overlap).toDouble / step).toInt)
+      assert(m === expectM, s"n=$n chunk count")
+      // chunks cover all n tokens, re-counting each overlap region once
+      assert(tokSum === n + (m - 1) * overlap, s"n=$n coverage")
+      assert(minTok >= 1, s"n=$n empty chunk")
+    }
   }
 
   test("bloom prefilter dispatches string keys (probe matches builder repr)") {
