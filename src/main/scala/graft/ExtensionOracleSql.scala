@@ -584,6 +584,21 @@ object ExtensionOracleSql {
         |  FROM documents)
         |SELECT doc_id, CAST(i AS INT) AS frame_idx,
         |  CAST(least(16, len - i * 16) AS INT) AS n_bytes
-        |FROM f ORDER BY doc_id, frame_idx""".stripMargin
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // full recompute over the whole changelog — the delta-maintained
+    // aggregate must land on exactly this
+    "view_maintain" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, value, CAST(ts AS TIMESTAMP) AS ts, event_id
+        |  FROM events),
+        |latest AS (
+        |  SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM ev)
+        |SELECT event_type, COUNT(*) AS n_users,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM latest WHERE rn = 1
+        |GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

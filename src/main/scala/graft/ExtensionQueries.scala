@@ -207,6 +207,33 @@ object ExtensionQueries {
           count(lit(1)).as("n"),
           sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("total"))
         .orderBy("iv_id")
+    },
+    "view_maintain" -> { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      import graft.operators.{LatestPerKey, ViewMaintenance}
+      // The reference's adder/subtractor aggregation (kafka_streams.clj:72-80)
+      // as batch delta maintenance: materialize the latest-event view and its
+      // per-type aggregate over the FIRST half of the changelog, then apply
+      // the second half as a delta batch. The oracle recomputes from the full
+      // changelog — equality proves the subtractor (old contribution removed),
+      // the adder (new contribution added), and the re-key path (a user whose
+      // latest event_type changes between halves moves groups).
+      val ev = Tables.table(s, dir, "events")
+        .select("user_id", "event_type", "value", "ts", "event_id")
+      val cut = ev.agg(
+        ((min(col("ts")).cast("long") + max(col("ts")).cast("long")) / 2)
+          .cast("timestamp").as("cut"))
+      val withCut = ev.crossJoin(broadcast(cut))
+      val base = withCut.filter(col("ts") < col("cut")).drop("cut")
+      val delta = withCut.filter(col("ts") >= col("cut")).drop("cut")
+      val baseView = LatestPerKey(base, Seq("user_id"), Seq("ts", "event_id"))
+      val baseAgg = ViewMaintenance.aggregateView(baseView, "event_type", "value")
+      val deltaLatest = LatestPerKey(delta, Seq("user_id"), Seq("ts", "event_id"))
+      ViewMaintenance
+        .maintainAgg(baseView, baseAgg, deltaLatest, "user_id", "event_type", "value")
+        .select(col("event_type"), col("n").as("n_users"),
+          col("sum_value").cast("double").as("sum_value"))
+        .orderBy("event_type")
     }
   )
 }

@@ -382,6 +382,32 @@ object OracleSql {
         |  list_contains(string_split(p_type, ' '), 'BRUSHED') AS has_brushed,
         |  COALESCE(array_to_string(list_slice(list_sort(string_split(p_type, ' ')), 1, 2), '|'), '') AS first_two,
         |  CAST(len(string_split(p_type, ' ')) AS INT) AS n_words
-        |FROM part ORDER BY p_partkey""".stripMargin
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q43_lateral_join" ->
+      """SELECT c.o_custkey, t.o_orderkey, t.o_totalprice
+        |FROM (SELECT DISTINCT o_custkey FROM orders WHERE o_custkey < 20) c,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+        |         WHERE o.o_custkey = c.o_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        |ORDER BY c.o_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin,
+
+    "q44_unpivot" ->
+      """WITH w AS (
+        |  SELECT l_returnflag,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |    CAST(COUNT(*) AS DOUBLE) AS n_rows
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM w
+        |UNION ALL SELECT l_returnflag, 'sum_price', sum_price FROM w
+        |UNION ALL SELECT l_returnflag, 'n_rows', n_rows FROM w
+        |ORDER BY l_returnflag, metric""".stripMargin,
+
+    "q45_listagg" ->
+      """SELECT p_brand,
+        |  string_agg(DISTINCT p_type, '|' ORDER BY p_type) AS types,
+        |  COUNT(DISTINCT p_type) AS n_types
+        |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin
   )
 }

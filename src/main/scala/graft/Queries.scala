@@ -584,6 +584,58 @@ object Queries {
         round(col("aps")(2), 6).as("p75"))
       .orderBy("o_orderpriority")
 
+  // ---------------------------------------------------------------- Q43
+  /** LATERAL join: per-customer top-2 orders via a correlated lateral
+    * subquery with ORDER BY + LIMIT. Catalyst decorrelates this to a
+    * window/limit over the joined side — no per-outer-row re-execution —
+    * which is what makes the construct usable at scale (the naive
+    * interpretation is a nested loop over every customer).
+    */
+  def q43LateralJoin(s: SparkSession, dir: String): DataFrame = {
+    T(s, dir, "orders").createOrReplaceTempView("orders_lat")
+    s.sql(
+      """SELECT c.o_custkey, t.o_orderkey, t.o_totalprice
+        |FROM (SELECT DISTINCT o_custkey FROM orders_lat WHERE o_custkey < 20) c,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM orders_lat o
+        |         WHERE o.o_custkey = c.o_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        |ORDER BY c.o_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin)
+  }
+
+  // ---------------------------------------------------------------- Q44
+  /** UNPIVOT (wide → long): a wide per-flag aggregate melted into
+    * (flag, metric, value) rows. The unpivot itself is a narrow generator —
+    * no shuffle beyond the aggregation that produced the wide frame.
+    */
+  def q44Unpivot(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec2(col("l_extendedprice"))).cast("double").as("sum_price"),
+        count(lit(1)).cast("double").as("n_rows"))
+      .unpivot(
+        Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price"), col("n_rows")),
+        "metric", "value")
+      .orderBy("l_returnflag", "metric")
+
+  // ---------------------------------------------------------------- Q45
+  /** LISTAGG (ordered string aggregation): distinct part types per brand,
+    * '|'-joined in lexical order. Duplicate elimination plus the WITHIN
+    * GROUP order make the result deterministic across engines.
+    */
+  def q45Listagg(s: SparkSession, dir: String): DataFrame = {
+    // SQL form: WITHIN GROUP only parses as part of a SQL aggregate call
+    // (the expr()-inside-agg() form miscasts the sort key in Spark 4.1)
+    T(s, dir, "part").createOrReplaceTempView("part_la")
+    s.sql(
+      """SELECT p_brand,
+        |  listagg(DISTINCT p_type, '|') WITHIN GROUP (ORDER BY p_type) AS types,
+        |  COUNT(DISTINCT p_type) AS n_types
+        |FROM part_la GROUP BY p_brand ORDER BY p_brand""".stripMargin)
+  }
+
   /** Core relational surface, keyed by SURVEY.md §2.B query id. */
   val core: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_filter_project" -> (q1FilterProject _),
@@ -627,6 +679,9 @@ object Queries {
     "q39_recursive_cte" -> (q39RecursiveCte _),
     "q40_gapfill" -> (q40Gapfill _),
     "q41_sliding_window" -> (q41SlidingWindow _),
-    "q42_approx_percentile" -> (q42ApproxPercentile _)
+    "q42_approx_percentile" -> (q42ApproxPercentile _),
+    "q43_lateral_join" -> (q43LateralJoin _),
+    "q44_unpivot" -> (q44Unpivot _),
+    "q45_listagg" -> (q45Listagg _)
   )
 }
