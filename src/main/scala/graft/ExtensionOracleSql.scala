@@ -548,6 +548,73 @@ object ExtensionOracleSql {
          |      FROM documents)
          |ORDER BY doc_id""".stripMargin,
 
+    // doc_pack / doc_pack_stats: the chunk CTEs mirror doc_chunk, then the
+    // recursive CTE replays EXACTLY the engine's sharded next-fit walk —
+    // rn advances per shard, a chunk joins the open bin iff it fits.
+    "doc_pack" ->
+      s"""WITH RECURSIVE
+         |t AS (SELECT doc_id, $toksOf AS toks FROM documents),
+         |d AS (SELECT doc_id, len(toks) AS n FROM t WHERE len(toks) > 0),
+         |c AS (
+         |  SELECT doc_id, n,
+         |    unnest(generate_series(0,
+         |      GREATEST(1, CAST(ceil((n - 16) / 48.0) AS INT)) - 1)) AS i
+         |  FROM d),
+         |k AS (
+         |  SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+         |    CAST(LEAST(64, n - i * 48) AS INT) AS n_tokens,
+         |    ${h60("'pack:' || CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)")} AS h
+         |  FROM c),
+         |s AS (
+         |  SELECT doc_id, chunk_idx, n_tokens, h, CAST(h % 8 AS INT) AS shard,
+         |    row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id, chunk_idx) AS rn
+         |  FROM k),
+         |r AS (
+         |  SELECT shard, rn, doc_id, chunk_idx, n_tokens,
+         |    0 AS bin, n_tokens AS fill, 0 AS pack_pos
+         |  FROM s WHERE rn = 1
+         |  UNION ALL
+         |  SELECT s.shard, s.rn, s.doc_id, s.chunk_idx, s.n_tokens,
+         |    CASE WHEN r.fill + s.n_tokens <= 512 THEN r.bin ELSE r.bin + 1 END,
+         |    CASE WHEN r.fill + s.n_tokens <= 512 THEN r.fill + s.n_tokens ELSE s.n_tokens END,
+         |    CASE WHEN r.fill + s.n_tokens <= 512 THEN r.pack_pos + 1 ELSE 0 END
+         |  FROM r JOIN s ON s.shard = r.shard AND s.rn = r.rn + 1)
+         |SELECT CAST(doc_id AS BIGINT) AS doc_id, chunk_idx, n_tokens, shard,
+         |  CAST(bin AS INT) AS bin, CAST(pack_pos AS INT) AS pack_pos
+         |FROM r ORDER BY shard, bin, pack_pos""".stripMargin,
+
+    "doc_pack_stats" ->
+      s"""WITH RECURSIVE
+         |t AS (SELECT doc_id, $toksOf AS toks FROM documents),
+         |d AS (SELECT doc_id, len(toks) AS n FROM t WHERE len(toks) > 0),
+         |c AS (
+         |  SELECT doc_id, n,
+         |    unnest(generate_series(0,
+         |      GREATEST(1, CAST(ceil((n - 16) / 48.0) AS INT)) - 1)) AS i
+         |  FROM d),
+         |k AS (
+         |  SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+         |    CAST(LEAST(64, n - i * 48) AS INT) AS n_tokens,
+         |    ${h60("'pack:' || CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)")} AS h
+         |  FROM c),
+         |s AS (
+         |  SELECT doc_id, chunk_idx, n_tokens, h, CAST(h % 8 AS INT) AS shard,
+         |    row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id, chunk_idx) AS rn
+         |  FROM k),
+         |r AS (
+         |  SELECT shard, rn, n_tokens, 0 AS bin, n_tokens AS fill
+         |  FROM s WHERE rn = 1
+         |  UNION ALL
+         |  SELECT s.shard, s.rn, s.n_tokens,
+         |    CASE WHEN r.fill + s.n_tokens <= 512 THEN r.bin ELSE r.bin + 1 END,
+         |    CASE WHEN r.fill + s.n_tokens <= 512 THEN r.fill + s.n_tokens ELSE s.n_tokens END
+         |  FROM r JOIN s ON s.shard = r.shard AND s.rn = r.rn + 1)
+         |SELECT shard, CAST(bin AS INT) AS bin,
+         |  CAST(COUNT(*) AS INT) AS n_chunks,
+         |  CAST(SUM(n_tokens) AS INT) AS fill,
+         |  CAST(floor(SUM(n_tokens) * 1000.0 / 512) AS INT) AS util_permille
+         |FROM r GROUP BY shard, bin ORDER BY shard, bin""".stripMargin,
+
     "doc_chunk" ->
       s"""WITH t AS (SELECT doc_id, $toksOf AS toks FROM documents),
          |d AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),

@@ -83,6 +83,14 @@ object ExtensionQueries {
       TextAnalysis.unigramLogprob(docs(s, dir))),
     "doc_chunk" -> ((s, dir) =>
       TextAnalysis.chunkDocuments(docs(s, dir), chunkSize = 64, overlap = 16)),
+    "doc_pack" -> ((s, dir) =>
+      operators.Packing.packChunks(s,
+        TextAnalysis.chunkDocuments(docs(s, dir), chunkSize = 64, overlap = 16),
+        budget = 512, numShards = 8)),
+    "doc_pack_stats" -> ((s, dir) =>
+      operators.Packing.binStats(s,
+        TextAnalysis.chunkDocuments(docs(s, dir), chunkSize = 64, overlap = 16),
+        budget = 512, numShards = 8)),
     "multimodal_features" -> { (s, dir) =>
       import org.apache.spark.sql.functions._
       // declared-surface encoding: feature values are integral by construction,

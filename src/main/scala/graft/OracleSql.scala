@@ -406,8 +406,9 @@ object OracleSql {
 
     "q45_listagg" ->
       """SELECT p_brand,
-        |  string_agg(DISTINCT p_type, '|' ORDER BY p_type) AS types,
-        |  COUNT(DISTINCT p_type) AS n_types
-        |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin
+        |  string_agg(p_type, '|' ORDER BY p_type) AS types,
+        |  COUNT(p_type) AS n_types
+        |FROM (SELECT DISTINCT p_brand, p_type FROM part)
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin
   )
 }

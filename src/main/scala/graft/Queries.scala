@@ -627,13 +627,19 @@ object Queries {
     */
   def q45Listagg(s: SparkSession, dir: String): DataFrame = {
     // SQL form: WITHIN GROUP only parses as part of a SQL aggregate call
-    // (the expr()-inside-agg() form miscasts the sort key in Spark 4.1)
+    // (the expr()-inside-agg() form miscasts the sort key in Spark 4.1).
+    // Dedup happens in a subquery, NOT via listagg(DISTINCT ...): Spark
+    // 4.1's DISTINCT-listagg codepath throws ClassCastException
+    // (AttributeReference -> SortOrder) when the aggregate is executed
+    // through an Exchange (exactly the parquet-write path the driver
+    // runs) — the plain listagg over pre-distinct rows is equivalent.
     T(s, dir, "part").createOrReplaceTempView("part_la")
     s.sql(
       """SELECT p_brand,
-        |  listagg(DISTINCT p_type, '|') WITHIN GROUP (ORDER BY p_type) AS types,
-        |  COUNT(DISTINCT p_type) AS n_types
-        |FROM part_la GROUP BY p_brand ORDER BY p_brand""".stripMargin)
+        |  listagg(p_type, '|') WITHIN GROUP (ORDER BY p_type) AS types,
+        |  COUNT(p_type) AS n_types
+        |FROM (SELECT DISTINCT p_brand, p_type FROM part_la)
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin)
   }
 
   /** Core relational surface, keyed by SURVEY.md §2.B query id. */

@@ -125,18 +125,22 @@ object TextAnalysis {
     * the df side when the vocabulary is small; co-partitioned exchange
     * otherwise), then a per-doc window over ≤ |doc vocabulary| rows. idf and
     * the product are rounded after identical-order arithmetic so both
-    * engines hash-match.
+    * engines hash-match. Corpus size is a one-row aggregate broadcast into
+    * the plan (same pattern as [[unigramLogprob]]) — no driver-side
+    * `count()` and no second corpus scan.
     */
   def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val n = docs.count() // corpus size: one scalar, computed once
+    val n = broadcast(docs.agg(count(lit(1)).as("n_docs")))
     val toks = docs.select(col("doc_id"), explode(Text.tokens(col("text"))).as("term"))
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val df = toks.select("doc_id", "term").distinct()
       .groupBy("term").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
     tf.join(df, "term")
-      .withColumn("idf", round(log(lit(n.toDouble) / col("df").cast("double")), 6))
+      .crossJoin(n)
+      .withColumn("idf",
+        round(log(col("n_docs").cast("double") / col("df").cast("double")), 6))
       .withColumn("tfidf", round(col("tf").cast("double") * col("idf"), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -583,4 +583,49 @@ class OperatorSpec extends SparkSpec {
     // points in [100,130) and [200,230) sit in two bands each
     assert(bucketed.groupBy("p").count().filter(col("count") === 2).count() === 60)
   }
+
+  test("doc packing: full coverage, no bin overflow, dense bins, deterministic") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Packing, TextAnalysis}
+    val docs = Tables.table(spark, sf0001, "documents")
+    val chunks = TextAnalysis.chunkDocuments(docs, chunkSize = 64, overlap = 16)
+    val budget = 512
+    val packed = Packing.packChunks(spark, chunks, budget = budget, numShards = 4)
+
+    // full coverage: every chunk assigned exactly once
+    assert(packed.count() === chunks.count())
+    assert(packed.select("doc_id", "chunk_idx").distinct().count() === chunks.count())
+
+    // no overflow: every bin within budget; fills match the chunk metadata
+    val bins = packed.groupBy("shard", "bin").agg(
+      sum("n_tokens").as("fill"), count(lit(1)).as("n"),
+      max("pack_pos").as("maxpos"))
+    assert(bins.filter(col("fill") > budget).count() === 0)
+    // pack_pos dense within each bin: max == n - 1
+    assert(bins.filter(col("maxpos") =!= col("n") - 1).count() === 0)
+    // bins dense per shard: max bin == count(distinct bin) - 1
+    val perShard = bins.groupBy("shard")
+      .agg(max("bin").as("mx"), countDistinct("bin").as("nb"))
+    assert(perShard.filter(col("mx") =!= col("nb") - 1).count() === 0)
+
+    // deterministic: a differently-partitioned, differently-ordered input
+    // packs identically (assignment is a pure function of identity hashes)
+    val shuffled = Packing.packChunks(
+      spark, chunks.repartition(7).sortWithinPartitions("n_tokens"),
+      budget = budget, numShards = 4)
+    assert(packed.exceptAll(shuffled).isEmpty && shuffled.exceptAll(packed).isEmpty)
+
+    // next-fit actually packs: mean utilization well above one-chunk-per-bin
+    val util = Packing.binStats(spark, chunks, budget = budget, numShards = 4)
+      .agg(avg("util_permille")).head.getDouble(0)
+    assert(util > 500, s"mean bin utilization $util‰ — packing is not packing")
+
+    // an oversized chunk fails fast instead of silently overflowing
+    val big = Seq((1L, 0, budget + 1)).toDF("doc_id", "chunk_idx", "n_tokens")
+    val e = intercept[org.apache.spark.SparkException] {
+      Packing.packChunks(spark, big, budget = budget, numShards = 2).count()
+    }
+    assert(e.getMessage.contains("re-chunk") ||
+      Option(e.getCause).exists(_.getMessage.contains("re-chunk")))
+  }
 }
