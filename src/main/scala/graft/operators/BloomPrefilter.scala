@@ -21,12 +21,14 @@ import org.apache.spark.sql.functions._
   * fact scans (e.g. pre-screening a 100 TB corpus against a contamination
   * key set before any join).
   *
-  * The membership probe is a Scala UDF (off-codegen): ~100 ns/row against
-  * the I/O and network it saves. `expectedItems`/`fpp` size the sketch —
-  * 1 M keys at 1% fpp ≈ 1.2 MB, broadcast like any small-dim plan. The
-  * broadcast sketch lives until the context cleaner collects it; a
-  * long-lived service should build the filter once and reuse it across
-  * fact scans rather than calling this per query.
+  * The membership probe is the codegen'd [[graft.plans.BloomMightContain]]
+  * expression — it stays inside the scan stage's whole-stage-codegen loop
+  * (a Scala UDF here would break the span and box every key).
+  * `expectedItems`/`fpp` size the sketch — 1 M keys at 1% fpp ≈ 1.2 MB,
+  * broadcast like any small-dim plan. The broadcast sketch lives until the
+  * context cleaner collects it; a long-lived service should build the
+  * filter once and reuse it across fact scans rather than calling this per
+  * query.
   */
 object BloomPrefilter {
 
@@ -46,13 +48,9 @@ object BloomPrefilter {
     // treeAggregate on the dim side; the driver holds one sketch, not rows
     val bc = fact.sparkSession.sparkContext
       .broadcast(dim.stat.bloomFilter(key, expectedItems, fpp))
-    // the probe must put the SAME representation the builder did, or false
-    // negatives break the no-lost-rows contract — dispatch on the key type
-    val mightContain = keyType match {
-      case StringType => udf((k: String) => bc.value.mightContainString(k))
-      case BinaryType => udf((k: Array[Byte]) => bc.value.mightContainBinary(k))
-      case _ => udf((k: Long) => bc.value.mightContainLong(k))
-    }
-    fact.filter(mightContain(col(key))).join(dim, Seq(key), "inner")
+    // probe representation matches the builder's put per key type (see
+    // BloomMightContain scaladoc) — false negatives would lose rows
+    fact.filter(graft.plans.BloomMightContain.expr(col(key), bc))
+      .join(dim, Seq(key), "inner")
   }
 }

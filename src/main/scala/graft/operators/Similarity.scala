@@ -120,18 +120,40 @@ object Similarity {
     * acceptable. All arithmetic is IEEE-identical across engines (quantized
     * values are exact integers), so the report is oracle-checkable.
     *
-    * The per-element lambdas evaluate interpreted; at true 100 TB scale the
-    * quantize step would move into a codegen'd Expression like DotProduct —
-    * the report shape and semantics stay the same.
+    * The whole report is ONE codegen'd pass per vector
+    * ([[graft.plans.QuantizeInt8Report]]): abs-max scan, round-half-up
+    * quantize, and the three left-to-right dot accumulations the
+    * reconstruction cosine needs, fused into a primitive loop — no
+    * interpreted lambdas, no intermediate qv/dequant arrays. The lambda
+    * formulation (kept bit-identical by construction, asserted in
+    * ScaleToolsSpec) is the semantic reference.
     */
   def quantizeInt8(emb: DataFrame): DataFrame = {
+    val rep = graft.plans.QuantizeInt8Report.expr(col("embedding"))
+    emb
+      .select(col("vec_id"), rep.as("rep"))
+      .filter(col("rep.amax") > 0) // zero/empty vectors are unquantizable
+      .select(
+        col("vec_id"),
+        round(lit(127.0) / col("rep.amax"), 6).as("scale_r"),
+        col("rep.q_min").as("q_min"),
+        col("rep.q_max").as("q_max"),
+        round(col("rep.recon_cosine"), 6).as("recon_cosine"))
+      .orderBy("vec_id")
+  }
+
+  /** The higher-order-function formulation of [[quantizeInt8]] — interpreted,
+    * kept as the semantic reference the fused expression must match
+    * bit-for-bit (asserted in ScaleToolsSpec).
+    */
+  def quantizeInt8Reference(emb: DataFrame): DataFrame = {
     val x = col("embedding")
     val amax = array_max(transform(x, v => abs(v.cast("double"))))
     val scale = lit(127.0) / amax
     val qv = transform(x, v => floor(v.cast("double") * scale + lit(0.5)).cast("long"))
     val dequant = transform(col("qv"), q => q.cast("double") / col("scale"))
     emb
-      .filter(amax > 0) // zero vectors are unquantizable (none in practice)
+      .filter(amax > 0)
       .select(col("vec_id"), x.as("embedding"), scale.as("scale"), qv.as("qv"))
       .select(
         col("vec_id"),

@@ -309,6 +309,22 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("quantizeInt8 fused expression is bit-identical to the lambda reference") {
+    import graft.operators.Similarity
+    val emb = Tables.table(spark, "/root/testdata/sf0.01", "embeddings")
+    val fused = Similarity.quantizeInt8(emb).collect()
+    val ref = Similarity.quantizeInt8Reference(emb).collect()
+    assert(fused.length == ref.length)
+    // bit-for-bit, not approximate: same op order in both formulations
+    fused.zip(ref).foreach { case (f, r) =>
+      assert(f.getLong(0) == r.getLong(0))
+      assert(f.getDouble(1) == r.getDouble(1) && f.getDouble(4) == r.getDouble(4),
+        s"vec ${f.getLong(0)}: fused (${f.getDouble(1)}, ${f.getDouble(4)}) " +
+          s"!= reference (${r.getDouble(1)}, ${r.getDouble(4)})")
+      assert(f.getLong(2) == r.getLong(2) && f.getLong(3) == r.getLong(3))
+    }
+  }
+
   test("redactPii: planted email/phone found and replaced, clean text untouched") {
     import graft.operators.TextAnalysis
     val docs = Seq(

@@ -175,10 +175,14 @@ class PlanShapeSpec extends SparkSpec {
     val joins = exec.collect { case j: BaseJoinExec => j }
     assert(joins.nonEmpty, s"expected a join:\n$exec")
     // the probe must be a Filter in a join child's subtree — filtering the
-    // fact before the exchange is the whole point of the operator
-    val probeBelowJoin = joins.exists(j => (j.left +: j.right +: Nil).exists(
-      _.collect { case f: FilterExec if f.condition.toString.contains("UDF") => f }.nonEmpty))
-    assert(probeBelowJoin, s"bloom probe filter must sit below the join:\n$exec")
+    // fact before the exchange is the whole point of the operator — and it
+    // must be the codegen'd BloomMightContain expression, not a Scala UDF
+    // (a UDF would break the scan stage's whole-stage-codegen span)
+    val probeFilters = joins.flatMap(j => (j.left +: j.right +: Nil).flatMap(
+      _.collect { case f: FilterExec
+        if f.condition.exists(_.isInstanceOf[graft.plans.BloomMightContain]) => f }))
+    assert(probeFilters.nonEmpty, s"bloom probe filter must sit below the join:\n$exec")
+    assert(!exec.toString.contains("UDF"), s"bloom probe must not be a UDF:\n$exec")
     assert(!exec.toString.contains("CartesianProduct"))
   }
 }
