@@ -239,12 +239,27 @@ object Similarity {
     */
   def ivfTopK(emb: DataFrame, probeId: Long, k: Int,
               nlist: Int = 4, nprobe: Int = 3, iters: Int = 4): DataFrame = {
+    val (centroids, assigned) = ivfIndex(emb, nlist, iters)
+    ivfSearch(centroids, assigned, emb, probeId, k, nprobe)
+  }
+
+  /** Build the IVF index ONCE for many searches: the broadcastable centroid
+    * relation plus the per-vector bucket assignment. Callers issuing many
+    * probes should persist the assignment (with an eager barrier) — the
+    * Lloyd passes and the corpus assignment are the expensive part; each
+    * [[ivfSearch]] afterwards touches only `nprobe` buckets.
+    */
+  def ivfIndex(emb: DataFrame, nlist: Int, iters: Int): (DataFrame, DataFrame) = {
     val centroids = broadcast(lloydCentroidsLocal(emb, nlist, iters))
+    // nearest centroid per vector (max cosine, tie -> lower id)
+    (centroids, assignToCentroids(emb, centroids))
+  }
 
-    // index build: nearest centroid per vector (max cosine, tie -> lower id)
-    val assigned = assignToCentroids(emb, centroids)
-
-    // probe: its nprobe nearest centroids
+  /** Search a prebuilt IVF index: score the probe against the centroid set,
+    * prune to the `nprobe` nearest buckets, exact-rescore only those.
+    */
+  def ivfSearch(centroids: DataFrame, assigned: DataFrame, emb: DataFrame,
+                probeId: Long, k: Int, nprobe: Int): DataFrame = {
     val probeVec = emb.filter(col("vec_id") === probeId)
       .select(col("embedding").as("probe"))
     val probeBuckets = broadcast(

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -126,5 +126,50 @@ class ScaleToolsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     }
     val mean = recalls.sum / recalls.size
     assert(mean >= 0.8, s"IVF mean recall@5 degraded: $mean (${recalls.mkString(",")})")
+  }
+
+  test("IVF at realistic scale: recall@10 >= 0.9 on 20k vectors in 50 planted clusters") {
+    import graft.operators.Similarity
+    // deterministic clustered fixture (no RNG): 50 cluster centers with
+    // components hash-uniform in [-1, 1], each vector = its cluster's center
+    // plus hash-uniform noise. THIS is the regime where IVF earns its keep —
+    // near-uniform vectors (the 500-row fixture above) have no structure for
+    // the coarse quantizer to exploit.
+    val n = 20000
+    val dim = 16
+    val nClusters = 50
+    def u(cols: Column*): Column = // hash-uniform double in [-1, 1]
+      pmod(xxhash64(cols: _*), lit(2001)).cast("double") / 1000.0 - 1.0
+    val emb = spark.range(n).select(
+      col("id").as("vec_id"),
+      array((0 until dim).map { d =>
+        u(lit("c"), pmod(col("id"), lit(nClusters)), lit(d)) +
+          u(lit("n"), col("id"), lit(d)) * 0.3
+      }: _*).as("embedding"))
+
+    // sqrt(n)-scaled config from the ivfTopK scaladoc: nlist ~ sqrt(20000),
+    // nprobe = nlist/8. Index built ONCE, persisted with an eager barrier,
+    // then searched per probe.
+    val (centroids, assignedRaw) = Similarity.ivfIndex(emb, nlist = 144, iters = 4)
+    val assigned = assignedRaw.persist()
+    assigned.count()
+    try {
+      val k = 10
+      val probes = Seq(0L, 777L, 3141L, 5000L, 8888L, 12345L, 15000L, 19999L)
+      val recalls = probes.map { p =>
+        val exact = Similarity.bruteForceTopK(emb, p, k).collect().map(_.getLong(0)).toSet
+        val ivf = Similarity.ivfSearch(centroids, assigned, emb, p, k, nprobe = 18)
+          .collect().map(_.getLong(0)).toSet
+        exact.intersect(ivf).size.toDouble / k
+      }
+      val mean = recalls.sum / recalls.size
+      assert(mean >= 0.9, s"IVF recall@10 at 20k/50-cluster: $mean (${recalls.mkString(",")})")
+
+      // the index must also PRUNE: nprobe/nlist = 1/8 of buckets means a
+      // probe rescans a small fraction of the corpus, not most of it
+      val scanned = Similarity.ivfSearch(centroids, assigned, emb, 0L, n, nprobe = 18)
+        .count()
+      assert(scanned < n / 4, s"bucket pruning ineffective: rescored $scanned of $n")
+    } finally assigned.unpersist()
   }
 }
