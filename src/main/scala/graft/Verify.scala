@@ -38,6 +38,17 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // machine-written surface manifest: the declared/oracle counts README
+    // and BASELINE cite come from HERE (BookkeepingSpec pins the prose to
+    // these numbers so the docs can never drift from SparkEntry again)
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    val manifest = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+      val kind = if (rowsOnly.contains(name)) "rows_only" else "oracle"
+      s"$name\t$kind"
+    }.mkString(
+      s"# declared=${SparkEntry.queries.size} oracle=${SparkEntry.oracleSql.size} " +
+        s"rows_only=${rowsOnly.toSeq.sorted.mkString(",")}\n", "\n", "\n")
+    Files.writeString(Paths.get(s"$outDir/manifest.tsv"), manifest)
     spark.stop()
   }
 }
