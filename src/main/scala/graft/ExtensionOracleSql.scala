@@ -98,6 +98,46 @@ object ExtensionOracleSql {
          |WHERE e.doc_id % 97 <> 0
          |GROUP BY e.doc_id ORDER BY e.doc_id""".stripMargin,
 
+    "contamination_overlap" ->
+      s"""WITH t AS (SELECT doc_id, $toksOf AS toks FROM documents),
+         |s AS (SELECT doc_id, ${shinglesOf(5)} AS sh FROM t),
+         |hs AS (SELECT doc_id, list_distinct(list_transform(sh, x -> ${h60("x")})) AS hs
+         |       FROM s WHERE len(sh) > 0),
+         |ex AS (SELECT doc_id, unnest(hs) AS h FROM hs),
+         |hold AS (SELECT DISTINCT h FROM ex WHERE doc_id % 97 = 0)
+         |SELECT e.doc_id, COUNT(*) AS n_shingles,
+         |  CAST(COUNT(hold.h) AS BIGINT) AS n_hits,
+         |  CAST(floor(COUNT(hold.h) * 1000.0 / COUNT(*)) AS INT) AS overlap_permille
+         |FROM ex e LEFT JOIN hold ON e.h = hold.h
+         |WHERE e.doc_id % 97 <> 0
+         |GROUP BY e.doc_id ORDER BY e.doc_id""".stripMargin,
+
+    "vocab_encode" ->
+      s"""WITH t AS (SELECT doc_id, $toksOf AS toks FROM documents),
+         |tok AS (SELECT doc_id, generate_subscripts(toks, 1) - 1 AS pos,
+         |               unnest(toks) AS term FROM t),
+         |freq AS (SELECT term, COUNT(*) AS cnt FROM tok GROUP BY term),
+         |vocab AS (SELECT term,
+         |    CAST(row_number() OVER (ORDER BY cnt DESC, term) AS BIGINT) AS id
+         |  FROM freq ORDER BY cnt DESC, term LIMIT 256),
+         |enc AS (SELECT tok.doc_id, tok.pos, COALESCE(vocab.id, 0) AS tid
+         |        FROM tok LEFT JOIN vocab ON tok.term = vocab.term)
+         |SELECT doc_id, COUNT(*) AS n_tokens,
+         |  CAST(SUM(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+         |  string_agg(CAST(tid AS VARCHAR), '|' ORDER BY pos) AS ids
+         |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "sample_temperature" ->
+      s"""WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+         |m AS (SELECT MAX(n) AS max_n FROM c),
+         |thr AS (SELECT source,
+         |    CAST(floor(10000 * sqrt(CAST(n AS DOUBLE) / CAST(max_n AS DOUBLE))) AS BIGINT) AS thr
+         |  FROM c, m)
+         |SELECT d.doc_id, d.source, thr.thr AS thr
+         |FROM documents d JOIN thr ON d.source = thr.source
+         |WHERE ${h60("'temp:' || CAST(doc_id AS VARCHAR)")} % 10000 < thr.thr
+         |ORDER BY doc_id""".stripMargin,
+
     "embedding_quantize" ->
       """WITH s AS (
         |  SELECT vec_id, embedding,

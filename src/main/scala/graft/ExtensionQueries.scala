@@ -42,6 +42,17 @@ object ExtensionQueries {
         d.filter(col("doc_id") % 97 =!= 0), d.filter(col("doc_id") % 97 === 0),
         "doc_id", "text", k = 5)
     },
+    "contamination_overlap" -> { (s, dir) =>
+      import org.apache.spark.sql.functions.col
+      val d = docs(s, dir)
+      Dedup.contaminationOverlap(
+        d.filter(col("doc_id") % 97 =!= 0), d.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", k = 5)
+    },
+    "vocab_encode" -> ((s, dir) =>
+      TextAnalysis.vocabEncode(docs(s, dir), vocabSize = 256)),
+    "sample_temperature" -> ((s, dir) =>
+      Sampling.temperatureMix(docs(s, dir), "doc_id", "source")),
     "embedding_quantize" -> ((s, dir) =>
       Similarity.quantizeInt8(emb(s, dir))),
     "simsearch_ivf" -> ((s, dir) =>

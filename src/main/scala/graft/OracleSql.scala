@@ -409,6 +409,70 @@ object OracleSql {
         |  string_agg(p_type, '|' ORDER BY p_type) AS types,
         |  COUNT(p_type) AS n_types
         |FROM (SELECT DISTINCT p_brand, p_type FROM part)
-        |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    // exact integer moments (hundredths quantization, HUGEINT-exact sums),
+    // then the same double formula both engines — see q46StatAggs scaladoc
+    "q46_stat_aggs" ->
+      """WITH q AS (
+        |  SELECT l_returnflag,
+        |    CAST(round(l_quantity * 100) AS BIGINT) AS qx,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS ey
+        |  FROM lineitem),
+        |m AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    CAST(SUM(qx) AS DOUBLE) AS sx, CAST(SUM(ey) AS DOUBLE) AS sy,
+        |    CAST(SUM(qx * qx) AS DOUBLE) AS sxx,
+        |    CAST(SUM(ey * ey) AS DOUBLE) AS syy,
+        |    CAST(SUM(qx * ey) AS DOUBLE) AS sxy
+        |  FROM q GROUP BY l_returnflag)
+        |SELECT l_returnflag, n AS n_rows,
+        |  round((CAST(n AS DOUBLE) * sxy - sx * sy) /
+        |    (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx) *
+        |     sqrt(CAST(n AS DOUBLE) * syy - sy * sy)), 6) AS corr_qty_price,
+        |  round((CAST(n AS DOUBLE) * sxy - sx * sy) /
+        |    (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / 10000.0, 4) AS covar_pop_qty_price,
+        |  round(sqrt(CAST(n AS DOUBLE) * sxx - sx * sx) /
+        |    CAST(n AS DOUBLE) / 100.0, 6) AS stddev_pop_qty,
+        |  round(sqrt(CAST(n AS DOUBLE) * syy - sy * sy) /
+        |    CAST(n AS DOUBLE) / 100.0, 4) AS stddev_pop_price
+        |FROM m ORDER BY l_returnflag""".stripMargin,
+
+    "q47_datetime" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
+        |  CAST(MIN(year(o_orderdate)) AS INT) AS yr,
+        |  CAST(MIN(quarter(o_orderdate)) AS INT) AS qtr,
+        |  COUNT(*) AS n_orders,
+        |  COUNT(DISTINCT CAST(o_orderdate AS DATE)) AS n_active_days,
+        |  CAST(datediff('day', MIN(CAST(o_orderdate AS DATE)),
+        |                 MAX(CAST(o_orderdate AS DATE))) AS INT) AS span_days,
+        |  MAX(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY)::DATE AS max_plus_30,
+        |  MIN(last_day(CAST(o_orderdate AS DATE))) AS month_end
+        |FROM orders GROUP BY mon ORDER BY mon""".stripMargin,
+
+    "q48_strings" ->
+      """SELECT p_partkey,
+        |  CAST(length(p_name) AS INT) AS name_len,
+        |  CAST(levenshtein(p_type, 'STANDARD BRUSHED STEEL') AS INT) AS type_dist,
+        |  split_part(p_type, ' ', 1) AS type_head,
+        |  reverse(p_brand) AS brand_rev,
+        |  lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS key_padded,
+        |  CAST(strpos(p_name, 's') AS INT) AS first_s,
+        |  translate(p_brand, '#', '-') AS brand_clean,
+        |  upper(substring(p_name, 1, 5)) AS name_head
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q49_cond_bitwise" ->
+      """SELECT l_returnflag,
+        |  COUNT(CASE WHEN l_discount > 0.05 THEN 1 END) AS n_disc,
+        |  COUNT(CASE WHEN l_tax = 0 THEN 1 END) AS n_notax,
+        |  CAST(SUM(CASE WHEN l_quantity > 25
+        |    THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_heavy,
+        |  bit_and(l_linenumber) AS ln_and,
+        |  bit_or(l_linenumber) AS ln_or,
+        |  bit_xor(l_orderkey) AS key_xor,
+        |  bool_and(l_quantity > 0) AS all_positive,
+        |  bool_or(l_discount > 0.09) AS any_deep_disc
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }

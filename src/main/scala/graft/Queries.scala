@@ -642,6 +642,110 @@ object Queries {
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin)
   }
 
+  // ---------------------------------------------------------------- Q46
+  /** Statistical aggregates (corr / covariance / stddev) per group, computed
+    * from EXACT integer moments: both inputs are quantized to integer
+    * hundredths (exact for the fixture's 2-dp money values), the five sums
+    * accumulate as DECIMAL(38,0) (order-independent, overflow-proof), and
+    * the moments formula runs in double on those exact components — so the
+    * result is bit-identical across engines, which `corr()`/`stddev()`
+    * built-ins (order-dependent float accumulation) can't promise.
+    */
+  def q46StatAggs(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val li = T(s, dir, "lineitem")
+    val d380 = DecimalType(38, 0)
+    val qx = round(col("l_quantity") * 100).cast("long")
+    val ey = round(col("l_extendedprice") * 100).cast("long")
+    val g = li
+      .select(col("l_returnflag"), qx.as("qx"), ey.as("ey"))
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("qx").cast(d380)).as("sx"),
+        sum(col("ey").cast(d380)).as("sy"),
+        sum((col("qx") * col("qx")).cast(d380)).as("sxx"),
+        sum((col("ey") * col("ey")).cast(d380)).as("syy"),
+        sum((col("qx") * col("ey")).cast(d380)).as("sxy"))
+    val (n, sx, sy, sxx, syy, sxy) = (
+      col("n").cast("double"), col("sx").cast("double"), col("sy").cast("double"),
+      col("sxx").cast("double"), col("syy").cast("double"), col("sxy").cast("double"))
+    g.select(
+      col("l_returnflag"),
+      col("n").as("n_rows"),
+      round((n * sxy - sx * sy) /
+        (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6).as("corr_qty_price"),
+      round((n * sxy - sx * sy) / (n * n) / 10000.0, 4).as("covar_pop_qty_price"),
+      round(sqrt(n * sxx - sx * sx) / n / 100.0, 6).as("stddev_pop_qty"),
+      round(sqrt(n * syy - sy * sy) / n / 100.0, 4).as("stddev_pop_price"))
+      .orderBy("l_returnflag")
+  }
+
+  // ---------------------------------------------------------------- Q47
+  /** Calendar arithmetic: month truncation, part extraction, interval
+    * shifts, and day differences — the time-dimension toolkit, aggregated
+    * per order month.
+    */
+  def q47Datetime(s: SparkSession, dir: String): DataFrame = {
+    val o = T(s, dir, "orders")
+    o.select(
+      date_trunc("month", col("o_orderdate")).cast("date").as("mon"),
+      col("o_orderdate").cast("date").as("d"),
+      year(col("o_orderdate")).as("yr"),
+      quarter(col("o_orderdate")).as("qtr"))
+      .groupBy("mon")
+      .agg(
+        first(col("yr")).as("yr"),
+        first(col("qtr")).as("qtr"),
+        count(lit(1)).as("n_orders"),
+        countDistinct(col("d")).as("n_active_days"),
+        datediff(max(col("d")), min(col("d"))).as("span_days"),
+        max(date_add(col("d"), 30)).as("max_plus_30"),
+        min(last_day(col("d"))).as("month_end"))
+      .orderBy("mon")
+  }
+
+  // ---------------------------------------------------------------- Q48
+  /** String toolkit over part names/types: edit distance, split_part,
+    * translate, padding, search position — per-row, fully codegen'd.
+    */
+  def q48Strings(s: SparkSession, dir: String): DataFrame = {
+    val p = T(s, dir, "part")
+    p.select(
+      col("p_partkey"),
+      length(col("p_name")).as("name_len"),
+      levenshtein(col("p_type"), lit("STANDARD BRUSHED STEEL")).as("type_dist"),
+      split(col("p_type"), " ").getItem(0).as("type_head"),
+      reverse(col("p_brand")).as("brand_rev"),
+      lpad(col("p_partkey").cast("string"), 8, "0").as("key_padded"),
+      instr(col("p_name"), "s").as("first_s"),
+      translate(col("p_brand"), "#", "-").as("brand_clean"),
+      upper(substring(col("p_name"), 1, 5)).as("name_head"))
+      .orderBy("p_partkey")
+  }
+
+  // ---------------------------------------------------------------- Q49
+  /** Conditional + bitwise aggregation: FILTER-style conditional counts/
+    * sums, bit_and/or/xor aggregates (order-independent by construction),
+    * and boolean aggregates, per return flag.
+    */
+  def q49CondBitwise(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val li = T(s, dir, "lineitem")
+    li.groupBy("l_returnflag")
+      .agg(
+        count(when(col("l_discount") > 0.05, 1)).as("n_disc"),
+        count(when(col("l_tax") === 0, 1)).as("n_notax"),
+        sum(when(col("l_quantity") > 25,
+          col("l_quantity").cast(DecimalType(18, 2)))).cast("double").as("qty_heavy"),
+        bit_and(col("l_linenumber")).as("ln_and"),
+        bit_or(col("l_linenumber")).as("ln_or"),
+        bit_xor(col("l_orderkey")).as("key_xor"),
+        bool_and(col("l_quantity") > 0).as("all_positive"),
+        bool_or(col("l_discount") > 0.09).as("any_deep_disc"))
+      .orderBy("l_returnflag")
+  }
+
   /** Core relational surface, keyed by SURVEY.md §2.B query id. */
   val core: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_filter_project" -> (q1FilterProject _),
@@ -688,6 +792,10 @@ object Queries {
     "q42_approx_percentile" -> (q42ApproxPercentile _),
     "q43_lateral_join" -> (q43LateralJoin _),
     "q44_unpivot" -> (q44Unpivot _),
-    "q45_listagg" -> (q45Listagg _)
+    "q45_listagg" -> (q45Listagg _),
+    "q46_stat_aggs" -> (q46StatAggs _),
+    "q47_datetime" -> (q47Datetime _),
+    "q48_strings" -> (q48Strings _),
+    "q49_cond_bitwise" -> (q49CondBitwise _)
   )
 }

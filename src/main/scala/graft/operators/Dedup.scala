@@ -116,6 +116,32 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Per-document contamination RATIO — [[contaminationReport]]'s graded
+    * sibling: for every training document, the fraction of its distinct
+    * word-k-shingles that appear anywhere in the holdout (0 for clean docs,
+    * which are included — the point is a score to threshold on, not a flag).
+    *
+    * Same scale shape as the report: the holdout reduces to a broadcast set
+    * of shingle hashes, the train side is one exploded pass + a broadcast
+    * LEFT join (zero shuffle before the per-doc aggregation). The ratio is
+    * integer per-mille (floor) so both engines agree exactly.
+    */
+  def contaminationOverlap(train: DataFrame, holdout: DataFrame,
+                           idCol: String, textCol: String, k: Int = 5,
+                           hashFn: Column => Column = Hashing.hash60): DataFrame = {
+    val holdSh = shingleHashesRaw(holdout, idCol, textCol, k, hashFn)
+      .select(col("h")).distinct().withColumn("hit", lit(1))
+    shingleHashesExploded(train, idCol, textCol, k, hashFn)
+      .join(broadcast(holdSh), Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hits"))
+      .withColumn("overlap_permille",
+        floor(col("n_hits") * 1000 / col("n_shingles")).cast("int"))
+      .orderBy("doc_id")
+  }
+
   /** Exact n-gram (word k-shingle) Jaccard near-dup pairs via an inverted
     * index: explode shingle hashes, equi-join on the hash, count common per pair.
     * No document cross join; the join key is a 60-bit shingle hash.

@@ -19,6 +19,36 @@ import graft.functions.Hashing
   */
 object Sampling {
 
+  /** Temperature-scaled source mixing (α = 0.5): per-source keep rates
+    * ∝ sqrt(n_source / n_largest) — the standard "flatten the source
+    * distribution" rebalance (multilingual/multi-domain training mixes),
+    * with the largest source kept whole and small sources UP-weighted
+    * relative to proportional sampling.
+    *
+    * α is fixed at 0.5 deliberately: the rate computation is then
+    * division + sqrt, both IEEE-correctly-rounded in every engine, so the
+    * integer keep-thresholds (`floor(10000 · sqrt(n_s/max_n))`) are exact
+    * cross-engine — a general `pow(x, α)` is only faithfully rounded and
+    * could flip boundary docs between engines.
+    *
+    * Shape at scale: one per-source count aggregation, a one-row global
+    * max broadcast into it, the resulting per-source threshold table
+    * broadcast into a narrow hash filter over the corpus. No corpus
+    * shuffle at all.
+    */
+  def temperatureMix(df: DataFrame, idCol: String, srcCol: String): DataFrame = {
+    val counts = df.groupBy(col(srcCol)).agg(count(lit(1)).as("n"))
+    val maxN = broadcast(counts.agg(max(col("n")).as("max_n")))
+    val thresholds = counts.crossJoin(maxN)
+      .select(col(srcCol),
+        floor(lit(10000) * sqrt(col("n").cast("double") / col("max_n").cast("double")))
+          .cast("long").as("thr"))
+    df.join(broadcast(thresholds), srcCol)
+      .filter(pmod(Hashing.hash60(concat(lit("temp:"), col(idCol))), lit(10000)) < col("thr"))
+      .select(col(idCol), col(srcCol), col("thr"))
+      .orderBy(idCol)
+  }
+
   /** bucket in [0, 10000): four decimal digits of rate resolution. */
   private def bucket(keyCol: Column, salt: String): Column =
     pmod(Hashing.hash60(concat(lit(salt), lit(":"), keyCol.cast("string"))), lit(10000L))

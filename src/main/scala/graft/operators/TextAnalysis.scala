@@ -172,6 +172,45 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Corpus-frequency vocabulary + document encoding — the id-ification
+    * step between text cleaning and tensorization: build a `vocabSize`-term
+    * vocabulary (highest corpus frequency wins, ties to the
+    * lexicographically smaller term — fully deterministic), then encode
+    * every document as its in-order token-id sequence with OOV as id 0.
+    *
+    * Shape at scale: the vocabulary is one explode + hash agg + global
+    * top-N (`TakeOrderedAndProject`-sized: vocabSize rows of metadata), and
+    * it broadcasts into the encode join, so the corpus pays one narrow
+    * pass + one per-doc aggregation — the corpus itself never shuffles on
+    * the term. Output ids ride as a '|'-joined string (scalar cell,
+    * order-preserving); n_oov/n_tokens give the coverage stats that decide
+    * whether vocabSize is big enough.
+    */
+  def vocabEncode(docs: DataFrame, vocabSize: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"),
+      posexplode(Text.tokens(col("text"))).as(Seq("pos", "term")))
+    // top-N first (TakeOrderedAndProject — distributed, no global sort of
+    // the term table), THEN the global row_number window, which therefore
+    // only ever sees vocabSize rows in its single partition
+    val vocab = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term")).limit(vocabSize)
+      .withColumn("id",
+        row_number().over(Window.orderBy(col("cnt").desc, col("term"))).cast("long"))
+      .select("term", "id")
+    toks
+      .join(broadcast(vocab), Seq("term"), "left")
+      .withColumn("tid", coalesce(col("id"), lit(0L)))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("tid") === 0, 1L).otherwise(0L)).as("n_oov"),
+        array_join(
+          transform(sort_array(collect_list(struct(col("pos"), col("tid")))),
+            x => x.getField("tid")), "|").as("ids"))
+      .orderBy("doc_id")
+  }
+
   /** Token counting: whitespace tokens and BPE-ish regex tokens
     * (`[a-z0-9]+` runs over the lowercased text).
     */
