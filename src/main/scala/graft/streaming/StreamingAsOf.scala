@@ -92,6 +92,136 @@ object StreamingAsOf {
         buildPayloadCols.map(c => col(s"__b.$c").as(c)): _*)
   }
 
+  // ------------------------------------------------------------ forward
+
+  /** Event for the forward direction: carries the event-time column the
+    * watermark is defined on (`tsEvent`) alongside the µs integer `t`.
+    */
+  case class FEvent(k: String, t: Long, side: Int, pl: String,
+                    tsEvent: java.sql.Timestamp)
+  /** Forward-matcher state: arrived builds (by time, deduped) and pending
+    * probes awaiting a finalizable match.
+    */
+  case class FState(builds: Seq[(Long, String)], probes: Seq[(Long, String)])
+
+  /** probe ⋈asof-FORWARD build: each probe matches the SMALLEST build-time
+    * in `[probe-time, probe-time + tolerance]` for its key. Forward as-of
+    * cannot emit eagerly — the right build may not have arrived yet — so
+    * this operator is WATERMARK-DRIVEN: probes buffer in state and emit
+    * only once the watermark proves no earlier qualifying build can still
+    * arrive (watermark ≥ the candidate's build-time); a probe whose whole
+    * tolerance window passes the watermark unmatched is dropped for good.
+    * `tolerance` is therefore REQUIRED here — it is what bounds both the
+    * result's latency and the probe buffer (without it an unmatched probe
+    * would pend forever).
+    *
+    * State per key: pending probes (bounded by tolerance × probe rate) and
+    * arrived builds pruned to `build-time ≥ min(watermark, oldest pending
+    * probe)` — everything older can only serve probes the watermark
+    * already classifies as late. Event-time timers re-examine a key when
+    * its next decision boundary passes the watermark even if no new rows
+    * arrive. Rows older than the watermark never reach the operator — the
+    * engine's watermark filter drops them at admission (verified against
+    * Spark 4.1: a below-watermark row in a later batch is simply absent
+    * from the group iterator) — so `watermarkDelay` is the disorder budget
+    * BETWEEN the two streams: size it to cover how far probe arrivals may
+    * trail the build high-water mark.
+    *
+    * Matches the batch `AsOfJoin.asOf(direction = "forward",
+    * toleranceMicros = Some(tol))` whenever no event is late; the
+    * equivalence is asserted on the shared fixture in StreamingAsOfSpec.
+    */
+  def asOfStreamForward(probe: DataFrame, build: DataFrame, key: String,
+                        probeTs: String, buildTs: String,
+                        toleranceMicros: Long,
+                        watermarkDelay: String = "0 seconds"): DataFrame = {
+    require(toleranceMicros >= 0, "forward as-of needs a finite tolerance")
+    val spark = probe.sparkSession
+    import spark.implicits._
+    val probeSchema: StructType = probe.schema
+    val buildPayloadCols = build.columns.filterNot(c => c == key || c == buildTs).toIndexedSeq
+    val buildPayloadSchema = StructType(build.schema.fields
+      .filter(f => buildPayloadCols.contains(f.name)))
+
+    def tagged(df: DataFrame, ts: String, side: Int, payload: Seq[String]) = df.select(
+      col(key).cast("string").as("k"),
+      unix_micros(col(ts).cast("timestamp")).as("t"),
+      lit(side).as("side"),
+      to_json(struct(payload.map(col): _*)).as("pl"),
+      col(ts).cast("timestamp").as("tsEvent"))
+    val unioned = tagged(build, buildTs, 0, buildPayloadCols)
+      .unionByName(tagged(probe, probeTs, 1, probe.columns.toIndexedSeq))
+      .withWatermark("tsEvent", watermarkDelay)
+      .as[FEvent]
+
+    val enriched: Dataset[Enriched] = unioned
+      .groupByKey(_.k)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (k: String, rows: Iterator[FEvent], state: GroupState[FState]) =>
+          val wmMicros = state.getCurrentWatermarkMs() * 1000L
+          val st = state.getOption.getOrElse(FState(Nil, Nil))
+          val (next, out) = forwardStep(st, rows.toSeq, wmMicros, toleranceMicros)
+          if (next.builds.isEmpty && next.probes.isEmpty) state.remove()
+          else {
+            state.update(next)
+            if (next.probes.nonEmpty) {
+              // wake this key when its earliest decision boundary passes the
+              // watermark: either a pending probe's candidate build-time (to
+              // finalize) or its window end (to expire)
+              val decisionMicros = next.probes.map { case (pt, _) =>
+                next.builds.collectFirst {
+                  case (bt, _) if bt >= pt && bt <= pt + toleranceMicros => bt
+                }.getOrElse(pt + toleranceMicros)
+              }.min
+              state.setTimeoutTimestamp(math.max(decisionMicros / 1000L + 1, state.getCurrentWatermarkMs() + 1))
+            }
+          }
+          out.iterator
+      }
+
+    enriched
+      .select(
+        from_json(col("probePl"), probeSchema).as("__p"),
+        from_json(col("buildPl"), buildPayloadSchema).as("__b"))
+      .select(
+        probe.columns.map(c => col(s"__p.$c").as(c)) ++
+          buildPayloadCols.map(c => col(s"__b.$c").as(c)): _*)
+  }
+
+  /** One forward-matcher step — PURE (unit-tested directly): merge the
+    * invocation's events into the state, emit every pending probe whose
+    * match is finalizable under the watermark, expire probes whose
+    * tolerance window has wholly passed it, prune unusable builds.
+    */
+  private[streaming] def forwardStep(
+      st: FState, events: Seq[FEvent], wmMicros: Long,
+      tol: Long): (FState, Seq[Enriched]) = {
+    // every event that reaches this function is processed — the engine's
+    // watermark filter already dropped late rows at admission, and here the
+    // watermark gates EMISSION certainty and expiry only. Builds dedupe per
+    // time like the batch side (LatestPerKey: lexicographically greatest
+    // payload wins).
+    val fresh = events
+    val builds = (st.builds ++ fresh.collect { case e if e.side == 0 => (e.t, e.pl) })
+      .groupBy(_._1).map { case (t, ps) => (t, ps.map(_._2).max) }
+      .toSeq.sortBy(_._1)
+    val probes = st.probes ++ fresh.collect { case e if e.side == 1 => (e.t, e.pl) }
+
+    val out = Seq.newBuilder[Enriched]
+    val pending = Seq.newBuilder[(Long, String)]
+    probes.sortBy(p => (p._1, p._2)).foreach { case (pt, pl) =>
+      builds.find { case (bt, _) => bt >= pt && bt <= pt + tol } match {
+        case Some((bt, bpl)) if bt <= wmMicros => out += Enriched(pl, bt, bpl)
+        case None if pt + tol < wmMicros       => () // window closed: drop
+        case _                                 => pending += ((pt, pl))
+      }
+    }
+    val pend = pending.result()
+    val keepFrom = (pend.map(_._1) :+ wmMicros).min
+    (FState(builds.filter(_._1 >= keepFrom), pend), out.result())
+  }
+
   /** Per key and micro-batch: replay this batch's rows in (t, side) order,
     * carry the latest build across batches in the state store, emit matches
     * for probes. The build state only moves FORWARD in event time — a

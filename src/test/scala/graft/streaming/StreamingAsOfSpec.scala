@@ -81,4 +81,85 @@ class StreamingAsOfSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(3))).toMap
     assert(got == Map(200L -> "b"))
   }
+
+  test("forwardStep: finalize under watermark, pend above it, expire closed windows") {
+    import StreamingAsOf.{forwardStep, Enriched, FEvent, FState}
+    def b(t: Long, pl: String) = FEvent("k", t, 0, pl, new java.sql.Timestamp(t / 1000))
+    def p(t: Long, pl: String) = FEvent("k", t, 1, pl, new java.sql.Timestamp(t / 1000))
+
+    // candidate build at/below watermark: finalized (smallest bt >= pt wins)
+    val (s1, o1) = forwardStep(FState(Nil, Nil),
+      Seq(b(20, "b20"), b(30, "b30"), p(15, "p15")), wmMicros = 25, tol = 20)
+    assert(o1 == Seq(Enriched("p15", 20, "b20")) && s1.probes.isEmpty)
+
+    // candidate exists but above watermark: probe must PEND (an earlier
+    // build could still arrive), then finalize once the watermark passes it
+    val (s2, o2) = forwardStep(FState(Nil, Nil),
+      Seq(b(30, "b30"), p(15, "p15")), wmMicros = 25, tol = 20)
+    assert(o2.isEmpty && s2.probes == Seq((15L, "p15")))
+    val (s3, o3) = forwardStep(s2, Nil, wmMicros = 31, tol = 20)
+    assert(o3 == Seq(Enriched("p15", 30, "b30")) && s3.probes.isEmpty)
+
+    // tolerance window wholly below watermark with no match: expired silently
+    val (s4, o4) = forwardStep(FState(Nil, Seq((10L, "p10"))), Nil, wmMicros = 40, tol = 20)
+    assert(o4.isEmpty && s4.probes.isEmpty)
+
+    // late events are ignored; per-time build dedupe keeps the max payload
+    val (s5, o5) = forwardStep(FState(Nil, Nil),
+      Seq(b(5, "late"), b(50, "a"), b(50, "z"), p(45, "p45")), wmMicros = 30, tol = 20)
+    assert(o5.isEmpty && s5.builds == Seq((50L, "z")) && s5.probes == Seq((45L, "p45")))
+    val (_, o6) = forwardStep(s5, Nil, wmMicros = 55, tol = 20)
+    assert(o6 == Seq(Enriched("p45", 50, "z")))
+
+    // builds older than min(watermark, oldest pending probe) are pruned
+    val (s7, _) = forwardStep(FState(Seq((10L, "old"), (60L, "keep")), Nil),
+      Seq(p(55, "p55")), wmMicros = 50, tol = 100)
+    assert(s7.builds == Seq((60L, "keep")))
+  }
+
+  test("forward stream as-of equals the batch forward as-of with tolerance") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val buildIn = MemoryStream[(Long, Long, String)]
+    val probeIn = MemoryStream[(Long, Long, Long)]
+    val tolMicros = 10000000L // 10 s
+    // watermark delay = the probe-vs-build disorder budget: probes here
+    // trail the build high-water mark by up to 25 s of event time
+    val out = StreamingAsOf.asOfStreamForward(
+      probeIn.toDF().toDF("id", "k", "pt"),
+      buildIn.toDF().toDF("k", "bt", "v"),
+      "k", "pt", "bt", toleranceMicros = tolMicros, watermarkDelay = "60 seconds")
+    val q = out.writeStream.outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("asof-fwd").toString)
+      .format("memory").queryName("asof_fwd").start()
+
+    buildIn.addData((1L, 20L, "b"), (1L, 40L, "c"))
+    q.processAllAvailable() // wm after: 40-60 -> 0
+    // all pend at wm=0 (even matched candidates are above the watermark)
+    probeIn.addData((100L, 1L, 15L), (101L, 1L, 35L), (102L, 1L, 90L), (103L, 1L, 50L))
+    q.processAllAvailable() // wm after: 90-60 = 30 s
+    buildIn.addData((1L, 95L, "d"))
+    q.processAllAvailable() // probe@15 finalizes (b@20 <= wm 30); wm -> 35 s
+    buildIn.addData((1L, 200L, "x"))
+    q.processAllAvailable() // wm -> 140 s
+    // timer-driven flush on an unrelated key's batch: probe@35 -> c@40,
+    // probe@90 -> d@95, probe@50's window [50,60] expires under wm 140
+    buildIn.addData((2L, 500L, "zz"))
+    q.processAllAvailable()
+    q.stop()
+
+    val stream = spark.table("asof_fwd").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(stream.map(t => (t._1, t._4)) == Set((100L, "b"), (101L, "c"), (102L, "d")),
+      s"unexpected stream result: $stream")
+
+    val build = Seq((1L, 20L, "b"), (1L, 40L, "c"), (1L, 95L, "d"), (1L, 200L, "x"),
+      (2L, 500L, "zz")).toDF("k", "bt", "v")
+    val probe = Seq((100L, 1L, 15L), (101L, 1L, 35L), (102L, 1L, 90L), (103L, 1L, 50L))
+      .toDF("id", "k", "pt")
+    val batch = graft.operators.AsOfJoin.asOf(probe, build, "k", "pt", "bt",
+      direction = "forward", toleranceMicros = Some(tolMicros))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(stream == batch, s"stream $stream != batch $batch")
+  }
 }
