@@ -163,6 +163,31 @@ class PlanShapeSpec extends SparkSpec {
       s"bucketed interval join must stay an equi-join:\n$p")
   }
 
+  test("doc_pack: exactly one data shuffle (the shard repartition)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val df = ExtensionQueries.all("doc_pack")(spark, sf0001)
+    // unwrap AQE, ignore the final presentation orderBy's range exchange —
+    // the OPERATOR itself must shuffle exactly once, on the shard key
+    val exec = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val shuffles = exec.collect { case s: ShuffleExchangeExec => s }
+    val hashShuffles = shuffles.filterNot(_.outputPartitioning.toString.contains("range"))
+    assert(hashShuffles.size == 1,
+      s"doc_pack must shuffle once (shard hash), got ${shuffles.size}:\n$exec")
+  }
+
+  test("vocab_encode / sample_temperature / contamination_overlap: corpus joins broadcast") {
+    for (q <- Seq("vocab_encode", "sample_temperature", "contamination_overlap")) {
+      val p = plan(ExtensionQueries.all(q)(spark, sf0001))
+      assert(p.contains("BroadcastHashJoin"), s"$q: corpus-side join must broadcast:\n$p")
+      assert(!p.contains("SortMergeJoin"),
+        s"$q: a sort-merge join here shuffles the exploded corpus:\n$p")
+      assert(!p.contains("CartesianProduct"))
+    }
+  }
+
   test("bloom prefilter: membership probe filters the fact BELOW the join") {
     import org.apache.spark.sql.execution.FilterExec
     import org.apache.spark.sql.execution.joins.BaseJoinExec
