@@ -53,6 +53,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       arity("graft_hash60", 1)(exprs => Md5Prefix60(exprs(0)))))
 
     ext.injectFunction((
+      FunctionIdentifier("graft_quantize_int8"),
+      info("graft_quantize_int8",
+        "graft_quantize_int8(v) - fused int8 quantization report over a " +
+          "float/double array: struct(amax, q_min, q_max, recon_cosine)"),
+      arity("graft_quantize_int8", 1)(exprs => QuantizeInt8Report(exprs(0)))))
+
+    ext.injectFunction((
       FunctionIdentifier("graft_normalize"),
       info("graft_normalize",
         "graft_normalize(s) - canonical text normalization: lowercase, " +

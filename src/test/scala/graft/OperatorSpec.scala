@@ -600,6 +600,29 @@ class OperatorSpec extends SparkSpec {
     assert(bucketed.groupBy("p").count().filter(col("count") === 2).count() === 60)
   }
 
+  test("round-4 operators are safe on empty and trivial inputs") {
+    import graft.operators.{Dedup, Packing, Sampling, TextAnalysis}
+    val emptyDocs = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "source")
+    val oneDoc = Seq((1L, "alpha beta gamma", "src0")).toDF("doc_id", "text", "source")
+
+    assert(Packing.packChunks(spark,
+      Seq.empty[(Long, Int, Int)].toDF("doc_id", "chunk_idx", "n_tokens")).count() === 0)
+    assert(TextAnalysis.vocabEncode(emptyDocs).count() === 0)
+    assert(Sampling.temperatureMix(emptyDocs, "doc_id", "source").count() === 0)
+    assert(Dedup.contaminationOverlap(emptyDocs, oneDoc, "doc_id", "text").count() === 0)
+    // a holdout with zero shingle overlap: every train doc reports 0 hits
+    val clean = Dedup.contaminationOverlap(
+      oneDoc, Seq((9L, "delta epsilon zeta eta theta", "s")).toDF("doc_id", "text", "source"),
+      "doc_id", "text", k = 3).collect()
+    assert(clean.length == 1 && clean(0).getLong(2) == 0 && clean(0).getInt(3) == 0)
+    // single-doc vocab: every token in-vocab, ids are rank order
+    val enc = TextAnalysis.vocabEncode(oneDoc, vocabSize = 10).head()
+    assert(enc.getLong(1) == 3 && enc.getLong(2) == 0)
+    assert(enc.getString(3).split('|').toSet == Set("1", "2", "3"))
+    // one source: threshold 10000 keeps everything
+    assert(Sampling.temperatureMix(oneDoc, "doc_id", "source").count() === 1)
+  }
+
   test("doc packing: full coverage, no bin overflow, dense bins, deterministic") {
     import org.apache.spark.sql.functions._
     import graft.operators.{Packing, TextAnalysis}

@@ -104,9 +104,23 @@ class ScaleToolsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(joined.count() > 0)
   }
 
+  test("graft_quantize_int8 is callable from pure SQL and matches the operator") {
+    Tables.table(spark, sf0001, "embeddings").createOrReplaceTempView("emb_q8")
+    val viaSql = spark.sql(
+      """SELECT vec_id, r.q_min, r.q_max, round(r.recon_cosine, 6) AS rc
+        |FROM (SELECT vec_id, graft_quantize_int8(embedding) AS r FROM emb_q8)
+        |WHERE r.amax > 0 ORDER BY vec_id""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val viaOp = graft.operators.Similarity
+      .quantizeInt8(Tables.table(spark, sf0001, "embeddings"))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getDouble(4))).toSeq
+    assert(viaSql == viaOp)
+  }
+
   test("injected SQL functions reject wrong arity with an analysis error") {
     for (q <- Seq("SELECT graft_hash60()", "SELECT graft_normalize('a', 'b')",
-                  "SELECT graft_dot(array(1.0))", "SELECT graft_cosine()")) {
+                  "SELECT graft_dot(array(1.0))", "SELECT graft_cosine()",
+                  "SELECT graft_quantize_int8()")) {
       val e = intercept[org.apache.spark.sql.AnalysisException](spark.sql(q).collect())
       assert(e.getCondition == "WRONG_NUM_ARGS.WITHOUT_SUGGESTION", s"$q -> ${e.getCondition}")
     }
