@@ -84,23 +84,30 @@ object Packing {
     val packed = keyed
       .repartition(col("shard"))
       .sortWithinPartitions(col("shard"), col("pack_h"), col("doc_id"), col("chunk_idx"))
-      .mapPartitions { it =>
-        var shard = -1; var bin = 0; var fill = 0; var pos = 0
-        it.map { c =>
-          if (c.n_tokens > budget)
-            throw new IllegalArgumentException(
-              s"chunk (${c.doc_id}, ${c.chunk_idx}) has ${c.n_tokens} tokens > budget $budget; " +
-                "re-chunk with chunkSize <= budget before packing")
-          if (c.shard != shard) { shard = c.shard; bin = 0; fill = 0; pos = 0 }
-          else if (fill + c.n_tokens > budget) { bin += 1; fill = 0; pos = 0 }
-          fill += c.n_tokens
-          val out = PackedChunk(c.doc_id, c.chunk_idx, c.n_tokens, c.shard, bin, pos)
-          pos += 1
-          out
-        }
-      }
+      .mapPartitions(it => packIterator(it, budget))
 
     packed.toDF().orderBy("shard", "bin", "pack_pos")
+  }
+
+  /** The streaming next-fit walk itself — pure over iterators (the Spark
+    * operator maps partitions through it; PropertySpec law-tests it
+    * directly). Input must be shard-contiguous and in walk order; state is
+    * two ints, reset on shard change.
+    */
+  def packIterator(it: Iterator[ChunkMeta], budget: Int): Iterator[PackedChunk] = {
+    var shard = -1; var bin = 0; var fill = 0; var pos = 0
+    it.map { c =>
+      if (c.n_tokens > budget)
+        throw new IllegalArgumentException(
+          s"chunk (${c.doc_id}, ${c.chunk_idx}) has ${c.n_tokens} tokens > budget $budget; " +
+            "re-chunk with chunkSize <= budget before packing")
+      if (c.shard != shard) { shard = c.shard; bin = 0; fill = 0; pos = 0 }
+      else if (fill + c.n_tokens > budget) { bin += 1; fill = 0; pos = 0 }
+      fill += c.n_tokens
+      val out = PackedChunk(c.doc_id, c.chunk_idx, c.n_tokens, c.shard, bin, pos)
+      pos += 1
+      out
+    }
   }
 
   /** Per-bin summary (size, fill, utilization) — the packing-quality view a

@@ -194,7 +194,7 @@ object StreamingAsOf {
     * match is finalizable under the watermark, expire probes whose
     * tolerance window has wholly passed it, prune unusable builds.
     */
-  private[streaming] def forwardStep(
+  private[graft] def forwardStep(
       st: FState, events: Seq[FEvent], wmMicros: Long,
       tol: Long): (FState, Seq[Enriched]) = {
     // every event that reaches this function is processed — the engine's
@@ -212,9 +212,12 @@ object StreamingAsOf {
     val pending = Seq.newBuilder[(Long, String)]
     probes.sortBy(p => (p._1, p._2)).foreach { case (pt, pl) =>
       builds.find { case (bt, _) => bt >= pt && bt <= pt + tol } match {
-        case Some((bt, bpl)) if bt <= wmMicros => out += Enriched(pl, bt, bpl)
-        case None if pt + tol < wmMicros       => () // window closed: drop
-        case _                                 => pending += ((pt, pl))
+        // STRICT bt < wm: an event AT the watermark is not late, so a
+        // same-time build (which per-time dedup could prefer) may still
+        // arrive — certainty begins strictly below the watermark
+        case Some((bt, bpl)) if bt < wmMicros => out += Enriched(pl, bt, bpl)
+        case None if pt + tol < wmMicros      => () // window closed: drop
+        case _                                => pending += ((pt, pl))
       }
     }
     val pend = pending.result()

@@ -77,3 +77,110 @@ object TopKLaws extends Properties("TopKAggregator") {
       canon(agg.finish(merged)) == canon(globalTopK(xs, k))
     }
 }
+
+/** Laws for the sequence-packing walk: any walk-ordered input packs with
+  * full coverage, no overflow, dense bin/pos numbering, and a new bin opens
+  * ONLY when the chunk genuinely does not fit — next-fit, not
+  * first-chunk-per-bin.
+  */
+object PackingLaws extends Properties("Packing") {
+  import graft.operators.Packing
+  import graft.operators.Packing.ChunkMeta
+
+  private val budget = 64
+  // walk-ordered shard-contiguous input, sizes in [1, budget]
+  private val walks: Gen[List[ChunkMeta]] = for {
+    nShards <- Gen.choose(1, 4)
+    chunks <- Gen.listOf(for {
+      shard <- Gen.choose(0, nShards - 1)
+      n <- Gen.choose(1, budget)
+    } yield (shard, n))
+  } yield chunks.sortBy(_._1).zipWithIndex.map { case ((s, n), i) =>
+    ChunkMeta(doc_id = i.toLong, chunk_idx = 0, n_tokens = n, pack_h = i.toLong, shard = s)
+  }
+
+  property("coverage, order, overflow, density, and next-fit minimality") =
+    Prop.forAll(walks) { xs =>
+      val out = Packing.packIterator(xs.iterator, budget).toList
+      val coverage = out.map(_.doc_id) == xs.map(_.doc_id) // same rows, same order
+      val noOverflow = out.groupBy(o => (o.shard, o.bin))
+        .values.forall(_.map(_.n_tokens).sum <= budget)
+      val dense = out.groupBy(o => (o.shard, o.bin)).values.forall(b =>
+        b.map(_.pack_pos).sorted == b.indices.toList) &&
+        out.groupBy(_.shard).values.forall(s =>
+          s.map(_.bin).distinct.sorted == (0 to s.map(_.bin).max).toList)
+      // next-fit: consecutive rows in one shard open a new bin only on a
+      // genuine overflow of the bin being closed
+      val minimal = out.zip(out.drop(1)).forall { case (a, b) =>
+        b.shard != a.shard || b.bin == a.bin || {
+          val closedFill = out.filter(o => o.shard == a.shard && o.bin == a.bin)
+            .map(_.n_tokens).sum
+          closedFill + b.n_tokens > budget
+        }
+      }
+      coverage && noOverflow && dense && minimal
+    }
+
+  property("oversized chunk fails fast") =
+    Prop.forAll(Gen.choose(budget + 1, budget * 3)) { n =>
+      val bad = ChunkMeta(1L, 0, n, 1L, 0)
+      Prop.throws(classOf[IllegalArgumentException])(
+        Packing.packIterator(Iterator(bad), budget).toList)
+    }
+}
+
+/** Laws for the forward as-of matcher: in-order delivery (each batch's
+  * events at or above the previous high-water mark) must reproduce the
+  * batch forward-as-of-with-tolerance result exactly, for ANY batch split.
+  */
+object ForwardAsOfLaws extends Properties("StreamingAsOf.forwardStep") {
+  import graft.streaming.StreamingAsOf
+  import graft.streaming.StreamingAsOf.{Enriched, FEvent, FState}
+
+  private val tol = 10L
+  private val scenarios: Gen[(List[FEvent], List[Int])] = for {
+    n <- Gen.choose(0, 24)
+    evs <- Gen.listOfN(n, for {
+      t <- Gen.choose(0L, 60L)
+      side <- Gen.oneOf(0, 1)
+    } yield (t, side))
+    cuts <- Gen.listOf(Gen.choose(0, math.max(n - 1, 0)))
+  } yield {
+    // in-order delivery: sort by time; unique payloads label each event
+    val ordered = evs.sortBy(_._1).zipWithIndex.map { case ((t, side), i) =>
+      FEvent("k", t, side, s"pl$i-t$t", new java.sql.Timestamp(t))
+    }
+    (ordered, cuts.distinct.sorted)
+  }
+
+  private def batchReference(evs: Seq[FEvent]): Set[(String, Long, String)] = {
+    val builds = evs.filter(_.side == 0).groupBy(_.t)
+      .map { case (t, es) => (t, es.map(_.pl).max) }.toSeq.sortBy(_._1)
+    evs.filter(_.side == 1).flatMap { p =>
+      builds.collectFirst {
+        case (bt, bpl) if bt >= p.t && bt <= p.t + tol => (p.pl, bt, bpl)
+      }
+    }.toSet
+  }
+
+  property("any in-order batch split + final flush equals the batch result") =
+    Prop.forAll(scenarios) { case (evs, cuts) =>
+      val batches = { // split the ordered stream at the generated cut points
+        val bounds = (0 +: cuts.filter(_ <= evs.size) :+ evs.size).distinct.sorted
+        bounds.zip(bounds.drop(1)).map { case (a, b) => evs.slice(a, b) }
+      }
+      var st = FState(Nil, Nil)
+      var wm = 0L // watermark trails: max event time of PRIOR batches
+      val emitted = Seq.newBuilder[Enriched]
+      batches.foreach { b =>
+        val (next, out) = StreamingAsOf.forwardStep(st, b, wm, tol)
+        st = next; emitted ++= out
+        if (b.nonEmpty) wm = math.max(wm, b.map(_.t).max)
+      }
+      val (_, tail) = StreamingAsOf.forwardStep(st, Nil, Long.MaxValue / 2, tol)
+      emitted ++= tail
+      val got = emitted.result().map(e => (e.probePl, e.buildT, e.buildPl)).toSet
+      val want = batchReference(evs)
+      Prop(got == want) :| s"got $got, want $want"
+    }
+}
