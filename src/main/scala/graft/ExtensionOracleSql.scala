@@ -533,7 +533,8 @@ object ExtensionOracleSql {
         |ORDER BY e.event_id""".stripMargin,
 
     "asof_tolerance" ->
-      """WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id FROM events),
+      """WITH ev AS (SELECT event_id,
+        |    CAST(ts AS TIMESTAMP) - INTERVAL 28 YEAR AS ts, user_id FROM events),
         |b AS (
         |  SELECT o_custkey AS user_id, o_orderdate, o_orderkey, o_totalprice FROM orders
         |  QUALIFY row_number() OVER (PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) = 1),
@@ -545,7 +546,8 @@ object ExtensionOracleSql {
         |ORDER BY event_id""".stripMargin,
 
     "asof_forward" ->
-      """WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id FROM events),
+      """WITH ev AS (SELECT event_id,
+        |    CAST(ts AS TIMESTAMP) - INTERVAL 23 YEAR AS ts, user_id FROM events),
         |b AS (
         |  SELECT o_custkey AS user_id, o_orderdate, o_orderkey, o_totalprice FROM orders
         |  QUALIFY row_number() OVER (PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) = 1)

@@ -172,19 +172,30 @@ object ExtensionQueries {
         .orderBy("event_id")
     },
     "asof_tolerance" -> { (s, dir) =>
-      import org.apache.spark.sql.functions.col
-      val probe = Tables.table(s, dir, "events").select("event_id", "user_id", "ts")
+      import org.apache.spark.sql.functions.{col, expr}
+      // probe timestamps shifted into the order-date range (events sit in
+      // 2024-01, orders in 1995-2001): 28 years back lands mid-range, so the
+      // 30-day tolerance keeps SOME backward matches (last order recent
+      // enough) and drops the rest — both sides of the gap filter are
+      // exercised (1126 kept of 8083 matched at sf0.01)
+      val probe = Tables.table(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          (col("ts") - expr("INTERVAL 28 YEARS")).as("ts"))
       val build = Tables.table(s, dir, "orders")
         .select(col("o_custkey").as("user_id"), col("o_orderdate"),
           col("o_orderkey"), col("o_totalprice"))
-      // only matches within 30 days of the event
       graft.operators.AsOfJoin.asOf(probe, build, "user_id", "ts", "o_orderdate",
           toleranceMicros = Some(30L * 24 * 3600 * 1000000L))
         .orderBy("event_id")
     },
     "asof_forward" -> { (s, dir) =>
-      import org.apache.spark.sql.functions.col
-      val probe = Tables.table(s, dir, "events").select("event_id", "user_id", "ts")
+      import org.apache.spark.sql.functions.{col, expr}
+      // 23 years back lands probes in 2001-01, seven months before the last
+      // order: ~55% of probes have a next order (non-trivial ascending
+      // match), the rest have none (inner as-of drops them)
+      val probe = Tables.table(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          (col("ts") - expr("INTERVAL 23 YEARS")).as("ts"))
       val build = Tables.table(s, dir, "orders")
         .select(col("o_custkey").as("user_id"), col("o_orderdate"),
           col("o_orderkey"), col("o_totalprice"))

@@ -88,9 +88,14 @@ object Queries {
       .select("c_custkey", "c_name")
       .orderBy("c_custkey")
 
+  /** Anti join whose anti side is non-empty by construction: every fixture
+    * customer has SOME order, so the build side is restricted to urgent
+    * orders — customers who never placed one survive the anti join
+    * (203 of 1500 at sf0.01). */
   def q7AntiJoin(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "customer")
-      .join(T(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(T(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
       .select("c_custkey", "c_name")
       .orderBy("c_custkey")
 
