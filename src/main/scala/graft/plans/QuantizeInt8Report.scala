@@ -25,11 +25,20 @@ import org.apache.spark.sql.types._
   *
   * Empty vectors report `amax = 0` (callers filter `amax > 0`, which also
   * matches the lambda form where `array_max(empty) = null` fails the same
-  * predicate).
+  * predicate). A vector containing ANY null element yields a NULL report —
+  * a partial vector has no well-defined quantization, and returning null
+  * (rather than reading the null slot as garbage) keeps the expression
+  * honest on `containsNull` arrays; callers' `amax > 0` filters drop these
+  * rows just like the lambda form's null-poisoned `amax` does.
   */
 case class QuantizeInt8Report(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = QuantizeInt8Report.schema
+
+  private def containsNull: Boolean =
+    child.dataType.asInstanceOf[ArrayType].containsNull
+
+  override def nullable: Boolean = child.nullable || containsNull
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
@@ -44,6 +53,10 @@ case class QuantizeInt8Report(child: Expression) extends UnaryExpression {
     val x = v.asInstanceOf[ArrayData]
     val n = x.numElements()
     val f = isFloat
+    if (containsNull) {
+      var j = 0
+      while (j < n) { if (x.isNullAt(j)) return null; j += 1 }
+    }
     def at(i: Int): Double = if (f) x.getFloat(i).toDouble else x.getDouble(i)
     var amax = 0.0
     var i = 0
@@ -75,8 +88,19 @@ case class QuantizeInt8Report(child: Expression) extends UnaryExpression {
       val nd = ctx.freshName("nd"); val xd = ctx.freshName("xd")
       val q = ctx.freshName("q"); val d = ctx.freshName("d")
       val abs = ctx.freshName("abs")
+      val nullScan = if (containsNull) {
+        val j = ctx.freshName("j")
+        s"""
+           |for (int $j = 0; $j < $n && !${ev.isNull}; $j++) {
+           |  if ($a.isNullAt($j)) ${ev.isNull} = true;
+           |}
+           |if (!${ev.isNull}) {
+         """.stripMargin
+      } else ""
+      val nullScanClose = if (containsNull) "}" else ""
       s"""
          |int $n = $a.numElements();
+         |$nullScan
          |double $amax = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  double $abs = java.lang.Math.abs((double)$a.$get($i));
@@ -100,6 +124,7 @@ case class QuantizeInt8Report(child: Expression) extends UnaryExpression {
          |    java.lang.Long.valueOf(($n == 0) ? 0L : $qMax),
          |    java.lang.Double.valueOf(
          |      $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($nd)))});
+         |$nullScanClose
        """.stripMargin
     })
 

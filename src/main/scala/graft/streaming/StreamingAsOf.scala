@@ -40,8 +40,19 @@ object StreamingAsOf {
   case class Event(k: String, t: Long, side: Int, pl: String)
   /** Running latest-build state per key. */
   case class BuildState(t: Long, pl: String)
-  /** Enriched output before column restoration. */
-  case class Enriched(probePl: String, buildT: Long, buildPl: String)
+  /** Enriched output before column restoration. `probeT` is the EXACT probe
+    * event-time in microseconds, carried through so the tolerance filter
+    * never re-derives it from the JSON payload (whose default timestamp
+    * rendering is millisecond-truncated).
+    */
+  case class Enriched(probeT: Long, probePl: String, buildT: Long, buildPl: String)
+
+  /** JSON options for payload transit through the state store: default
+    * to_json/from_json render timestamps at MILLISECOND precision, silently
+    * truncating microsecond-resolution payload columns — force a µs format.
+    */
+  private[streaming] val JsonOpts: Map[String, String] =
+    Map("timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
 
   /** probe ⋈asof build on `key`, backward direction.
     *
@@ -65,29 +76,29 @@ object StreamingAsOf {
       col(key).cast("string").as("k"),
       unix_micros(col(buildTs).cast("timestamp")).as("t"),
       lit(0).as("side"),
-      to_json(struct(buildPayloadCols.map(col): _*)).as("pl"))
+      to_json(struct(buildPayloadCols.map(col): _*), JsonOpts).as("pl"))
     val taggedProbe = probe.select(
       col(key).cast("string").as("k"),
       unix_micros(col(probeTs).cast("timestamp")).as("t"),
       lit(1).as("side"),
-      to_json(struct(probe.columns.map(col): _*)).as("pl"))
+      to_json(struct(probe.columns.map(col): _*), JsonOpts).as("pl"))
 
     val enriched: Dataset[Enriched] = taggedBuild.unionByName(taggedProbe)
       .as[Event]
       .groupByKey(_.k)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(matchGroup)
 
-    val restored = enriched
-      .select(
-        from_json(col("probePl"), probeSchema).as("__p"),
-        col("buildT"),
-        from_json(col("buildPl"), buildPayloadSchema).as("__b"))
+    // tolerance compares the EXACT probe/build micros carried through the
+    // operator — never timestamps re-parsed from JSON payloads
     val gapFiltered = toleranceMicros match {
-      case None => restored
-      case Some(tol) => restored.filter(
-        unix_micros(col(s"__p.$probeTs").cast("timestamp")) - col("buildT") <= tol)
+      case None => enriched.toDF()
+      case Some(tol) => enriched.filter(col("probeT") - col("buildT") <= tol).toDF()
     }
-    gapFiltered.select(
+    gapFiltered
+      .select(
+        from_json(col("probePl"), probeSchema, JsonOpts).as("__p"),
+        from_json(col("buildPl"), buildPayloadSchema, JsonOpts).as("__b"))
+      .select(
       probe.columns.map(c => col(s"__p.$c").as(c)) ++
         buildPayloadCols.map(c => col(s"__b.$c").as(c)): _*)
   }
@@ -165,17 +176,26 @@ object StreamingAsOf {
           if (next.builds.isEmpty && next.probes.isEmpty) state.remove()
           else {
             state.update(next)
-            if (next.probes.nonEmpty) {
-              // wake this key when its earliest decision boundary passes the
-              // watermark: either a pending probe's candidate build-time (to
-              // finalize) or its window end (to expire)
-              val decisionMicros = next.probes.map { case (pt, _) =>
-                next.builds.collectFirst {
-                  case (bt, _) if bt >= pt && bt <= pt + toleranceMicros => bt
-                }.getOrElse(pt + toleranceMicros)
-              }.min
-              state.setTimeoutTimestamp(math.max(decisionMicros / 1000L + 1, state.getCurrentWatermarkMs() + 1))
-            }
+            val wakeMicros =
+              if (next.probes.nonEmpty) {
+                // wake this key when its earliest decision boundary passes
+                // the watermark: either a pending probe's candidate
+                // build-time (to finalize) or its window end (to expire)
+                next.probes.map { case (pt, _) =>
+                  next.builds.collectFirst {
+                    case (bt, _) if bt >= pt && bt <= pt + toleranceMicros => bt
+                  }.getOrElse(pt + toleranceMicros)
+                }.min
+              } else {
+                // builds-only state: no probe can ever match a build below
+                // the watermark (forward needs build-time >= probe-time >=
+                // watermark), so wake once the watermark passes the newest
+                // retained build and let the prune empty + remove the state —
+                // without this timer a quiescent key would hold its builds
+                // forever and the store would grow with dead-key cardinality
+                next.builds.map(_._1).max
+              }
+            state.setTimeoutTimestamp(math.max(wakeMicros / 1000L + 1, state.getCurrentWatermarkMs() + 1))
           }
           out.iterator
       }
@@ -215,7 +235,7 @@ object StreamingAsOf {
         // STRICT bt < wm: an event AT the watermark is not late, so a
         // same-time build (which per-time dedup could prefer) may still
         // arrive — certainty begins strictly below the watermark
-        case Some((bt, bpl)) if bt < wmMicros => out += Enriched(pl, bt, bpl)
+        case Some((bt, bpl)) if bt < wmMicros => out += Enriched(pt, pl, bt, bpl)
         case None if pt + tol < wmMicros      => () // window closed: drop
         case _                                => pending += ((pt, pl))
       }
@@ -236,11 +256,17 @@ object StreamingAsOf {
       state: GroupState[BuildState]): Iterator[Enriched] = {
     var st: Option[BuildState] = state.getOption
     val out = Seq.newBuilder[Enriched]
-    rows.toSeq.sortBy(e => (e.t, e.side)).foreach { e =>
+    // sort includes the payload so equal-time builds replay in a
+    // DETERMINISTIC order; the replacement rule below then makes the
+    // lexicographically greatest payload win an equal-time tie — the same
+    // dedup rule as the batch side (LatestPerKey) and forwardStep, both
+    // within a batch and against the stored BuildState from prior batches.
+    rows.toSeq.sortBy(e => (e.t, e.side, e.pl)).foreach { e =>
       if (e.side == 0) {
-        if (st.forall(_.t <= e.t)) st = Some(BuildState(e.t, e.pl))
+        if (st.forall(s => s.t < e.t || (s.t == e.t && s.pl <= e.pl)))
+          st = Some(BuildState(e.t, e.pl))
       } else {
-        st.filter(_.t <= e.t).foreach(s => out += Enriched(e.pl, s.t, s.pl))
+        st.filter(_.t <= e.t).foreach(s => out += Enriched(e.t, e.pl, s.t, s.pl))
       }
     }
     st.foreach(state.update)

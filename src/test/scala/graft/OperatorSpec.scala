@@ -309,6 +309,20 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("quantizeInt8: null array elements yield a NULL report, not garbage reads") {
+    import spark.implicits._
+    // containsNull = true WITH an actual null slot: whole report is null
+    val withNull = Seq(
+      (1L, Seq(Option(0.5), None, Option(1.0))),
+      (2L, Seq(Option(0.25), Option(-1.0)))).toDF("vec_id", "embedding")
+      .select(col("vec_id"), graft.plans.QuantizeInt8Report.expr(col("embedding")).as("rep"))
+      .orderBy("vec_id").collect()
+    assert(withNull(0).isNullAt(1), "null element must poison the whole report")
+    assert(!withNull(1).isNullAt(1), "null-free row on a containsNull schema must compute")
+    val rep = withNull(1).getStruct(1)
+    assert(rep.getDouble(0) == 1.0 && rep.getLong(1) == -127L && rep.getLong(2) == 32L)
+  }
+
   test("quantizeInt8 fused expression is bit-identical to the lambda reference") {
     import graft.operators.Similarity
     val emb = Tables.table(spark, "/root/testdata/sf0.01", "embeddings")

@@ -82,6 +82,93 @@ class StreamingAsOfSpec extends SparkSpec {
     assert(got == Map(200L -> "b"))
   }
 
+  test("stream as-of: equal-time builds dedupe to the greatest payload, like batch LatestPerKey") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val buildIn = MemoryStream[(Long, Long, String)]
+    val probeIn = MemoryStream[(Long, Long, Long)]
+    val out = StreamingAsOf.asOfStream(
+      probeIn.toDF().toDF("id", "k", "pt"),
+      buildIn.toDF().toDF("k", "bt", "v"),
+      "k", "pt", "bt")
+    val q = out.writeStream.outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("asof-eqts").toString)
+      .format("memory").queryName("asof_eqts").start()
+
+    // same batch, same key, SAME time, different payloads: the winner must
+    // be the lexicographically greatest payload regardless of partition
+    // iteration order (the batch side's LatestPerKey tie rule)
+    buildIn.addData((1L, 10L, "a"), (1L, 10L, "c"))
+    q.processAllAvailable()
+    // later batch, equal-time build with a SMALLER payload: stored state
+    // must not regress to it
+    buildIn.addData((1L, 10L, "b"))
+    q.processAllAvailable()
+    probeIn.addData((300L, 1L, 15L))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("asof_eqts").collect()
+      .map(r => (r.getLong(0), r.getString(3))).toMap
+    assert(got == Map(300L -> "c"), s"equal-time dedupe broke: $got")
+  }
+
+  test("stream as-of: payload timestamps survive the state store at microsecond precision") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val seen = java.sql.Timestamp.valueOf("2024-03-01 10:00:00")
+    seen.setNanos(123456000) // 123456 µs — default to_json would clip to 123 ms
+    val buildIn = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val probeIn = MemoryStream[(Long, Long, Long)]
+    val out = StreamingAsOf.asOfStream(
+      probeIn.toDF().toDF("id", "k", "pt"),
+      buildIn.toDF().toDF("k", "bt", "seen"),
+      "k", "pt", "bt")
+    val q = out.writeStream.outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("asof-micro").toString)
+      .format("memory").queryName("asof_micro").start()
+
+    buildIn.addData((1L, 10L, seen))
+    probeIn.addData((100L, 1L, 15L))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("asof_micro").collect()
+    assert(rows.length == 1)
+    val got = rows(0).getAs[java.sql.Timestamp]("seen")
+    assert(got.getTime == seen.getTime && got.getNanos == seen.getNanos,
+      s"timestamp payload lost precision: wrote $seen (${seen.getNanos} ns), read $got (${got.getNanos} ns)")
+  }
+
+  test("forward stream as-of: builds-only keys are GC'd once the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val buildIn = MemoryStream[(Long, Long, String)]
+    val probeIn = MemoryStream[(Long, Long, Long)]
+    val out = StreamingAsOf.asOfStreamForward(
+      probeIn.toDF().toDF("id", "k", "pt"),
+      buildIn.toDF().toDF("k", "bt", "v"),
+      "k", "pt", "bt", toleranceMicros = 1000000L, watermarkDelay = "0 seconds")
+    val q = out.writeStream.outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("asof-gc").toString)
+      .format("memory").queryName("asof_gc").start()
+
+    // key 1 receives ONLY builds — no probe ever arrives for it
+    buildIn.addData((1L, 20L, "orphan"))
+    q.processAllAvailable()
+    // other-key traffic advances the watermark far past key 1's builds; its
+    // event-time timer must fire and remove the dead state
+    (1 to 4).foreach { i =>
+      buildIn.addData((2L, 1000L * i, s"live$i"))
+      q.processAllAvailable()
+    }
+    val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    q.stop()
+    // only key 2 (the live key) may still hold state; key 1's builds-only
+    // entry must be gone
+    assert(stateRows <= 1, s"builds-only state never GC'd: $stateRows state rows")
+  }
+
   test("forwardStep: finalize under watermark, pend above it, expire closed windows") {
     import StreamingAsOf.{forwardStep, Enriched, FEvent, FState}
     def b(t: Long, pl: String) = FEvent("k", t, 0, pl, new java.sql.Timestamp(t / 1000))
@@ -90,7 +177,7 @@ class StreamingAsOfSpec extends SparkSpec {
     // candidate build at/below watermark: finalized (smallest bt >= pt wins)
     val (s1, o1) = forwardStep(FState(Nil, Nil),
       Seq(b(20, "b20"), b(30, "b30"), p(15, "p15")), wmMicros = 25, tol = 20)
-    assert(o1 == Seq(Enriched("p15", 20, "b20")) && s1.probes.isEmpty)
+    assert(o1 == Seq(Enriched(15, "p15", 20, "b20")) && s1.probes.isEmpty)
 
     // candidate exists but above watermark: probe must PEND (an earlier
     // build could still arrive), then finalize once the watermark passes it
@@ -98,7 +185,7 @@ class StreamingAsOfSpec extends SparkSpec {
       Seq(b(30, "b30"), p(15, "p15")), wmMicros = 25, tol = 20)
     assert(o2.isEmpty && s2.probes == Seq((15L, "p15")))
     val (s3, o3) = forwardStep(s2, Nil, wmMicros = 31, tol = 20)
-    assert(o3 == Seq(Enriched("p15", 30, "b30")) && s3.probes.isEmpty)
+    assert(o3 == Seq(Enriched(15, "p15", 30, "b30")) && s3.probes.isEmpty)
 
     // tolerance window wholly below watermark with no match: expired silently
     val (s4, o4) = forwardStep(FState(Nil, Seq((10L, "p10"))), Nil, wmMicros = 40, tol = 20)
@@ -109,7 +196,7 @@ class StreamingAsOfSpec extends SparkSpec {
       Seq(b(5, "late"), b(50, "a"), b(50, "z"), p(45, "p45")), wmMicros = 30, tol = 20)
     assert(o5.isEmpty && s5.builds == Seq((50L, "z")) && s5.probes == Seq((45L, "p45")))
     val (_, o6) = forwardStep(s5, Nil, wmMicros = 55, tol = 20)
-    assert(o6 == Seq(Enriched("p45", 50, "z")))
+    assert(o6 == Seq(Enriched(45, "p45", 50, "z")))
 
     // builds older than min(watermark, oldest pending probe) are pruned
     val (s7, _) = forwardStep(FState(Seq((10L, "old"), (60L, "keep")), Nil),
