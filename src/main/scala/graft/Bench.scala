@@ -63,7 +63,18 @@ object Bench {
       .mkString("{", ",", "}")
     val failedJson = failures.map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val total = results.collect { case (_, v, None) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    println(line)
+    // The driver's log capture clips long stdout lines, losing the head of
+    // the per-query map (round-4 verdict: 29 of 94 timings unrecoverable
+    // every round). Persist the COMPLETE result as a committed artifact so
+    // round-over-round per-query comparison never depends on log capture —
+    // one query per line, sorted, trivially diffable.
+    val pretty = results.map { case (k, v, _) => s"""    "$k": $v""" }
+      .mkString("{\n  \"metric\": \"total\",\n  \"value\": " + total +
+        ",\n  \"unit\": \"sec\",\n  \"sf\": \"" + sfDir +
+        "\",\n  \"failed\": " + failedJson + ",\n  \"queries\": {\n", ",\n", "\n  }\n}\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_TIMES.json"), pretty)
     spark.stop()
     if (failures.nonEmpty) sys.exit(1)
   }

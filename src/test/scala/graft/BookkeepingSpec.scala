@@ -29,4 +29,33 @@ class BookkeepingSpec extends AnyFunSuite {
     assert(baseline.contains(s"$declared declared total"),
       s"BASELINE.md's latest round row must cite '$declared declared total'")
   }
+
+  test("BASELINE's latest round section records a measured bench row") {
+    // round-4 verdict: the per-round table recorded correctness/recall/
+    // serving/layout but omitted the measured sf0.1 bench total — the one
+    // number the 2x gate is judged against. Every round section must carry
+    // a `| bench` row from now on.
+    val baseline = Files.readString(Paths.get("BASELINE.md"))
+    val lastRound = baseline.split("## Round").last
+    assert(lastRound.contains("| bench"),
+      "BASELINE.md's latest '## Round N measured' section has no '| bench' row — " +
+        "add the measured sf0.1 total for this round")
+  }
+
+  test("BENCH_TIMES.json covers the full declared query surface") {
+    // the driver's stdout capture clips long bench lines (29 of 94 per-query
+    // timings lost every round) — Bench persists the complete map to
+    // BENCH_TIMES.json. This gate keeps that artifact in lockstep with the
+    // registry: after adding queries, re-run `runMain graft.Bench`.
+    val path = Paths.get("BENCH_TIMES.json")
+    assert(Files.exists(path), "BENCH_TIMES.json missing — run `runMain graft.Bench`")
+    val json = Files.readString(path)
+    val timed = "\"([A-Za-z0-9_]+)\": *-?[0-9.]+".r
+      .findAllMatchIn(json).map(_.group(1)).toSet -- Set("value")
+    val declared = SparkEntry.queries.keySet
+    assert((declared -- timed).isEmpty,
+      s"queries missing from BENCH_TIMES.json: ${declared -- timed} — re-run graft.Bench")
+    assert((timed -- declared).isEmpty,
+      s"stale queries in BENCH_TIMES.json: ${timed -- declared} — re-run graft.Bench")
+  }
 }
