@@ -112,6 +112,26 @@ object ExtensionOracleSql {
          |WHERE e.doc_id % 97 <> 0
          |GROUP BY e.doc_id ORDER BY e.doc_id""".stripMargin,
 
+    "decontaminate_exact" ->
+      s"""WITH t AS (SELECT doc_id, $toksOf AS toks FROM documents),
+         |ht AS (SELECT list_slice(toks, 6, 26) AS toks FROM t WHERE doc_id % 97 = 0),
+         |hsh AS (SELECT ${shinglesOf(13)} AS sh FROM ht),
+         |hx AS (SELECT unnest(sh) AS g FROM hsh WHERE len(sh) > 0),
+         |hold AS (SELECT DISTINCT ${h60("g")} AS h FROM hx),
+         |ts AS (SELECT doc_id, ${shinglesOf(13)} AS sh FROM t),
+         |ex0 AS (SELECT doc_id, generate_subscripts(sh, 1) - 1 AS pos, unnest(sh) AS g
+         |        FROM ts WHERE len(sh) > 0),
+         |ex AS (SELECT doc_id, pos, ${h60("g")} AS h FROM ex0),
+         |m AS (SELECT e.doc_id, e.pos FROM ex e JOIN hold USING (h)),
+         |r AS (SELECT doc_id, pos,
+         |        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |      FROM m),
+         |runs AS (SELECT doc_id, grp, COUNT(*) AS run FROM r GROUP BY doc_id, grp)
+         |SELECT doc_id, CAST(SUM(run) AS BIGINT) AS n_hit_ngrams,
+         |  CAST(COUNT(*) AS BIGINT) AS n_spans,
+         |  CAST(MAX(run) + 12 AS BIGINT) AS longest_span
+         |FROM runs GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "vocab_encode" ->
       s"""WITH t AS (SELECT doc_id, $toksOf AS toks FROM documents),
          |tok AS (SELECT doc_id, generate_subscripts(toks, 1) - 1 AS pos,

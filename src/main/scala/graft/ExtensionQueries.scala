@@ -49,6 +49,18 @@ object ExtensionQueries {
         d.filter(col("doc_id") % 97 =!= 0), d.filter(col("doc_id") % 97 === 0),
         "doc_id", "text", k = 5)
     },
+    "decontaminate_exact" -> { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      // a benchmark that QUOTES training text (the realistic contamination
+      // mode): every 97th doc contributes a 21-token excerpt (tokens 6-26)
+      // as a holdout item, so those training docs verifiably contain a
+      // verbatim >= 13-token benchmark span — non-vacuous by construction
+      val d = docs(s, dir)
+      val holdout = d.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id"),
+          array_join(slice(graft.functions.Text.tokens(col("text")), 6, 21), " ").as("text"))
+      Dedup.exactSubstringContamination(d, holdout, "doc_id", "text", n = 13)
+    },
     "vocab_encode" -> ((s, dir) =>
       TextAnalysis.vocabEncode(docs(s, dir), vocabSize = 256)),
     "sample_temperature" -> ((s, dir) =>

@@ -45,15 +45,23 @@ object Dedup {
     * per-document on the already-spread exchange.
     */
   private def shingleHashesRaw(df0: DataFrame, idCol: String, textCol: String, k: Int,
-                               hashFn: Column => Column): DataFrame = {
+                               hashFn: Column => Column): DataFrame =
+    shingleHashesPositional(df0, idCol, textCol, k, hashFn).drop("pos")
+
+  /** Like [[shingleHashesRaw]] but KEEPS each shingle's token position —
+    * the span-level operators need to know WHERE a match sits to stitch
+    * consecutive matched k-grams into maximal verbatim runs.
+    */
+  private def shingleHashesPositional(df0: DataFrame, idCol: String, textCol: String, k: Int,
+                                      hashFn: Column => Column): DataFrame = {
     val w = Window.partitionBy("doc_id").orderBy("pos")
     val tok = spread(df0, idCol)
       .select(col(idCol).as("doc_id"), posexplode(Text.tokens(col(textCol))).as(Seq("pos", "t")))
     val leads = (1 until k).map(i => lead(col("t"), i).over(w).as(s"t$i"))
     val shingle = concat_ws(" ", col("t") +: (1 until k).map(i => col(s"t$i")): _*)
-    tok.select(col("doc_id") +: col("t") +: leads: _*)
+    tok.select(col("doc_id") +: col("pos") +: col("t") +: leads: _*)
       .filter(col(s"t${k - 1}").isNotNull)
-      .select(col("doc_id"), hashFn(shingle).as("h"))
+      .select(col("doc_id"), col("pos"), hashFn(shingle).as("h"))
   }
 
   private def shingleHashesExploded(df0: DataFrame, idCol: String, textCol: String, k: Int,
@@ -139,6 +147,47 @@ object Dedup {
         sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hits"))
       .withColumn("overlap_permille",
         floor(col("n_hits") * 1000 / col("n_shingles")).cast("int"))
+      .orderBy("doc_id")
+  }
+
+  /** EXACT-substring decontamination — the Lee-et-al / GPT-3 / PaLM rule:
+    * a training document is contaminated where it shares a VERBATIM run of
+    * at least `n` tokens (n = 13 canonical) with any holdout/benchmark
+    * document. Where [[contaminationReport]] asks "any shingle-set overlap
+    * at all", this operator detects exact duplicated SPANS and reports their
+    * geometry per document: how many n-gram positions matched, how many
+    * maximal verbatim runs they form, and the longest run in TOKENS
+    * (a run of r consecutive matched n-gram positions is a verbatim span of
+    * r + n - 1 tokens).
+    *
+    * Scale shape: the train side is positional n-gram hashes
+    * (doc_id, pos, h) — one tokenize pass, no per-doc distinct; the holdout
+    * reduces to a broadcast distinct hash set, so the corpus is filtered to
+    * the contaminated remnant BEFORE any exchange (never doc × doc). The
+    * run-stitching window (pos − row_number) runs per-doc over matched
+    * positions only — at 100 TB that remnant is orders of magnitude smaller
+    * than the corpus.
+    */
+  def exactSubstringContamination(train: DataFrame, holdout: DataFrame,
+                                  idCol: String, textCol: String, n: Int = 13,
+                                  hashFn: Column => Column = Hashing.hash60): DataFrame = {
+    val holdSh = shingleHashesRaw(holdout, idCol, textCol, n, hashFn)
+      .select(col("h")).distinct()
+    val matched = shingleHashesPositional(train, idCol, textCol, n, hashFn)
+      .join(broadcast(holdSh), "h")
+      .select("doc_id", "pos")
+    // classic gaps-and-islands: consecutive matched positions share
+    // (pos - row_number), so each maximal verbatim run is one group
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    matched
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(count(lit(1)).as("run"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("run")).as("n_hit_ngrams"),
+        count(lit(1)).as("n_spans"),
+        (max(col("run")) + lit(n - 1).cast("long")).as("longest_span"))
       .orderBy("doc_id")
   }
 

@@ -296,6 +296,31 @@ class OperatorSpec extends SparkSpec {
     assert(got == Map(1L -> 1L)) // exactly one shared 5-shingle, doc 2 clean
   }
 
+  test("exactSubstringContamination: planted >= 13-token verbatim runs are always caught") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // unique filler tokens so only the planted quotes can match
+    def filler(tag: String, n: Int) = (1 to n).map(i => s"$tag$i").mkString(" ")
+    val quote13 = (1 to 13).map(i => s"q$i").mkString(" ")   // exactly the threshold
+    val quote20 = (1 to 20).map(i => s"z$i").mkString(" ")   // a longer span
+    val quote12 = (1 to 12).map(i => s"q$i").mkString(" ")   // one token short
+    val train = Seq(
+      (1L, s"${filler("a", 5)} $quote13 ${filler("b", 5)}"),         // 13-token span: caught
+      (2L, s"${filler("c", 5)} $quote12 ${filler("d", 5)}"),         // 12 tokens: NOT caught
+      (3L, s"${filler("e", 3)} $quote20 ${filler("f", 3)}"),         // 20-token span
+      (4L, s"$quote13 ${filler("g", 10)} $quote13"),                 // two disjoint spans
+      (5L, filler("h", 30))).toDF("doc_id", "text")                  // clean
+    val holdout = Seq(
+      (100L, s"${filler("x", 4)} $quote13 ${filler("y", 4)}"),
+      (101L, s"$quote20 ${filler("w", 6)}")).toDF("doc_id", "text")
+    val got = Dedup.exactSubstringContamination(train, holdout, "doc_id", "text", n = 13)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got.keySet == Set(1L, 3L, 4L), s"flagged set wrong: $got")
+    assert(got(1L) == ((1L, 1L, 13L)), s"doc 1: ${got(1L)}") // 1 matched 13-gram = 13-token span
+    assert(got(3L) == ((8L, 1L, 20L)), s"doc 3: ${got(3L)}") // 8 consecutive 13-grams = 20 tokens
+    assert(got(4L) == ((2L, 2L, 13L)), s"doc 4: ${got(4L)}") // two disjoint minimal spans
+  }
+
   test("quantizeInt8: range bounded, amax element hits ±127, reconstruction tight") {
     import graft.operators.Similarity
     val emb = Tables.table(spark, "/root/testdata/sf0.01", "embeddings")
