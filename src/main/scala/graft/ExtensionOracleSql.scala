@@ -60,7 +60,47 @@ object ExtensionOracleSql {
        |          FROM asg$n)
        |    GROUP BY centroid_id, idx) GROUP BY centroid_id)""".stripMargin
 
+  /** The IVF search result with the canonical build parameters — shared by
+    * `simsearch_ivf` (build + search in one query) and `simsearch_ivf_search`
+    * (search over the STORED index): both must produce this exact result.
+    */
+  private val simsearchIvfSql: String =
+    s"""WITH cent0 AS (SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings WHERE vec_id < 4),
+       |${lloydIterCte(1)},
+       |${lloydIterCte(2)},
+       |${lloydIterCte(3)},
+       |${lloydIterCte(4)},
+       |cent AS (SELECT * FROM cent4),
+       |probe AS (SELECT embedding AS pv FROM embeddings WHERE vec_id = 0),
+       |asn AS (
+       |  SELECT e.vec_id, c.centroid_id,
+       |    round(${cos("e.embedding", "c.cvec")}, 6) AS csim
+       |  FROM embeddings e CROSS JOIN cent c),
+       |best AS (
+       |  SELECT vec_id, centroid_id FROM asn
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, centroid_id) = 1),
+       |pb AS (
+       |  SELECT centroid_id FROM (
+       |    SELECT c.centroid_id, round(${cos("c.cvec", "p.pv")}, 6) AS csim
+       |    FROM cent c CROSS JOIN probe p)
+       |  QUALIFY row_number() OVER (ORDER BY csim DESC, centroid_id) <= 3)
+       |SELECT e.vec_id, round(${cos("e.embedding", "p.pv")}, 6) AS sim
+       |FROM best
+       |JOIN embeddings e ON e.vec_id = best.vec_id
+       |JOIN pb ON pb.centroid_id = best.centroid_id
+       |CROSS JOIN probe p
+       |WHERE e.vec_id <> 0
+       |ORDER BY sim DESC, e.vec_id LIMIT 5""".stripMargin
+
   val all: Map[String, String] = Map(
+    "simsearch_ivf" -> simsearchIvfSql,
+    "simsearch_ivf_search" -> simsearchIvfSql,
+
+    "sample_shuffle" ->
+      s"""SELECT doc_id, source,
+         |  ${h60("'shuffle:42:' || CAST(doc_id AS VARCHAR)")} AS shuffle_key
+         |FROM documents
+         |ORDER BY shuffle_key, doc_id""".stripMargin,
     "dedup_exact" ->
       """SELECT MIN(doc_id) AS canonical_id, COUNT(*) AS dup_count
         |FROM documents GROUP BY text ORDER BY canonical_id""".stripMargin,
@@ -302,34 +342,6 @@ object ExtensionOracleSql {
          |  JOIN hs hb ON hb.doc_id = doc_b)
          |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
-
-    "simsearch_ivf" ->
-      s"""WITH cent0 AS (SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings WHERE vec_id < 4),
-         |${lloydIterCte(1)},
-         |${lloydIterCte(2)},
-         |${lloydIterCte(3)},
-         |${lloydIterCte(4)},
-         |cent AS (SELECT * FROM cent4),
-         |probe AS (SELECT embedding AS pv FROM embeddings WHERE vec_id = 0),
-         |asn AS (
-         |  SELECT e.vec_id, c.centroid_id,
-         |    round(${cos("e.embedding", "c.cvec")}, 6) AS csim
-         |  FROM embeddings e CROSS JOIN cent c),
-         |best AS (
-         |  SELECT vec_id, centroid_id FROM asn
-         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, centroid_id) = 1),
-         |pb AS (
-         |  SELECT centroid_id FROM (
-         |    SELECT c.centroid_id, round(${cos("c.cvec", "p.pv")}, 6) AS csim
-         |    FROM cent c CROSS JOIN probe p)
-         |  QUALIFY row_number() OVER (ORDER BY csim DESC, centroid_id) <= 3)
-         |SELECT e.vec_id, round(${cos("e.embedding", "p.pv")}, 6) AS sim
-         |FROM best
-         |JOIN embeddings e ON e.vec_id = best.vec_id
-         |JOIN pb ON pb.centroid_id = best.centroid_id
-         |CROSS JOIN probe p
-         |WHERE e.vec_id <> 0
-         |ORDER BY sim DESC, e.vec_id LIMIT 5""".stripMargin,
 
     "dedup_clusters" ->
       s"""WITH RECURSIVE j AS (

@@ -49,6 +49,24 @@ object Sampling {
       .orderBy(idCol)
   }
 
+  /** Deterministic global corpus shuffle: order the corpus by a seeded hash
+    * of the key. Training pipelines need a REPRODUCIBLE shuffle between
+    * packing and tokenization (so a rerun, a resume, or a different cluster
+    * size produces the identical example order); an RNG-based shuffle
+    * cannot give that, a seeded hash order can — the permutation is a pure
+    * function of (seed, key).
+    *
+    * Scale shape: Spark plans a global `orderBy` as ONE range exchange
+    * (sampled range boundaries) + per-partition sort — no driver
+    * materialization, no single-partition window. The hash rides along as
+    * `shuffle_key` so downstream stages can verify, resume, or re-establish
+    * the order without recomputing it (plan-locked in PlanShapeSpec).
+    */
+  def deterministicShuffle(df: DataFrame, idCol: String, seed: Long): DataFrame =
+    df.withColumn("shuffle_key",
+        Hashing.hash60(concat(lit(s"shuffle:$seed:"), col(idCol).cast("string"))))
+      .orderBy(col("shuffle_key"), col(idCol))
+
   /** bucket in [0, 10000): four decimal digits of rate resolution. */
   private def bucket(keyCol: Column, salt: String): Column =
     pmod(Hashing.hash60(concat(lit(salt), lit(":"), keyCol.cast("string"))), lit(10000L))

@@ -296,6 +296,35 @@ class OperatorSpec extends SparkSpec {
     assert(got == Map(1L -> 1L)) // exactly one shared 5-shingle, doc 2 clean
   }
 
+  test("ivf stored-index search equals the build-and-search result") {
+    import graft.operators.Similarity
+    val emb = Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("ivf-store").toString
+    Similarity.ivfStore(emb, dir, nlist = 4, iters = 4)
+    val stored = Similarity.ivfSearchStored(spark, dir, emb, probeId = 0L, k = 5, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val oneShot = Similarity.ivfTopK(emb, probeId = 0L, k = 5, nlist = 4, nprobe = 3, iters = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(stored == oneShot, s"stored $stored != one-shot $oneShot")
+    // a second probe against the same stored index must not rebuild anything
+    val probe7 = Similarity.ivfSearchStored(spark, dir, emb, probeId = 7L, k = 3, nprobe = 3)
+      .collect()
+    assert(probe7.length == 3)
+  }
+
+  test("deterministicShuffle: a reproducible permutation, stable across partitionings") {
+    import graft.operators.Sampling
+    val docs = Tables.table(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "source")
+    def order(df: org.apache.spark.sql.DataFrame, seed: Long): Seq[Long] =
+      Sampling.deterministicShuffle(df, "doc_id", seed).collect().map(_.getLong(0)).toSeq
+    val o1 = order(docs, 42L)
+    assert(o1 == order(docs.repartition(7), 42L), "order must not depend on partitioning")
+    assert(o1.sorted != o1, "shuffle must actually permute")
+    assert(o1 != order(docs, 43L), "different seeds must give different permutations")
+    assert(o1.toSet == docs.collect().map(_.getLong(0)).toSet, "must be a permutation")
+  }
+
   test("exactSubstringContamination: planted >= 13-token verbatim runs are always caught") {
     import spark.implicits._
     import graft.operators.Dedup

@@ -188,6 +188,22 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("sample_shuffle: one global range sort, no driver, no window") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val df = ExtensionQueries.all("sample_shuffle")(spark, sf0001)
+    val exec = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val shuffles = exec.collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.size == 1, s"exactly one exchange expected:\n$exec")
+    assert(shuffles.head.outputPartitioning.toString.toLowerCase.contains("range"),
+      s"the shuffle must be the range exchange of a global sort:\n$exec")
+    val p = exec.toString
+    assert(!p.contains("Window"), "no single-partition window sort")
+    assert(!p.contains("CollectLimit"), "no driver collection")
+  }
+
   test("bloom prefilter: membership probe filters the fact BELOW the join") {
     import org.apache.spark.sql.execution.FilterExec
     import org.apache.spark.sql.execution.joins.BaseJoinExec
