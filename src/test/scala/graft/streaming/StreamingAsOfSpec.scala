@@ -169,6 +169,95 @@ class StreamingAsOfSpec extends SparkSpec {
     assert(stateRows <= 1, s"builds-only state never GC'd: $stateRows state rows")
   }
 
+  test("backward stream as-of throughput: >= 10k events/s, state bounded by key cardinality") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val nKeys = 200
+    val nBuilds = 5000
+    val nProbes = 55000
+    val rnd = new scala.util.Random(13)
+    val buildIn = MemoryStream[(Long, Long, String)]
+    val probeIn = MemoryStream[(Long, Long, Long)]
+    val out = StreamingAsOf.asOfStream(
+      probeIn.toDF().toDF("id", "k", "pt"),
+      buildIn.toDF().toDF("k", "bt", "v"),
+      "k", "pt", "bt")
+    val q = out.writeStream.outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("asof-rate").toString)
+      .format("memory").queryName("asof_rate").start()
+
+    val builds = (0 until nBuilds).map(i =>
+      ((i % nKeys).toLong, (i / nKeys * 10).toLong, s"v$i"))
+    val probes = (0 until nProbes).map(i =>
+      (i.toLong, rnd.nextInt(nKeys).toLong, rnd.nextInt(300).toLong))
+    val t0 = System.nanoTime()
+    buildIn.addData(builds)
+    probeIn.addData(probes)
+    q.processAllAvailable()
+    val dt = (System.nanoTime() - t0) / 1e9
+    val rate = (nBuilds + nProbes) / dt
+    val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    val matched = spark.table("asof_rate").count()
+    q.stop()
+    info(f"sustained $rate%.0f events/s over ${nBuilds + nProbes} events (gate: >= 10000), " +
+      s"$stateRows state rows, $matched matches")
+    assert(matched > 0)
+    assert(rate >= 10000, f"rate $rate%.0f below 10k events/s")
+    // state is ONE (timestamp, payload) per key — 60k events, 200 keys
+    assert(stateRows <= nKeys, s"state must be bounded by key cardinality, got $stateRows")
+  }
+
+  test("forward stream as-of throughput: >= 10k events/s, state bounded by open windows") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val nKeys = 100
+    val rnd = new scala.util.Random(17)
+    val buildIn = MemoryStream[(Long, Long, String)]
+    val probeIn = MemoryStream[(Long, Long, Long)]
+    val out = StreamingAsOf.asOfStreamForward(
+      probeIn.toDF().toDF("id", "k", "pt"),
+      buildIn.toDF().toDF("k", "bt", "v"),
+      "k", "pt", "bt", toleranceMicros = 30000000L, watermarkDelay = "0 seconds")
+    val q = out.writeStream.outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("asof-fwd-rate").toString)
+      .format("memory").queryName("asof_fwd_rate").start()
+
+    // time-ordered waves so the watermark advances and finalizes probes;
+    // times are seconds (long casts to timestamp as epoch seconds). Few
+    // LARGE waves: micro-batch fixed overhead (~1.5 s/batch in-process)
+    // would otherwise dominate the measured rate
+    val waves = 2
+    val perWave = 30000
+    var n = 0
+    val t0 = System.nanoTime()
+    (0 until waves).foreach { wv =>
+      val lo = wv * 1000L
+      val builds = (0 until perWave / 4).map(i =>
+        (rnd.nextInt(nKeys).toLong, lo + rnd.nextInt(1000), s"b$wv-$i"))
+      val probes = (0 until perWave * 3 / 4).map(i =>
+        ((wv * perWave + i).toLong, rnd.nextInt(nKeys).toLong, lo + rnd.nextInt(1000)))
+      buildIn.addData(builds)
+      probeIn.addData(probes)
+      q.processAllAvailable()
+      n += perWave
+    }
+    // closing wave pushes the watermark far past every open window
+    buildIn.addData((0L, 1000000L, "end"))
+    q.processAllAvailable()
+    val dt = (System.nanoTime() - t0) / 1e9
+    val rate = n / dt
+    val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    val matched = spark.table("asof_fwd_rate").count()
+    q.stop()
+    info(f"sustained $rate%.0f events/s over $n events (gate: >= 10000), " +
+      s"$stateRows state rows after close, $matched matches")
+    assert(matched > 0)
+    assert(rate >= 10000, f"rate $rate%.0f below 10k events/s")
+    // every probe window is closed and every build is below the watermark:
+    // only the closing key may retain state
+    assert(stateRows <= 1, s"closed-window state must be GC'd, got $stateRows")
+  }
+
   test("forwardStep: finalize under watermark, pend above it, expire closed windows") {
     import StreamingAsOf.{forwardStep, Enriched, FEvent, FState}
     def b(t: Long, pl: String) = FEvent("k", t, 0, pl, new java.sql.Timestamp(t / 1000))
