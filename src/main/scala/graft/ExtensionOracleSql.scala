@@ -96,6 +96,21 @@ object ExtensionOracleSql {
     "simsearch_ivf" -> simsearchIvfSql,
     "simsearch_ivf_search" -> simsearchIvfSql,
 
+    "multimodal_imageio" ->
+      s"""WITH d AS (SELECT doc_id, 8 + doc_id % 8 AS w, 8 + doc_id % 5 AS h FROM documents),
+         |px AS (
+         |  SELECT doc_id, w, h, gx.x, gy.y
+         |  FROM d
+         |  CROSS JOIN range(0, 16) AS gx(x)
+         |  CROSS JOIN range(0, 13) AS gy(y)
+         |  WHERE gx.x < w AND gy.y < h)
+         |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+         |  CAST(SUM((doc_id + x*7 + y*13) % 256) AS BIGINT) AS sum_r,
+         |  CAST(SUM((doc_id*3 + x*11 + y) % 256) AS BIGINT) AS sum_g,
+         |  CAST(SUM((doc_id*5 + x + y*17) % 256) AS BIGINT) AS sum_b
+         |FROM px GROUP BY doc_id, w, h
+         |ORDER BY doc_id""".stripMargin,
+
     "sample_shuffle" ->
       s"""SELECT doc_id, source,
          |  ${h60("'shuffle:42:' || CAST(doc_id AS VARCHAR)")} AS shuffle_key

@@ -136,6 +136,8 @@ object ExtensionQueries {
         .withColumn("mm_feat",
           array_join(transform(col("mm_feat"), _.cast("bigint")), "|"))
     },
+    "multimodal_imageio" -> ((s, dir) =>
+      Multimodal.imageioFeatures(s, docs(s, dir))),
     "multimodal_resize" -> ((s, dir) =>
       Multimodal.resize(s, docs(s, dir), targetW = 32, targetH = 32)),
     "multimodal_frames" -> ((s, dir) =>

@@ -79,6 +79,171 @@ object Multimodal {
         }
   }
 
+  /** REAL codec over the JDK's bundled ImageIO plugins — PNG/BMP/GIF/JPEG/
+    * TIFF readers and writers ship with Java 9+ and are headless-safe, so
+    * this needs zero external dependencies:
+    *
+    *  - `features` / `resize` decode GENUINE pixels (resize renders through
+    *    a bilinear `Graphics2D` pass and re-encodes lossless PNG);
+    *  - `frames` reads a multi-page TIFF as the "video" container — each
+    *    page is one frame, `stride`-sampled, re-encoded as PNG
+    *    (`frameBytes` is ignored: real containers carry their own frame
+    *    geometry).
+    *
+    * What the JDK genuinely lacks is a VIDEO codec (H.264/VP9/AV1) and all
+    * audio decode — for those, plug an external library into the same
+    * [[MediaCodec]] seam; [[StubCodec]] remains the stand-in where no real
+    * decoder exists.
+    */
+  object ImageIoCodec extends MediaCodec {
+    import java.awt.image.BufferedImage
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    import javax.imageio.ImageIO
+
+    private def decode(payload: Array[Byte]): BufferedImage = {
+      val img = ImageIO.read(new ByteArrayInputStream(payload))
+      require(img != null, "payload is not a decodable image (PNG/BMP/GIF/JPEG/TIFF)")
+      img
+    }
+
+    /** Lossless PNG encode (deterministic bytes for a given pixel grid). */
+    def encodePng(img: BufferedImage): Array[Byte] = {
+      val baos = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+
+    /** Multi-page TIFF encode: the JDK's only bundled multi-frame container
+      * with lossless RGB — the fixture format for [[frames]].
+      */
+    def encodeTiffPages(pages: Seq[BufferedImage]): Array[Byte] = {
+      val writer = ImageIO.getImageWritersByFormatName("tiff").next()
+      val baos = new ByteArrayOutputStream()
+      val ios = ImageIO.createImageOutputStream(baos)
+      try {
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        pages.foreach(p =>
+          writer.writeToSequence(new javax.imageio.IIOImage(p, null, null), null))
+        writer.endWriteSequence()
+      } finally { writer.dispose(); ios.close() }
+      baos.toByteArray
+    }
+
+    /** Deterministic procedural RGB image: every channel is a closed-form
+      * integer function of (seed, x, y), so an oracle can recompute pixel
+      * sums without decoding — the cross-check that proves [[features]]
+      * reads real pixels.
+      */
+    def patternImage(seed: Long, w: Int, h: Int): BufferedImage = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val r = ((seed + x * 7L + y * 13L) % 256).toInt
+          val g = ((seed * 3L + x * 11L + y) % 256).toInt
+          val b = ((seed * 5L + x + y * 17L) % 256).toInt
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+          x += 1
+        }
+        y += 1
+      }
+      img
+    }
+
+    /** feat = [width, height, sum_r, sum_g, sum_b] over real decoded pixels
+      * (exact integer sums, so cross-engine comparison needs no tolerance).
+      */
+    def features(row: MediaRow): MediaFeatures = {
+      val img = decode(row.payload)
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val rgb = img.getRGB(x, y)
+          sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      MediaFeatures(row.doc_id, row.payload.length,
+        Array(img.getWidth.toDouble, img.getHeight.toDouble,
+          sr.toDouble, sg.toDouble, sb.toDouble))
+    }
+
+    def resize(id: Long, payload: Array[Byte], width: Int, height: Int,
+               targetW: Int, targetH: Int): ResizedMedia = {
+      val img = decode(payload)
+      val out = new BufferedImage(targetW, targetH, BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, targetW, targetH, null)
+      } finally g.dispose()
+      ResizedMedia(id, targetW, targetH, encodePng(out))
+    }
+
+    def frames(row: MediaRow, frameBytes: Int, stride: Int): Iterator[Frame] = {
+      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(row.payload))
+      val readers = ImageIO.getImageReaders(iis)
+      require(readers.hasNext, "payload is not a decodable multi-frame container")
+      val reader = readers.next()
+      // materialize eagerly: the reader must be disposed before returning
+      val out = try {
+        reader.setInput(iis)
+        val n = reader.getNumImages(true)
+        (0 until n).filter(_ % stride == 0).map { i =>
+          val img = reader.read(i)
+          var lum = 0L
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val rgb = img.getRGB(x, y)
+              lum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+          val mean = lum.toDouble / (3.0 * img.getWidth * img.getHeight)
+          Frame(row.doc_id, i, encodePng(img), mean)
+        }
+      } finally { reader.dispose(); iis.close() }
+      out.iterator
+    }
+  }
+
+  /** Procedural-PNG corpus round-tripped through the REAL decoder: each doc
+    * gets a deterministic RGB image (closed-form pixel function of
+    * (doc_id, x, y)), encoded to genuine PNG bytes executor-side and decoded
+    * back through [[ImageIoCodec]]. The oracle recomputes width/height and
+    * the exact per-channel pixel sums in closed form — a decode that does
+    * not read real pixels cannot reproduce them.
+    */
+  def imageioFeatures(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select("doc_id").as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w = 8 + (id % 8).toInt
+          val h = 8 + (id % 5).toInt
+          val png = ImageIoCodec.encodePng(ImageIoCodec.patternImage(id, w, h))
+          ImageIoCodec.features(MediaRow(id, png, 0L))
+        }
+      }
+      .toDF()
+      .select(col("doc_id"),
+        col("feat").getItem(0).cast("int").as("width"),
+        col("feat").getItem(1).cast("int").as("height"),
+        col("feat").getItem(2).cast("long").as("sum_r"),
+        col("feat").getItem(3).cast("long").as("sum_g"),
+        col("feat").getItem(4).cast("long").as("sum_b"))
+      .orderBy("doc_id")
+  }
+
   /** Build a media table from `documents`: payload = UTF-8 bytes of the text
     * (standing in for image bytes), typed metadata (width/height derived
     * deterministically from doc_id) carried alongside.

@@ -296,6 +296,58 @@ class OperatorSpec extends SparkSpec {
     assert(got == Map(1L -> 1L)) // exactly one shared 5-shingle, doc 2 clean
   }
 
+  test("ImageIoCodec: features read real pixels (PNG round-trip matches closed form)") {
+    import graft.operators.Multimodal
+    import graft.operators.Multimodal.{ImageIoCodec, MediaRow}
+    for (id <- Seq(0L, 17L, 255L, 9999L)) {
+      val (w, h) = (8 + (id % 8).toInt, 8 + (id % 5).toInt)
+      val png = ImageIoCodec.encodePng(ImageIoCodec.patternImage(id, w, h))
+      val f = ImageIoCodec.features(MediaRow(id, png, 0L))
+      // closed-form sums the decode must reproduce from genuine pixels
+      val grid = for { y <- 0 until h; x <- 0 until w } yield (x, y)
+      val sr = grid.map { case (x, y) => (id + x * 7L + y * 13L) % 256 }.sum
+      val sg = grid.map { case (x, y) => (id * 3L + x * 11L + y) % 256 }.sum
+      val sb = grid.map { case (x, y) => (id * 5L + x + y * 17L) % 256 }.sum
+      assert(f.feat.toSeq == Seq(w.toDouble, h.toDouble, sr.toDouble, sg.toDouble, sb.toDouble),
+        s"id=$id: decoded ${f.feat.toSeq}, expected ($w, $h, $sr, $sg, $sb)")
+    }
+  }
+
+  test("ImageIoCodec: resize renders real pixels at the target geometry") {
+    import java.awt.image.BufferedImage
+    import graft.operators.Multimodal.ImageIoCodec
+    // a solid-color image must stay exactly that color under ANY resampling
+    val solid = new BufferedImage(10, 6, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 6; x <- 0 until 10) solid.setRGB(x, y, 0x3366cc)
+    val r = ImageIoCodec.resize(1L, ImageIoCodec.encodePng(solid), 10, 6, 4, 3)
+    assert(r.width == 4 && r.height == 3)
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+    assert(back.getWidth == 4 && back.getHeight == 3)
+    for (y <- 0 until 3; x <- 0 until 4)
+      assert((back.getRGB(x, y) & 0xffffff) == 0x3366cc,
+        f"pixel ($x,$y) = ${back.getRGB(x, y) & 0xffffff}%06x, expected 3366cc")
+  }
+
+  test("ImageIoCodec: frames decodes a multi-page TIFF with stride sampling") {
+    import java.awt.image.BufferedImage
+    import graft.operators.Multimodal.{ImageIoCodec, MediaRow}
+    // 5 solid-gray pages with distinct levels: frame means are exact
+    val levels = Seq(10, 60, 110, 160, 210)
+    val pages = levels.map { v =>
+      val img = new BufferedImage(6, 4, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 4; x <- 0 until 6) img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      img
+    }
+    val tiff = ImageIoCodec.encodeTiffPages(pages)
+    val got = ImageIoCodec.frames(MediaRow(7L, tiff, 0L), frameBytes = 0, stride = 2).toSeq
+    assert(got.map(_.frame_idx) == Seq(0, 2, 4))
+    assert(got.map(_.frame_mean) == Seq(10.0, 110.0, 210.0),
+      s"frame means ${got.map(_.frame_mean)}")
+    // re-encoded frames are themselves decodable PNGs at the page geometry
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(got.head.frame))
+    assert(back.getWidth == 6 && back.getHeight == 4)
+  }
+
   test("ivf stored-index search equals the build-and-search result") {
     import graft.operators.Similarity
     val emb = Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
