@@ -167,6 +167,27 @@ object ExtensionOracleSql {
          |WHERE e.doc_id % 97 <> 0
          |GROUP BY e.doc_id ORDER BY e.doc_id""".stripMargin,
 
+    "dedup_exact_substring" ->
+      s"""WITH t AS (SELECT doc_id, $toksOf AS toks FROM documents),
+         |s AS (SELECT doc_id, ${shinglesOf(13)} AS sh FROM t),
+         |ex0 AS (SELECT doc_id, generate_subscripts(sh, 1) - 1 AS pos, unnest(sh) AS g
+         |        FROM s WHERE len(sh) > 0),
+         |ex AS (SELECT doc_id, pos, ${h60("g")} AS h FROM ex0),
+         |dfc AS (SELECT h FROM (
+         |          SELECT h, COUNT(DISTINCT doc_id) AS df FROM ex GROUP BY h)
+         |        WHERE df <= 50),
+         |idx AS (SELECT ex.doc_id, ex.pos, ex.h FROM ex JOIN dfc USING (h)),
+         |m AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa
+         |      FROM idx a JOIN idx b ON a.h = b.h AND a.doc_id < b.doc_id),
+         |r AS (SELECT doc_a, doc_b, pa,
+         |        pa - row_number() OVER (PARTITION BY doc_a, doc_b ORDER BY pa) AS grp
+         |      FROM m),
+         |runs AS (SELECT doc_a, doc_b, grp, COUNT(*) AS run FROM r GROUP BY doc_a, doc_b, grp)
+         |SELECT doc_a, doc_b, CAST(SUM(run) AS BIGINT) AS n_shared_ngrams,
+         |  CAST(COUNT(*) AS BIGINT) AS n_spans,
+         |  CAST(MAX(run) + 12 AS BIGINT) AS longest_span
+         |FROM runs GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b""".stripMargin,
+
     "decontaminate_exact" ->
       s"""WITH t AS (SELECT doc_id, $toksOf AS toks FROM documents),
          |ht AS (SELECT list_slice(toks, 6, 26) AS toks FROM t WHERE doc_id % 97 = 0),

@@ -49,6 +49,8 @@ object ExtensionQueries {
         d.filter(col("doc_id") % 97 =!= 0), d.filter(col("doc_id") % 97 === 0),
         "doc_id", "text", k = 5)
     },
+    "dedup_exact_substring" -> ((s, dir) =>
+      Dedup.exactSubstringPairs(docs(s, dir), "doc_id", "text", n = 13, maxDf = 50)),
     "decontaminate_exact" -> { (s, dir) =>
       import org.apache.spark.sql.functions._
       // a benchmark that QUOTES training text (the realistic contamination

@@ -191,6 +191,47 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** EXACT-substring dedup BETWEEN training documents — the corpus-internal
+    * sibling of [[exactSubstringContamination]] (Lee et al. dedup the
+    * training set against itself on long verbatim spans, not just against a
+    * holdout): for every document pair sharing at least one verbatim run of
+    * `n` tokens, report the shared-span geometry (matched n-gram positions,
+    * maximal runs, longest run in tokens).
+    *
+    * Scale shape: candidates come from a self-equi-join of the POSITIONAL
+    * n-gram index on the 60-bit hash, never doc × doc; the index is
+    * df-capped first (a boilerplate n-gram appearing in d docs contributes
+    * O(d²) pairs and no dedup signal — same rationale as
+    * [[ngramJaccardCappedPairs]]). Span stitching (pos − row_number per
+    * pair) runs only over matched positions.
+    */
+  def exactSubstringPairs(df: DataFrame, idCol: String, textCol: String,
+                          n: Int = 13, maxDf: Int = 50,
+                          hashFn: Column => Column = Hashing.hash60): DataFrame = {
+    val pos = shingleHashesPositional(df, idCol, textCol, n, hashFn)
+    val rare = pos.select(col("doc_id"), col("h")).distinct()
+      .groupBy("h").agg(count(lit(1)).as("df")).filter(col("df") <= maxDf)
+      .select("h")
+    val idx = pos.join(rare, "h")
+    // distinct: the same a-position may match several b-positions
+    val matched = idx.as("a").join(idx.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.pos").as("pa"))
+      .distinct()
+    val w = Window.partitionBy("doc_a", "doc_b").orderBy("pa")
+    matched
+      .withColumn("grp", col("pa") - row_number().over(w))
+      .groupBy(col("doc_a"), col("doc_b"), col("grp"))
+      .agg(count(lit(1)).as("run"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(
+        sum(col("run")).as("n_shared_ngrams"),
+        count(lit(1)).as("n_spans"),
+        (max(col("run")) + lit(n - 1).cast("long")).as("longest_span"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Exact n-gram (word k-shingle) Jaccard near-dup pairs via an inverted
     * index: explode shingle hashes, equi-join on the hash, count common per pair.
     * No document cross join; the join key is a 60-bit shingle hash.

@@ -377,6 +377,27 @@ class OperatorSpec extends SparkSpec {
     assert(o1.toSet == docs.collect().map(_.getLong(0)).toSet, "must be a permutation")
   }
 
+  test("exactSubstringPairs: shared verbatim runs between docs; df-cap drops boilerplate") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    def filler(tag: String, n: Int) = (1 to n).map(i => s"$tag$i").mkString(" ")
+    val quote30 = (1 to 30).map(i => s"s$i").mkString(" ")
+    val boiler = (1 to 13).map(i => s"bp$i").mkString(" ")  // appears in MANY docs
+    val docs = Seq(
+      (1L, s"${filler("a", 4)} $quote30 ${filler("b", 4)}"),
+      (2L, s"${filler("c", 6)} $quote30 ${filler("d", 2)}"),  // shares the 30-token run with doc 1
+      (3L, filler("e", 40))) ++                               // clean
+      (10L to 20L).map(i => (i, s"${filler(s"u$i", 3)} $boiler ${filler(s"v$i", 3)}"))
+    val got = Dedup.exactSubstringPairs(docs.toDF("doc_id", "text"),
+        "doc_id", "text", n = 13, maxDf = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // ONLY the (1,2) pair: the boilerplate 13-gram sits in 11 docs > maxDf=5,
+    // so its O(d^2) pair fan-out is pruned from the index entirely
+    assert(got.keySet == Set((1L, 2L)), s"pairs wrong: $got")
+    // 30-token shared run = 18 consecutive matched 13-grams, one span
+    assert(got((1L, 2L)) == ((18L, 1L, 30L)), s"span geometry: ${got((1L, 2L))}")
+  }
+
   test("exactSubstringContamination: planted >= 13-token verbatim runs are always caught") {
     import spark.implicits._
     import graft.operators.Dedup
