@@ -40,6 +40,14 @@ class OperatorSpec extends SparkSpec {
     val one = Seq((1L, "ab")).toDF("doc_id", "text")
     assert(Dedup.ngramJaccardPairs(one, "doc_id", "text").count() == 0)
     assert(Dedup.ngramJaccardCappedPairs(one, "doc_id", "text").count() == 0)
+    // exact-substring family: empty/short corpora and empty holdouts
+    assert(Dedup.exactSubstringPairs(empty, "doc_id", "text").count() == 0)
+    assert(Dedup.exactSubstringPairs(one, "doc_id", "text").count() == 0)
+    assert(Dedup.exactSubstringContamination(one, empty, "doc_id", "text").count() == 0)
+    assert(Dedup.exactSubstringContamination(empty, one, "doc_id", "text").count() == 0)
+    // deterministic shuffle of nothing is nothing (and keeps the schema)
+    val sh = graft.operators.Sampling.deterministicShuffle(empty, "doc_id", seed = 1L)
+    assert(sh.count() == 0 && sh.columns.toSeq == Seq("doc_id", "text", "shuffle_key"))
   }
 
   test("hash60 matches the documented DuckDB formula on a known value") {

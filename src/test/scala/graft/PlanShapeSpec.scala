@@ -189,6 +189,17 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("decontaminate_exact: holdout broadcasts; the corpus is filtered before any exchange") {
+    val docs = Tables.table(spark, sf0001, "documents")
+    val p = plan(graft.operators.Dedup.exactSubstringContamination(
+      docs,
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") % 97 === 0),
+      "doc_id", "text", n = 13))
+    assert(p.contains("BroadcastExchange"), "holdout 13-gram set must broadcast")
+    assert(p.contains("BroadcastHashJoin"), "corpus x holdout must be a broadcast hash join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("sample_shuffle: one global range sort, no driver, no window") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val df = ExtensionQueries.all("sample_shuffle")(spark, sf0001)
