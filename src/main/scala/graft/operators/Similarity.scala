@@ -292,6 +292,26 @@ object Similarity {
     assigned.write.mode("overwrite").parquet(s"$dir/assigned")
   }
 
+  /** Public assignment entry for index tooling: nearest-centroid bucket per
+    * vector against an explicit (broadcastable) centroid relation.
+    */
+  def assignAll(emb: DataFrame, centroids: DataFrame): DataFrame =
+    assignToCentroids(emb, broadcast(centroids))
+
+  /** Incrementally extend a stored IVF index with NEW vectors: assign them
+    * against the STORED centroids (no Lloyd re-run) and append to the
+    * stored assignment — the index-maintenance path a serving deployment
+    * runs on ingest. Centroid drift is handled by periodic [[ivfStore]]
+    * rebuilds (a scheduled job), not per-batch retraining; recall on the
+    * appended vectors matches a fresh assignment against the same centroids
+    * by construction (asserted in the suite).
+    */
+  def ivfAppend(spark: org.apache.spark.sql.SparkSession, dir: String,
+                newVecs: DataFrame): Unit = {
+    val centroids = broadcast(spark.read.parquet(s"$dir/centroids"))
+    assignToCentroids(newVecs, centroids).write.mode("append").parquet(s"$dir/assigned")
+  }
+
   /** Search a stored IVF index (see [[ivfStore]]): identical results to
     * [[ivfTopK]] with the same build parameters, but the query plan contains
     * only the search — the bench's steady-state-latency entry.

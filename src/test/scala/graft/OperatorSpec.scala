@@ -372,6 +372,31 @@ class OperatorSpec extends SparkSpec {
     assert(probe7.length == 3)
   }
 
+  test("ivfAppend: incremental assignment equals a fresh assignment on stored centroids") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Similarity
+    val emb = Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val (old, fresh) = (emb.filter(col("vec_id") % 2 === 0), emb.filter(col("vec_id") % 2 =!= 0))
+    val dir = java.nio.file.Files.createTempDirectory("ivf-append").toString
+    Similarity.ivfStore(old, dir, nlist = 4, iters = 2)
+    Similarity.ivfAppend(spark, dir, fresh)
+    // the extended index covers the full corpus exactly once
+    val assigned = spark.read.parquet(s"$dir/assigned")
+    assert(assigned.count() == emb.count())
+    assert(assigned.select("vec_id").distinct().count() == emb.count())
+    // search over the extended index == search over the same centroids with
+    // a single fresh full-corpus assignment (appending must not change
+    // assignment semantics)
+    val centroids = spark.read.parquet(s"$dir/centroids")
+    val stored = Similarity.ivfSearchStored(spark, dir, emb, probeId = 1L, k = 5, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val direct = Similarity.ivfSearch(
+        org.apache.spark.sql.functions.broadcast(centroids),
+        Similarity.assignAll(emb, centroids), emb, probeId = 1L, k = 5, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(stored == direct, s"stored $stored != direct $direct")
+  }
+
   test("deterministicShuffle: a reproducible permutation, stable across partitionings") {
     import graft.operators.Sampling
     val docs = Tables.table(spark, "/root/testdata/sf0.001", "documents")
