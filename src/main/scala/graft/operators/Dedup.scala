@@ -356,6 +356,14 @@ object Dedup {
                    hashFn: Column => Column = Hashing.hash60): DataFrame =
     shingleHashesExploded(df, idCol, textCol, k, hashFn)
 
+  /** The POSITIONAL shingle index — (doc_id, pos, h), not deduplicated —
+    * for span-level consumers (see [[exactSubstringContamination]] and the
+    * streaming span gate).
+    */
+  def positionalShingleIndex(df: DataFrame, idCol: String, textCol: String, k: Int,
+                             hashFn: Column => Column = Hashing.hash60): DataFrame =
+    shingleHashesPositional(df, idCol, textCol, k, hashFn)
+
   def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       k: Int = 3, numPerm: Int = 64, bands: Int = 16,
                       threshold: Double = 0.5,

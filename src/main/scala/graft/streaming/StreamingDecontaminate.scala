@@ -57,4 +57,28 @@ class StreamingDecontaminate(indexDir: String, k: Int = 5) {
       .distinct()
     batch.join(contaminated, col(idCol) === col("__contaminated_id"), "left_anti")
   }
+
+  /** SPAN-rule micro-batch gate — the Lee-et-al exact-substring rule at
+    * ingest: drop only documents containing a verbatim run of at least
+    * `minSpanTokens` tokens from the holdout; isolated shared k-grams below
+    * the span threshold are tolerated (an exact quote is contamination, a
+    * common phrase is not). Same shape as [[processBatch]] plus per-doc
+    * gaps-and-islands run stitching over matched POSITIONS, computed only
+    * on the contaminated remnant of the batch.
+    */
+  def processBatchSpans(spark: SparkSession, batch: DataFrame, minSpanTokens: Int,
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(minSpanTokens >= k, s"span threshold $minSpanTokens below the index k=$k")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("pos")
+    val flagged = Dedup.positionalShingleIndex(batch, idCol, textCol, k)
+      .join(index(spark), "h")
+      .select("doc_id", "pos").distinct()
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(count(lit(1)).as("run"))
+      .filter(col("run") + lit(k - 1) >= minSpanTokens)
+      .select(col("doc_id").as("__contaminated_id"))
+      .distinct()
+    batch.join(flagged, col(idCol) === col("__contaminated_id"), "left_anti")
+  }
 }

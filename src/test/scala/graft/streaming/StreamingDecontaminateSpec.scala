@@ -46,4 +46,31 @@ class StreamingDecontaminateSpec extends SparkSpec {
     q.stop()
     assert(out.toSet == Set(21L))
   }
+
+  test("span gate: a long verbatim quote is dropped, an isolated shared k-gram passes") {
+    val dir = Files.createTempDirectory("decontam-span-index").toString
+    val gate = new StreamingDecontaminate(dir, k = 5)
+
+    def toks(tag: String, n: Int) = (1 to n).map(i => s"$tag$i").mkString(" ")
+    val quote = (1 to 16).map(i => s"q$i").mkString(" ") // a 16-token benchmark span
+    gate.buildIndex(Seq((1000L, s"${toks("h", 3)} $quote ${toks("t", 3)}")).toDF("doc_id", "text"))
+
+    val admitted = gate.processBatchSpans(spark, Seq(
+      // contains the full 16-token quote verbatim -> dropped at threshold 13
+      (1L, s"${toks("a", 4)} $quote ${toks("b", 4)}"),
+      // shares ONE isolated 5-gram (q1..q5) but no 13-token run -> tolerated
+      (2L, s"${toks("c", 6)} q1 q2 q3 q4 q5 ${toks("d", 6)}"),
+      // clean
+      (3L, toks("e", 20))).toDF("doc_id", "text"), minSpanTokens = 13)
+      .collect().map(_.getLong(0)).toSet
+    assert(admitted == Set(2L, 3L), s"span gate admitted $admitted")
+
+    // the flag-any-shingle gate would have dropped doc 2 as well — the span
+    // rule is strictly more tolerant on sub-threshold overlap
+    val strict = gate.processBatch(spark, Seq(
+      (2L, s"${toks("c", 6)} q1 q2 q3 q4 q5 ${toks("d", 6)}")).toDF("doc_id", "text"))
+      .collect().map(_.getLong(0)).toSet
+    assert(strict.isEmpty)
+    gate.close()
+  }
 }
