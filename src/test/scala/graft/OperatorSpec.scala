@@ -410,6 +410,22 @@ class OperatorSpec extends SparkSpec {
     assert(o1.toSet == docs.collect().map(_.getLong(0)).toSet, "must be a permutation")
   }
 
+  test("pack-then-shuffle composes: a reproducible shuffled training-example order") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.{Packing, Sampling, TextAnalysis}
+    val chunks = TextAnalysis.chunkDocuments(
+      Tables.table(spark, "/root/testdata/sf0.001", "documents"), chunkSize = 64, overlap = 16)
+    val bins = Packing.binStats(spark, chunks, budget = 512, numShards = 8)
+      .withColumn("bin_key", col("shard").cast("long") * 1000000L + col("bin"))
+    def order(df: org.apache.spark.sql.DataFrame) =
+      Sampling.deterministicShuffle(df, "bin_key", seed = 7L)
+        .collect().map(_.getAs[Long]("bin_key")).toSeq
+    val o1 = order(bins)
+    assert(o1 == order(bins.repartition(5)), "shuffled bin order must be partition-stable")
+    assert(o1.toSet == bins.collect().map(_.getAs[Long]("bin_key")).toSet, "must be a permutation")
+    assert(o1 != o1.sorted, "must actually permute the bin walk order")
+  }
+
   test("exactSubstringPairs: shared verbatim runs between docs; df-cap drops boilerplate") {
     import spark.implicits._
     import graft.operators.Dedup
