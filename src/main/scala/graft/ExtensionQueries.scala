@@ -74,9 +74,16 @@ object ExtensionQueries {
     "simsearch_ivf_search" -> { (s, dir) =>
       // steady-state search against a STORED index (same parameters as
       // simsearch_ivf, so the same oracle applies): the index is built once
-      // per fixture dir and reused — the bench entry exposes the search
-      // latency a serving deployment sees, without the Lloyd passes
-      val indexDir = s"/tmp/graft_ivf_index_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      // per fixture and reused — the bench entry exposes the search latency
+      // a serving deployment sees, without the Lloyd passes. The index path
+      // embeds a fingerprint of the SOURCE data (mtime+size, recursive) and
+      // an index-format version, so a regenerated fixture or a changed index
+      // layout can never silently serve a stale index.
+      def fp(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles().map(fp).foldLeft(f.lastModified)(_ ^ _)
+        else f.lastModified ^ (f.length * 31)
+      val srcFp = java.lang.Long.toHexString(fp(new java.io.File(s"$dir/embeddings.parquet")))
+      val indexDir = s"/tmp/graft_ivf_index_v1_${dir.replaceAll("[^A-Za-z0-9]", "_")}_$srcFp"
       if (!new java.io.File(s"$indexDir/assigned/_SUCCESS").exists())
         Similarity.ivfStore(emb(s, dir), indexDir, nlist = 4, iters = 4)
       Similarity.ivfSearchStored(s, indexDir, emb(s, dir), probeId = 0L, k = 5, nprobe = 3)

@@ -53,14 +53,15 @@ case class QuantizeInt8Report(child: Expression) extends UnaryExpression {
     val x = v.asInstanceOf[ArrayData]
     val n = x.numElements()
     val f = isFloat
-    if (containsNull) {
-      var j = 0
-      while (j < n) { if (x.isNullAt(j)) return null; j += 1 }
-    }
+    val checkNull = containsNull
     def at(i: Int): Double = if (f) x.getFloat(i).toDouble else x.getDouble(i)
     var amax = 0.0
     var i = 0
-    while (i < n) { val a = math.abs(at(i)); if (a > amax) amax = a; i += 1 }
+    // null check rides the amax scan — no extra array pass on the hot path
+    while (i < n) {
+      if (checkNull && x.isNullAt(i)) return null
+      val a = math.abs(at(i)); if (a > amax) amax = a; i += 1
+    }
     val scale = 127.0 / amax
     var qMin = Long.MaxValue; var qMax = Long.MinValue
     var dot = 0.0; var nx = 0.0; var nd = 0.0
@@ -88,24 +89,21 @@ case class QuantizeInt8Report(child: Expression) extends UnaryExpression {
       val nd = ctx.freshName("nd"); val xd = ctx.freshName("xd")
       val q = ctx.freshName("q"); val d = ctx.freshName("d")
       val abs = ctx.freshName("abs")
-      val nullScan = if (containsNull) {
-        val j = ctx.freshName("j")
-        s"""
-           |for (int $j = 0; $j < $n && !${ev.isNull}; $j++) {
-           |  if ($a.isNullAt($j)) ${ev.isNull} = true;
-           |}
-           |if (!${ev.isNull}) {
-         """.stripMargin
-      } else ""
-      val nullScanClose = if (containsNull) "}" else ""
+      // null check rides the amax scan (no extra pass); on a null element
+      // the whole report is null and the compute block is skipped
+      val nullCheck = if (containsNull)
+        s"if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }" else ""
+      val guardOpen = if (containsNull) s"if (!${ev.isNull}) {" else ""
+      val guardClose = if (containsNull) "}" else ""
       s"""
          |int $n = $a.numElements();
-         |$nullScan
          |double $amax = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  $nullCheck
          |  double $abs = java.lang.Math.abs((double)$a.$get($i));
          |  if ($abs > $amax) $amax = $abs;
          |}
+         |$guardOpen
          |double $scale = 127.0 / $amax;
          |long $qMin = Long.MAX_VALUE; long $qMax = Long.MIN_VALUE;
          |double $dot = 0.0; double $nx = 0.0; double $nd = 0.0;
@@ -124,7 +122,7 @@ case class QuantizeInt8Report(child: Expression) extends UnaryExpression {
          |    java.lang.Long.valueOf(($n == 0) ? 0L : $qMax),
          |    java.lang.Double.valueOf(
          |      $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($nd)))});
-         |$nullScanClose
+         |$guardClose
        """.stripMargin
     })
 

@@ -158,7 +158,7 @@ object StreamingAsOf {
       col(key).cast("string").as("k"),
       unix_micros(col(ts).cast("timestamp")).as("t"),
       lit(side).as("side"),
-      to_json(struct(payload.map(col): _*)).as("pl"),
+      to_json(struct(payload.map(col): _*), JsonOpts).as("pl"),
       col(ts).cast("timestamp").as("tsEvent"))
     val unioned = tagged(build, buildTs, 0, buildPayloadCols)
       .unionByName(tagged(probe, probeTs, 1, probe.columns.toIndexedSeq))
@@ -202,8 +202,8 @@ object StreamingAsOf {
 
     enriched
       .select(
-        from_json(col("probePl"), probeSchema).as("__p"),
-        from_json(col("buildPl"), buildPayloadSchema).as("__b"))
+        from_json(col("probePl"), probeSchema, JsonOpts).as("__p"),
+        from_json(col("buildPl"), buildPayloadSchema, JsonOpts).as("__b"))
       .select(
         probe.columns.map(c => col(s"__p.$c").as(c)) ++
           buildPayloadCols.map(c => col(s"__b.$c").as(c)): _*)
@@ -220,8 +220,9 @@ object StreamingAsOf {
     // every event that reaches this function is processed — the engine's
     // watermark filter already dropped late rows at admission, and here the
     // watermark gates EMISSION certainty and expiry only. Builds dedupe per
-    // time like the batch side (LatestPerKey: lexicographically greatest
-    // payload wins).
+    // time to the lexicographically greatest SERIALIZED payload (see the
+    // matchGroup note: deterministic; equals batch LatestPerKey order for
+    // string payloads).
     val fresh = events
     val builds = (st.builds ++ fresh.collect { case e if e.side == 0 => (e.t, e.pl) })
       .groupBy(_._1).map { case (t, ps) => (t, ps.map(_._2).max) }
@@ -259,8 +260,13 @@ object StreamingAsOf {
     // sort includes the payload so equal-time builds replay in a
     // DETERMINISTIC order; the replacement rule below then makes the
     // lexicographically greatest payload win an equal-time tie — the same
-    // dedup rule as the batch side (LatestPerKey) and forwardStep, both
-    // within a batch and against the stored BuildState from prior batches.
+    // rule as forwardStep, both within a batch and against the stored
+    // BuildState from prior batches. NOTE the comparison is over the
+    // SERIALIZED JSON payload (the operator's transit form): it equals the
+    // batch LatestPerKey tie order for string payloads (the KTable model's
+    // case) but can differ from native-type ordering for numeric payloads
+    // at EXACTLY equal timestamps — determinism, not cross-form ordering,
+    // is the guarantee here.
     rows.toSeq.sortBy(e => (e.t, e.side, e.pl)).foreach { e =>
       if (e.side == 0) {
         if (st.forall(s => s.t < e.t || (s.t == e.t && s.pl <= e.pl)))

@@ -44,6 +44,8 @@ class SkewProofSpec extends SparkSpec {
         if (n == last) same += 1 else { same = 0; last = n }
       }
     } finally spark.sparkContext.removeSparkListener(l)
+    assert(l.byStage.nonEmpty,
+      "no shuffle-read task metrics captured — listener events lost or the plan had no shuffle")
     val tasks = l.byStage.values.maxBy(_.sum).toSeq.sorted
     val max = tasks.last
     val median = tasks(tasks.size / 2)

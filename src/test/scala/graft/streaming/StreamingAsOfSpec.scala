@@ -140,6 +140,38 @@ class StreamingAsOfSpec extends SparkSpec {
       s"timestamp payload lost precision: wrote $seen (${seen.getNanos} ns), read $got (${got.getNanos} ns)")
   }
 
+  test("forward stream as-of: payload timestamps keep microsecond precision") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val seen = java.sql.Timestamp.valueOf("2024-03-01 10:00:00")
+    seen.setNanos(654321000) // 654321 µs — default to_json would clip to 654 ms
+    val buildIn = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val probeIn = MemoryStream[(Long, Long, Long)]
+    val out = StreamingAsOf.asOfStreamForward(
+      probeIn.toDF().toDF("id", "k", "pt"),
+      buildIn.toDF().toDF("k", "bt", "seen"),
+      "k", "pt", "bt", toleranceMicros = 10000000L, watermarkDelay = "0 seconds")
+    val q = out.writeStream.outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("asof-fwd-micro").toString)
+      .format("memory").queryName("asof_fwd_micro").start()
+
+    buildIn.addData((1L, 20L, seen))
+    probeIn.addData((100L, 1L, 15L)) // forward match: build@20 >= probe@15, gap 5s <= 10s
+    q.processAllAvailable()
+    // push the watermark past the candidate build so the probe finalizes
+    buildIn.addData((2L, 1000L, seen))
+    q.processAllAvailable()
+    buildIn.addData((2L, 2000L, seen))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("asof_fwd_micro").collect()
+    assert(rows.length == 1, s"expected one enriched probe, got ${rows.length}")
+    val got = rows(0).getAs[java.sql.Timestamp]("seen")
+    assert(got.getTime == seen.getTime && got.getNanos == seen.getNanos,
+      s"forward path lost precision: wrote $seen (${seen.getNanos} ns), read $got (${got.getNanos} ns)")
+  }
+
   test("forward stream as-of: builds-only keys are GC'd once the watermark passes") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
