@@ -207,29 +207,32 @@ object Dedup {
     */
   def exactSubstringPairs(df: DataFrame, idCol: String, textCol: String,
                           n: Int = 13, maxDf: Int = 50,
-                          hashFn: Column => Column = Hashing.hash60): DataFrame = {
-    val pos = shingleHashesPositional(df, idCol, textCol, n, hashFn)
-    val rare = pos.select(col("doc_id"), col("h")).distinct()
-      .groupBy("h").agg(count(lit(1)).as("df")).filter(col("df") <= maxDf)
-      .select("h")
-    val idx = pos.join(rare, "h")
-    // distinct: the same a-position may match several b-positions
-    val matched = idx.as("a").join(idx.as("b"),
-        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.pos").as("pa"))
-      .distinct()
-    val w = Window.partitionBy("doc_a", "doc_b").orderBy("pa")
-    matched
-      .withColumn("grp", col("pa") - row_number().over(w))
-      .groupBy(col("doc_a"), col("doc_b"), col("grp"))
-      .agg(count(lit(1)).as("run"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(
-        sum(col("run")).as("n_shared_ngrams"),
-        count(lit(1)).as("n_spans"),
-        (max(col("run")) + lit(n - 1).cast("long")).as("longest_span"))
-      .orderBy("doc_a", "doc_b")
+                          hashFn: Column => Column = Hashing.hash60,
+                          materialize: Boolean = true): DataFrame = {
+    // persist bracket: the positional index feeds the df-cap pass AND both
+    // self-join sides — without it tokenize+md5 runs three times
+    withShingleIndex(shingleHashesPositional(df, idCol, textCol, n, hashFn), materialize) { pos =>
+      val rare = pos.select(col("doc_id"), col("h")).distinct()
+        .groupBy("h").agg(count(lit(1)).as("df")).filter(col("df") <= maxDf)
+        .select("h")
+      val idx = pos.join(rare, "h")
+      // distinct: the same a-position may match several b-positions
+      val matched = idx.as("a").join(idx.as("b"),
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.pos").as("pa"))
+        .distinct()
+      val w = Window.partitionBy("doc_a", "doc_b").orderBy("pa")
+      matched
+        .withColumn("grp", col("pa") - row_number().over(w))
+        .groupBy(col("doc_a"), col("doc_b"), col("grp"))
+        .agg(count(lit(1)).as("run"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(
+          sum(col("run")).as("n_shared_ngrams"),
+          count(lit(1)).as("n_spans"),
+          (max(col("run")) + lit(n - 1).cast("long")).as("longest_span"))
+    }.orderBy("doc_a", "doc_b")
   }
 
   /** Exact n-gram (word k-shingle) Jaccard near-dup pairs via an inverted
