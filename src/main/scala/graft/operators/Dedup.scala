@@ -456,30 +456,34 @@ object Dedup {
     */
   def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
                         maxDist: Int = 8, prefixLen: Int = 32,
-                        maxLenDiff: Int = 16): DataFrame = {
+                        maxLenDiff: Int = 16,
+                        materialize: Boolean = true): DataFrame = {
     val w = maxLenDiff + 1
-    val base = spread(df, idCol).select(
+    val base0 = spread(df, idCol).select(
         col(idCol).as("doc_id"),
         TextAnalysis.normalize(col(textCol)).as("t"))
       .select(col("doc_id"), length(col("t")).as("len"),
         substring(col("t"), 1, prefixLen).as("pre"))
       .withColumn("bkt", floor(col("len") / w))
-    def cand(joinKeys: Column, ordered: Boolean) =
-      base.as("a").join(base.as("b"),
-          joinKeys &&
-            (if (ordered) col("a.doc_id") < col("b.doc_id") else lit(true)) &&
-            abs(col("a.len") - col("b.len")) <= maxLenDiff)
-        .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
-          greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"),
-          col("a.pre").as("p1"), col("b.pre").as("p2"))
-    cand(col("a.bkt") === col("b.bkt"), ordered = true)
-      .union(cand(col("a.bkt") + lit(1L) === col("b.bkt"), ordered = false))
-      // thresholded levenshtein: banded DP, O(prefixLen * maxDist) per pair
-      // with early exit, returning -1 above the threshold — ~4x less work
-      // than the full O(prefixLen^2) distance at maxDist=8/prefixLen=32
-      .withColumn("dist", levenshtein(col("p1"), col("p2"), maxDist))
-      .filter(col("dist") >= 0)
-      .select("doc_a", "doc_b", "dist")
-      .orderBy("doc_a", "doc_b")
+    // persist bracket: base feeds BOTH sides of BOTH candidate branches —
+    // without it the normalize+substring pass runs four times
+    withShingleIndex(base0, materialize) { base =>
+      def cand(joinKeys: Column, ordered: Boolean) =
+        base.as("a").join(base.as("b"),
+            joinKeys &&
+              (if (ordered) col("a.doc_id") < col("b.doc_id") else lit(true)) &&
+              abs(col("a.len") - col("b.len")) <= maxLenDiff)
+          .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+            greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"),
+            col("a.pre").as("p1"), col("b.pre").as("p2"))
+      cand(col("a.bkt") === col("b.bkt"), ordered = true)
+        .union(cand(col("a.bkt") + lit(1L) === col("b.bkt"), ordered = false))
+        // thresholded levenshtein: banded DP, O(prefixLen * maxDist) per pair
+        // with early exit, returning -1 above the threshold — ~4x less work
+        // than the full O(prefixLen^2) distance at maxDist=8/prefixLen=32
+        .withColumn("dist", levenshtein(col("p1"), col("p2"), maxDist))
+        .filter(col("dist") >= 0)
+        .select("doc_a", "doc_b", "dist")
+    }.orderBy("doc_a", "doc_b")
   }
 }

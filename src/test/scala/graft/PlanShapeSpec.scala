@@ -77,7 +77,7 @@ class PlanShapeSpec extends SparkSpec {
       graft.operators.Dedup.ngramJaccardCappedPairs(docs, "doc_id", "text", materialize = false),
       graft.operators.Dedup.minHashLshPairs(docs, "doc_id", "text", materialize = false),
       graft.operators.Dedup.simHashPairs(docs, "doc_id", "text"),
-      graft.operators.Dedup.editDistancePairs(docs, "doc_id", "text"),
+      graft.operators.Dedup.editDistancePairs(docs, "doc_id", "text", materialize = false),
       graft.operators.Dedup.exactSubstringPairs(docs, "doc_id", "text", materialize = false)
     ).foreach { df =>
       val p = plan(df)
