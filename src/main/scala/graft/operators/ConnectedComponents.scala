@@ -25,12 +25,15 @@ object ConnectedComponents {
     */
   def components(pairs: DataFrame, aCol: String, bCol: String,
                  maxIters: Int = 20): DataFrame = {
-    // undirected: propagate along both directions. Checkpoint once — the
-    // pair source is typically an expensive dedup pipeline.
-    val edges = pairs
+    // undirected: propagate along both directions. Checkpoint the pair
+    // source BEFORE the direction union — the source is typically an
+    // expensive dedup pipeline (an O(n²) similarity join for
+    // dedup_clusters), and a union of two selects over the raw frame would
+    // execute it once per branch.
+    val p0 = pairs
       .select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .localCheckpoint()
+    val edges = p0.union(p0.select(col("dst").as("src"), col("src").as("dst")))
     var labels = edges.select(col("src")).distinct()
       .select(col("src").as("node"), col("src").as("label"))
       .localCheckpoint()
