@@ -225,7 +225,9 @@ object Multimodal {
     */
   def imageioFeatures(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select("doc_id").as[Long]
+    // the codec pass is CPU-heavy (PNG deflate per row); a single small
+    // parquet file would otherwise run it serially on one partition
+    PartitionUtil.spread(docs.select("doc_id"), "doc_id").as[Long]
       .mapPartitions { ids =>
         ids.map { id =>
           val w = 8 + (id % 8).toInt
