@@ -395,6 +395,35 @@ object ExtensionOracleSql {
          |SELECT src AS vec_id, least(src, min(dst)) AS cluster_id
          |FROM reach GROUP BY src ORDER BY vec_id""".stripMargin,
 
+    "dedup_clusters_lsh" ->
+      s"""WITH RECURSIVE v AS (
+         |  SELECT vec_id, embedding,
+         |    ${(0 until 4).map(c => (4 * c until 4 * c + 4).map(bitExpr).mkString("(", " + ", s") AS chunk$c")).mkString(",\n    ")},
+         |    ${nrm("embedding")} AS nrm
+         |  FROM embeddings),
+         |ch AS (
+         |  SELECT vec_id, c AS chunk_id,
+         |    CASE c WHEN 0 THEN chunk0 WHEN 1 THEN chunk1 WHEN 2 THEN chunk2 ELSE chunk3 END AS chunk_val
+         |  FROM v CROSS JOIN (SELECT unnest(range(0, 4)) AS c)),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM ch a JOIN ch b
+         |    ON a.chunk_id = b.chunk_id AND a.chunk_val = b.chunk_val AND a.vec_id < b.vec_id),
+         |jj AS (
+         |  SELECT vec_a, vec_b,
+         |    round(${dot("va.embedding", "vb.embedding")} / (va.nrm * vb.nrm), 6) AS sim
+         |  FROM cand JOIN v va ON va.vec_id = vec_a JOIN v vb ON vb.vec_id = vec_b),
+         |p AS (SELECT vec_a, vec_b FROM jj WHERE sim >= 0.45),
+         |edges AS (
+         |  SELECT vec_a AS src, vec_b AS dst FROM p
+         |  UNION ALL SELECT vec_b, vec_a FROM p),
+         |reach AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+         |SELECT src AS vec_id, least(src, min(dst)) AS cluster_id
+         |FROM reach GROUP BY src ORDER BY vec_id""".stripMargin,
+
     "cluster_assign" ->
       s"""WITH cent0 AS (SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings WHERE vec_id < 4),
          |${lloydIterCte(1)},

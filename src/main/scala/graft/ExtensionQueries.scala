@@ -100,6 +100,16 @@ object ExtensionQueries {
         .select(col("node").as("vec_id"), col("cluster_id"))
         .orderBy("vec_id")
     },
+    "dedup_clusters_lsh" -> { (s, dir) =>
+      import org.apache.spark.sql.functions.col
+      // the 100 TB clustering composition: hyperplane-LSH candidate pairs
+      // (bounded fan-out, exact-cosine verified) instead of the O(n²)
+      // baseline feed the same component collapse — the scale default
+      val pairs = Similarity.embeddingLshPairs(emb(s, dir), threshold = 0.45)
+      graft.operators.ConnectedComponents.components(pairs, "vec_a", "vec_b")
+        .select(col("node").as("vec_id"), col("cluster_id"))
+        .orderBy("vec_id")
+    },
     "cluster_assign" -> ((s, dir) =>
       Similarity.kmeansClusterStats(emb(s, dir), nlist = 4, iters = 2)),
     "knn_join" -> { (s, dir) =>
