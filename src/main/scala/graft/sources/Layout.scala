@@ -40,13 +40,14 @@ object Layout {
       table: String,
       numBuckets: Int,
       keys: Seq[String],
-      mode: SaveMode = SaveMode.Overwrite): Unit = {
+      mode: SaveMode = SaveMode.Overwrite,
+      format: String = "parquet"): Unit = {
     require(keys.nonEmpty, "bucketing needs at least one key column")
     df.write
       .mode(mode)
       .bucketBy(numBuckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
-      .format("parquet")
+      .format(format)
       .saveAsTable(table)
   }
 

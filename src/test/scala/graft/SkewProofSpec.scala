@@ -36,7 +36,10 @@ class SkewProofSpec extends SparkSpec {
     spark.sparkContext.addSparkListener(l)
     try {
       run
-      // listener events are delivered async; wait for them to settle
+      // listener events are delivered async: first wait for ANY metric to
+      // arrive (bounded), then for the counts to settle
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (l.byStage.isEmpty && System.nanoTime() < deadline) Thread.sleep(100)
       var last = -1; var same = 0
       while (same < 3) {
         Thread.sleep(100)

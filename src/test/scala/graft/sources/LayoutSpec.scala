@@ -59,6 +59,31 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("bucketed zero-exchange join holds for ORC tables too (format breadth)") {
+    val orders = Tables.table(spark, sf0001, "orders")
+      .select("o_orderkey", "o_totalprice")
+    val lineitem = Tables.table(spark, sf0001, "lineitem")
+      .select("l_orderkey", "l_quantity")
+      .withColumnRenamed("l_orderkey", "o_orderkey")
+
+    Layout.writeBucketed(orders, "layout_orders_orc", 8, Seq("o_orderkey"), format = "orc")
+    Layout.writeBucketed(lineitem, "layout_lineitem_orc", 8, Seq("o_orderkey"), format = "orc")
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = Layout.bucketedJoin(spark, "layout_orders_orc", "layout_lineitem_orc",
+        Seq("o_orderkey"))
+      val p = planOf(joined)
+      assert(p.contains("SortMergeJoin"), s"expected a sort-merge join:\n$p")
+      assert(!p.contains("Exchange"), s"ORC bucketed join must not shuffle:\n$p")
+      assert(joined.count() === orders.join(lineitem, "o_orderkey").count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      spark.sql("DROP TABLE IF EXISTS layout_orders_orc")
+      spark.sql("DROP TABLE IF EXISTS layout_lineitem_orc")
+    }
+  }
+
   test("range-clustered files cover disjoint key ranges and push the filter") {
     withTempDir("layout_clustered") { dir =>
     val orders = Tables.table(spark, sf0001, "orders")
