@@ -447,6 +447,53 @@ class OperatorSpec extends SparkSpec {
     assert(got((1L, 2L)) == ((18L, 1L, 30L)), s"span geometry: ${got((1L, 2L))}")
   }
 
+  test("exactSubstringPairs law: agrees with a local reference model on random corpora") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val n = 13
+    // local model of the operator's declared semantics: an a-position is
+    // matched iff its n-gram occurs anywhere in b; spans = consecutive runs
+    def localPairs(docs: Seq[(Long, Vector[String])]): Map[(Long, Long), (Long, Long, Long)] = {
+      def grams(t: Vector[String]) =
+        if (t.size < n) Vector.empty else t.sliding(n).map(_.mkString(" ")).toVector
+      (for {
+        (ia, ta) <- docs; (ib, tb) <- docs if ia < ib
+        bg = grams(tb).toSet
+        matched = grams(ta).zipWithIndex.collect { case (g, p) if bg.contains(g) => p }
+        if matched.nonEmpty
+      } yield {
+        val runs = matched.foldLeft(List.empty[(Int, Int)]) { // (start, len)
+          case ((s, l) :: rest, p) if p == s + l => (s, l + 1) :: rest
+          case (acc, p) => (p, 1) :: acc
+        }
+        (ia, ib) -> (matched.size.toLong, runs.size.toLong, (runs.map(_._2).max + n - 1).toLong)
+      }).toMap
+    }
+    for (seed <- Seq(11, 42, 77)) {
+      val rnd = new scala.util.Random(seed)
+      // small vocab + copied segments => natural shared runs and collisions
+      val vocab = (1 to 40).map(i => s"w$i")
+      val base = Vector.fill(60)(vocab(rnd.nextInt(vocab.size)))
+      val docs = (1L to 8L).map { id =>
+        val own = Vector.fill(20 + rnd.nextInt(30))(vocab(rnd.nextInt(vocab.size)))
+        // half the docs splice in a segment of the shared base text
+        val t = if (id % 2 == 0) {
+          val from = rnd.nextInt(30); val len = 10 + rnd.nextInt(25)
+          own.take(10) ++ base.slice(from, from + len) ++ own.drop(10)
+        } else own
+        (id, t)
+      }
+      val got = Dedup.exactSubstringPairs(
+          docs.map { case (id, t) => (id, t.mkString(" ")) }.toDF("doc_id", "text"),
+          "doc_id", "text", n = n, maxDf = 1000)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toMap
+      val want = localPairs(docs)
+      assert(got == want, s"seed $seed: operator $got != reference model $want")
+    }
+  }
+
   test("exactSubstringContamination: planted >= 13-token verbatim runs are always caught") {
     import spark.implicits._
     import graft.operators.Dedup

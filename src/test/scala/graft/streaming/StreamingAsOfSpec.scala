@@ -201,6 +201,48 @@ class StreamingAsOfSpec extends SparkSpec {
     assert(stateRows <= 1, s"builds-only state never GC'd: $stateRows state rows")
   }
 
+  test("stream as-of: restart from checkpoint equals the uninterrupted run") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    type Batch = (Seq[(Long, Long, String)], Seq[(Long, Long, Long)])
+    def runAsOf(batches: Seq[Batch], ckpt: String, out: String): Unit = {
+      val buildIn = MemoryStream[(Long, Long, String)]
+      val probeIn = MemoryStream[(Long, Long, Long)]
+      val df = StreamingAsOf.asOfStream(
+        probeIn.toDF().toDF("id", "k", "pt"),
+        buildIn.toDF().toDF("k", "bt", "v"),
+        "k", "pt", "bt")
+      val q = df.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .format("parquet").option("path", out).start()
+      batches.foreach { case (bs, ps) =>
+        if (bs.nonEmpty) buildIn.addData(bs)
+        if (ps.nonEmpty) probeIn.addData(ps)
+        q.processAllAvailable()
+      }
+      q.stop()
+    }
+    def read(out: String) = spark.read.parquet(out).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("v"))).toSet
+
+    val b1: Batch = (Seq((1L, 10L, "a")), Seq((100L, 1L, 15L)))
+    // batch 2's probe@12 only matches "a" if the k=1 build state was
+    // RESTORED from the checkpoint, not rebuilt from batch 2 alone
+    val b2: Batch = (Seq((1L, 20L, "b")), Seq((101L, 1L, 25L), (102L, 1L, 12L)))
+
+    val ckptU = Files.createTempDirectory("asof-uninterrupted-ckpt").toString
+    val outU = Files.createTempDirectory("asof-uninterrupted-out").toString
+    runAsOf(Seq(b1, b2), ckptU, outU)
+    val uninterrupted = read(outU)
+    assert(uninterrupted == Set((100L, "a"), (101L, "b"), (102L, "a")))
+
+    val ckptR = Files.createTempDirectory("asof-restart-ckpt").toString
+    val outR = Files.createTempDirectory("asof-restart-out").toString
+    runAsOf(Seq(b1), ckptR, outR)           // first query: batch 1, then stop
+    runAsOf(Seq(b1, b2), ckptR, outR)       // new query, same checkpoint: b1 skipped
+    assert(read(outR) == uninterrupted, s"restart diverged: ${read(outR)}")
+  }
+
   test("backward stream as-of throughput: >= 10k events/s, state bounded by key cardinality") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
