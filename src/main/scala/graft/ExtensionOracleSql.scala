@@ -379,7 +379,7 @@ object ExtensionOracleSql {
          |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
 
-    "dedup_clusters" ->
+    "dedup_clusters_allpairs" ->
       s"""WITH RECURSIVE j AS (
          |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          |    round(${cos("a.embedding", "b.embedding")}, 6) AS sim
@@ -395,7 +395,7 @@ object ExtensionOracleSql {
          |SELECT src AS vec_id, least(src, min(dst)) AS cluster_id
          |FROM reach GROUP BY src ORDER BY vec_id""".stripMargin,
 
-    "dedup_clusters_lsh" ->
+    "dedup_clusters" ->
       s"""WITH RECURSIVE v AS (
          |  SELECT vec_id, embedding,
          |    ${(0 until 4).map(c => (4 * c until 4 * c + 4).map(bitExpr).mkString("(", " + ", s") AS chunk$c")).mkString(",\n    ")},

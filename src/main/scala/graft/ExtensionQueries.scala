@@ -93,19 +93,22 @@ object ExtensionQueries {
         docs(s, dir).select("doc_id", "source"), "doc_id", seed = 42L)),
     "dedup_clusters" -> { (s, dir) =>
       import org.apache.spark.sql.functions.col
-      // canonical-doc selection: collapse the near-dup pair graph into
-      // components; cluster_id = min member id
-      val pairs = Similarity.embeddingNearDupPairs(emb(s, dir), threshold = 0.45)
+      // canonical-doc selection, the 100 TB composition: hyperplane-LSH
+      // candidate pairs (bounded fan-out, exact-cosine verified) collapse
+      // into components; cluster_id = min member id. The O(n²) all-pairs
+      // feed lives on as dedup_clusters_allpairs, the exactness baseline.
+      val pairs = Similarity.embeddingLshPairs(emb(s, dir), threshold = 0.45)
       graft.operators.ConnectedComponents.components(pairs, "vec_a", "vec_b")
         .select(col("node").as("vec_id"), col("cluster_id"))
         .orderBy("vec_id")
     },
-    "dedup_clusters_lsh" -> { (s, dir) =>
+    "dedup_clusters_allpairs" -> { (s, dir) =>
       import org.apache.spark.sql.functions.col
-      // the 100 TB clustering composition: hyperplane-LSH candidate pairs
-      // (bounded fan-out, exact-cosine verified) instead of the O(n²)
-      // baseline feed the same component collapse — the scale default
-      val pairs = Similarity.embeddingLshPairs(emb(s, dir), threshold = 0.45)
+      // exactness baseline: exhaustive all-pairs cosine feeds the same
+      // component collapse — deliberately quadratic, kept oracle-checked to
+      // validate the LSH composition's recall at fixture scale; a 100 TB
+      // deployment runs dedup_clusters instead
+      val pairs = Similarity.embeddingNearDupPairs(emb(s, dir), threshold = 0.45)
       graft.operators.ConnectedComponents.components(pairs, "vec_a", "vec_b")
         .select(col("node").as("vec_id"), col("cluster_id"))
         .orderBy("vec_id")

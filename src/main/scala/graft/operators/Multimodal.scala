@@ -6,12 +6,16 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: opaque `BINARY` payloads with typed metadata,
   * processed by a batched per-partition "decode" stage.
   *
-  * The container has no image/audio codecs, so [[StubCodec]] is a
-  * clearly-marked deterministic fake; everything around it — binary column
-  * handling, metadata struct, the `mapPartitions` batch shape (mirroring an
+  * The JDK bundles real image codecs (PNG/BMP/GIF/JPEG/TIFF via ImageIO), so
+  * the image-shaped operators — [[imageioFeatures]], [[imageioResize]],
+  * [[imageioFrames]], [[mixedFeatures]] — decode GENUINE pixels through
+  * [[ImageIoCodec]]. What the JDK genuinely lacks is video (H.264/VP9/AV1)
+  * and audio decode; [[StubCodec]] is the clearly-marked deterministic
+  * stand-in for those, and everything around it — binary column handling,
+  * metadata struct, the `mapPartitions` batch shape (mirroring an
   * Arrow-batched pandas UDF), partitioning — is real and tested. A real
-  * decoder is a drop-in: implement [[MediaCodec]] and pass it to the
-  * operators.
+  * external decoder is a drop-in: implement [[MediaCodec]] and pass it to
+  * the operators.
   */
 object Multimodal {
 
@@ -128,6 +132,24 @@ object Multimodal {
         writer.endWriteSequence()
       } finally { writer.dispose(); ios.close() }
       baos.toByteArray
+    }
+
+    /** Constant-color RGB image — the fixture for [[imageioResize]]: any
+      * correct resampler (bilinear included) maps a constant image to a
+      * constant image, so the resized pixel sums are closed-form
+      * (`channel * targetW * targetH`) while still requiring a REAL decode
+      * of the input PNG to learn the color.
+      */
+    def solidImage(w: Int, h: Int, r: Int, g: Int, b: Int): BufferedImage = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      val rgb = (r << 16) | (g << 8) | b
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+        y += 1
+      }
+      img
     }
 
     /** Deterministic procedural RGB image: every channel is a closed-form
