@@ -41,7 +41,13 @@ object Bench {
     //
     // A query that throws is reported explicitly ("failed" list, -1 sentinel
     // time, nonzero exit) — a failure must never make the bench look faster.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional args = query-name filter for local iteration; filtered runs
+    // never persist BENCH_TIMES.json (a partial map would masquerade as the
+    // full committed artifact)
+    val selected =
+      if (args.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.view.filterKeys(args.toSet).toMap
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
       spark.catalog.clearCache()
       var err: Option[String] = None
@@ -74,7 +80,14 @@ object Bench {
       .mkString("{\n  \"metric\": \"total\",\n  \"value\": " + total +
         ",\n  \"unit\": \"sec\",\n  \"sf\": \"" + sfDir +
         "\",\n  \"failed\": " + failedJson + ",\n  \"queries\": {\n", ",\n", "\n  }\n}\n")
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_TIMES.json"), pretty)
+    // anchor the artifact at the repo root (walk up to build.sbt), not cwd —
+    // a Bench forked from a subdirectory must still update the committed file
+    val repoRoot = Iterator.iterate(java.nio.file.Paths.get("").toAbsolutePath)(_.getParent)
+      .takeWhile(_ != null)
+      .find(p => java.nio.file.Files.exists(p.resolve("build.sbt")))
+      .getOrElse(java.nio.file.Paths.get("").toAbsolutePath)
+    if (args.isEmpty)
+      java.nio.file.Files.writeString(repoRoot.resolve("BENCH_TIMES.json"), pretty)
     spark.stop()
     if (failures.nonEmpty) sys.exit(1)
   }

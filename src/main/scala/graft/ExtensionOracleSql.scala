@@ -591,18 +591,45 @@ object ExtensionOracleSql {
          |FROM er ORDER BY doc_id""".stripMargin
     },
 
+    // mixed-modality features: image rows (doc_id % 3 <> 0) are procedural
+    // PNGs — the oracle recomputes the exact per-channel pixel sums in closed
+    // form (a fake decode cannot reproduce them); text rows are the
+    // documented audio/video stand-in (stub features over raw bytes)
     "multimodal_features" ->
-      """SELECT doc_id,
-        |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
-        |  array_to_string([CAST(octet_length(encode(text)) AS BIGINT), CAST(n_chars AS BIGINT),
-        |   CAST(doc_id % 7 AS BIGINT)], '|') AS mm_feat
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      """WITH d AS (
+        |  SELECT doc_id, n_chars, text,
+        |    8 + doc_id % 8 AS w, 8 + doc_id % 5 AS h
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id,
+        |    CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+        |    SUM((doc_id + x*7 + y*13) % 256) AS sr,
+        |    SUM((doc_id*3 + x*11 + y) % 256) AS sg,
+        |    SUM((doc_id*5 + x + y*17) % 256) AS sb
+        |  FROM d
+        |  CROSS JOIN range(0, 16) AS gx(x)
+        |  CROSS JOIN range(0, 13) AS gy(y)
+        |  WHERE gx.x < w AND gy.y < h AND doc_id % 3 <> 0
+        |  GROUP BY doc_id, w, h)
+        |SELECT d.doc_id,
+        |  CASE WHEN d.doc_id % 3 = 0 THEN 'text' ELSE 'image' END AS modality,
+        |  CASE WHEN d.doc_id % 3 = 0 THEN
+        |    array_to_string([CAST(octet_length(encode(d.text)) AS BIGINT),
+        |      CAST(d.n_chars AS BIGINT), CAST(d.doc_id % 7 AS BIGINT)], '|')
+        |  ELSE
+        |    array_to_string([px.w, px.h,
+        |      CAST(px.sr AS BIGINT), CAST(px.sg AS BIGINT), CAST(px.sb AS BIGINT)], '|')
+        |  END AS mm_feat
+        |FROM d LEFT JOIN px ON d.doc_id = px.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
+    // constant-color fixture: a correct resampler maps constant -> constant,
+    // so resized sums are channel * targetW * targetH (32x32)
     "multimodal_resize" ->
       """SELECT doc_id, CAST(32 AS INT) AS width, CAST(32 AS INT) AS height,
-        |  CAST(greatest(1, least(octet_length(encode(text)),
-        |    CAST(floor(octet_length(encode(text)) *
-        |      (1024.0 / ((64 + doc_id % 64) * (48 + doc_id % 48)))) AS BIGINT))) AS INT) AS n_bytes
+        |  CAST(((doc_id*7 + 3) % 256) * 1024 AS BIGINT) AS sum_r,
+        |  CAST(((doc_id*11 + 5) % 256) * 1024 AS BIGINT) AS sum_g,
+        |  CAST(((doc_id*13 + 7) % 256) * 1024 AS BIGINT) AS sum_b
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "grouped_topk" ->
@@ -783,13 +810,19 @@ object ExtensionOracleSql {
         |FROM orders JOIN iv ON o_totalprice >= lo AND o_totalprice < hi
         |GROUP BY iv_id ORDER BY iv_id""".stripMargin,
 
+    // multi-page TIFF "video": 2-5 solid pages per doc, stride-2 sampled;
+    // per-frame sums are closed-form constant-color * geometry
     "multimodal_frames" ->
       """WITH f AS (
-        |  SELECT doc_id, octet_length(encode(text)) AS len,
-        |    unnest(range(0, CAST(ceil(octet_length(encode(text)) / 16.0) AS BIGINT), 4)) AS i
+        |  SELECT doc_id,
+        |    8 + doc_id % 5 AS w, 6 + doc_id % 4 AS h,
+        |    unnest(range(0, 2 + doc_id % 4, 2)) AS fi
         |  FROM documents)
-        |SELECT doc_id, CAST(i AS INT) AS frame_idx,
-        |  CAST(least(16, len - i * 16) AS INT) AS n_bytes
+        |SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+        |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(((doc_id*7 + fi*31 + 3) % 256) * w * h AS BIGINT) AS sum_r,
+        |  CAST(((doc_id*11 + fi*37 + 5) % 256) * w * h AS BIGINT) AS sum_g,
+        |  CAST(((doc_id*13 + fi*41 + 7) % 256) * w * h AS BIGINT) AS sum_b
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
 
     // full recompute over the whole changelog — the delta-maintained

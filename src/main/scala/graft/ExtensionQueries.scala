@@ -79,9 +79,15 @@ object ExtensionQueries {
       // embeds a fingerprint of the SOURCE data (mtime+size, recursive) and
       // an index-format version, so a regenerated fixture or a changed index
       // layout can never silently serve a stale index.
-      def fp(f: java.io.File): Long =
-        if (f.isDirectory) f.listFiles().map(fp).foldLeft(f.lastModified)(_ ^ _)
-        else f.lastModified ^ (f.length * 31)
+      // ordered LCG digest (name-sorted, position-sensitive): XOR folding is
+      // self-cancelling — two files swapping mtimes, or equal contributions,
+      // erase each other and can serve a stale index
+      def fp(f: java.io.File): Long = {
+        val self = f.lastModified * 1000003L + f.length * 31L + f.getName.hashCode
+        val children = Option(f.listFiles()).map(_.sortBy(_.getName)).getOrElse(Array.empty)
+        children.foldLeft(self)((acc, c) =>
+          acc * 6364136223846793005L + fp(c) + 1442695040888963407L)
+      }
       val srcFp = java.lang.Long.toHexString(fp(new java.io.File(s"$dir/embeddings.parquet")))
       val indexDir = s"/tmp/graft_ivf_index_v1_${dir.replaceAll("[^A-Za-z0-9]", "_")}_$srcFp"
       if (!new java.io.File(s"$indexDir/assigned/_SUCCESS").exists())
@@ -97,7 +103,9 @@ object ExtensionQueries {
       // candidate pairs (bounded fan-out, exact-cosine verified) collapse
       // into components; cluster_id = min member id. The O(n²) all-pairs
       // feed lives on as dedup_clusters_allpairs, the exactness baseline.
-      val pairs = Similarity.embeddingLshPairs(emb(s, dir), threshold = 0.45)
+      // Raw (unsorted, undeduped) pairs: min-label CC absorbs duplicate
+      // edges, so the dedup+sort shuffles of the pair surface are skipped.
+      val pairs = Similarity.embeddingLshPairsRaw(emb(s, dir), threshold = 0.45)
       graft.operators.ConnectedComponents.components(pairs, "vec_a", "vec_b")
         .select(col("node").as("vec_id"), col("cluster_id"))
         .orderBy("vec_id")
@@ -149,23 +157,20 @@ object ExtensionQueries {
       operators.Packing.binStats(s,
         TextAnalysis.chunkDocuments(docs(s, dir), chunkSize = 64, overlap = 16),
         budget = 512, numShards = 8)),
-    "multimodal_features" -> { (s, dir) =>
-      import org.apache.spark.sql.functions._
-      // declared-surface encoding: feature values are integral by construction,
-      // so render them as '|'-joined BIGINTs (scalar cell for the driver
-      // comparator; the array-native operator output is unchanged)
-      Multimodal.extractFeatures(s, docs(s, dir))
-        .withColumn("mm_feat",
-          array_join(transform(col("mm_feat"), _.cast("bigint")), "|"))
-    },
+    "multimodal_features" -> ((s, dir) =>
+      // mixed-modality surface: PNG rows through the REAL ImageIO decoder,
+      // audio/video stand-in rows through the labeled stub — one binary
+      // column, sniffing dispatch, closed-form oracles for both branches
+      Multimodal.mixedFeatures(s, docs(s, dir))),
     "multimodal_imageio" -> ((s, dir) =>
       Multimodal.imageioFeatures(s, docs(s, dir))),
     "multimodal_resize" -> ((s, dir) =>
-      Multimodal.resize(s, docs(s, dir), targetW = 32, targetH = 32)),
+      // real decode -> bilinear render -> re-encode -> re-decode; oracle =
+      // constant-color sums at the target geometry
+      Multimodal.imageioResize(s, docs(s, dir), targetW = 32, targetH = 32)),
     "multimodal_frames" -> ((s, dir) =>
-      // frame_mean needs byte-level access the SQL oracle can't mirror
-      // portably; it is asserted in OperatorSpec instead
-      Multimodal.sampleFrames(s, docs(s, dir)).drop("frame_mean")),
+      // multi-page TIFF "video", stride-sampled, per-frame exact pixel sums
+      Multimodal.imageioFrames(s, docs(s, dir), stride = 2)),
     "sample_stratified" -> ((s, dir) =>
       Sampling.stratifiedSample(docs(s, dir), "doc_id", "lang",
         Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.1))

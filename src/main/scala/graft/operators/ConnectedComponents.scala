@@ -8,67 +8,98 @@ import org.apache.spark.sql.functions._
   * pipeline (pair emitters: [[Dedup]] / [[Similarity]] families).
   *
   * Min-label propagation accelerated by pointer jumping: each round a node
-  * takes the min label among (itself, its neighbors) and then follows its own
-  * label one hop (`label := label(label)`), which doubles the distance a
-  * component-min travels per round — so rounds are O(log diameter), not
-  * O(diameter). Near-dup graphs are overwhelmingly tiny cliques and short
-  * chains (1-2 rounds); `maxIters` bounds pathological chains at 2^maxIters
-  * diameter. Loop control is driver-side but each round is exactly ONE
-  * distributed job: the new labels are materialized with a `changed` flag
-  * (fused convergence check), and the fixpoint test is a scan of the
-  * just-checkpointed blocks — no separate convergence join. Labels are
-  * `localCheckpoint`ed so lineage doesn't grow by three joins per round.
+  * takes the min label among (itself, its neighbors) and then follows that
+  * label one hop through the PREVIOUS round's label table
+  * (`label := min(label, label_prev(label))`), which roughly doubles the
+  * distance a component-min travels per round — rounds are O(log diameter),
+  * not O(diameter). Jumping through the previous (already materialized)
+  * table instead of the in-flight one keeps the per-round neighbor-min
+  * aggregation evaluated exactly ONCE: the hop side is a checkpointed leaf,
+  * so nothing re-executes the join+groupBy subplan (the self-join-on-l1
+  * formulation evaluated it twice — no ReusedExchange covers two exchanges
+  * with different keys). Staler-by-one-round hops are still valid labels
+  * (any label value is a component member's id), so correctness is
+  * unaffected; only the acceleration factor is marginally smaller.
+  *
+  * Label init is fused with the first neighbor-min round: label0(v) =
+  * min(v, min neighbors(v)) is ONE groupBy over the edge list — no separate
+  * distinct-nodes job, and cliques (the dominant near-dup shape) are fully
+  * labeled before the loop even starts, leaving a single confirming round.
+  *
+  * Loop control is driver-side but each round is exactly one distributed
+  * job: new labels are materialized WITH a `changed` flag (fused convergence
+  * check); the fixpoint test is a take(1) scan of the just-checkpointed
+  * blocks, no separate convergence join.
   *
   * Fully deterministic under any partitioning: min is order-insensitive.
+  * Duplicate and self edges are harmless (min absorbs them), so callers can
+  * feed raw candidate pairs without paying a distinct.
   *
-  * Correctness sketch: labels start as self-ids and only decrease via mins of
-  * labels reachable along edges, so label(v) is always the id of a node in
-  * v's component with label(v) <= v. At fixpoint min over neighbor labels >=
-  * label(v) for every v; edges are propagated both directions, so labels are
-  * equal across every edge, hence constant per component; the constant is a
-  * member id and the member carrying it labels itself, forcing it to the
-  * component minimum.
+  * Correctness sketch: labels start at min(self, neighbors) and only
+  * decrease via mins of labels reachable along edges or via label-table
+  * hops, so label(v) is always the id of a node in v's component with
+  * label(v) <= v. At fixpoint (no label decreased) the neighbor-min pass
+  * gives label(u) >= label(v) for every edge (v,u); edges are propagated
+  * both directions, so labels are equal across every edge, hence constant
+  * per component; the constant is a member id and the member carrying it
+  * labels itself, forcing it to the component minimum.
+  *
+  * Materialization: `localCheckpoint` by default — executor-memory lineage
+  * truncation, the fast choice for a single-JVM or short-lived job, but a
+  * lost executor mid-fixpoint kills the job. For long multi-tenant cluster
+  * runs pass `checkpointDir = Some(dir)` (an HDFS/object-store path): rounds
+  * then use RELIABLE `checkpoint()` — each round's labels survive executor
+  * loss at the cost of a write to stable storage per round.
   */
 object ConnectedComponents {
 
   /** (node, cluster_id) for every node appearing in `pairs`; cluster_id =
     * the minimum node id of the component.
+    *
+    * @param checkpointDir when set, rounds checkpoint RELIABLY to this
+    *   directory (fault-tolerant on a real cluster); when None, rounds use
+    *   `localCheckpoint` (fastest, but not executor-loss safe).
     */
   def components(pairs: DataFrame, aCol: String, bCol: String,
-                 maxIters: Int = 20): DataFrame = {
-    // undirected: propagate along both directions. Checkpoint the pair
+                 maxIters: Int = 20,
+                 checkpointDir: Option[String] = None): DataFrame = {
+    val mat: DataFrame => DataFrame = checkpointDir match {
+      case Some(dir) =>
+        val sc = pairs.sparkSession.sparkContext
+        if (!sc.getCheckpointDir.contains(dir)) sc.setCheckpointDir(dir)
+        df => df.checkpoint()
+      case None => df => df.localCheckpoint()
+    }
+    // undirected: propagate along both directions. Materialize the pair
     // source BEFORE the direction union — the source is typically an
     // expensive dedup pipeline (an LSH candidate join for dedup_clusters),
     // and a union of two selects over the raw frame would execute it once
     // per branch.
-    val p0 = pairs
-      .select(col(aCol).as("src"), col(bCol).as("dst"))
-      .localCheckpoint()
+    val p0 = mat(pairs.select(col(aCol).as("src"), col(bCol).as("dst")))
     val edges = p0.union(p0.select(col("dst").as("src"), col("src").as("dst")))
-    var labels = edges.select(col("src")).distinct()
-      .select(col("src").as("node"), col("src").as("label"))
-      .localCheckpoint()
+    // fused init == round 1's neighbor-min over self-labels, as one groupBy
+    var labels = mat(
+      edges.groupBy(col("src").as("node"))
+        .agg(min(least(col("src"), col("dst"))).as("label")))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
-      val neighborMin = edges.join(labels, edges("dst") === labels("node"))
+      val nm = edges.join(labels, edges("dst") === labels("node"))
         .groupBy(edges("src").as("nb_node"))
         .agg(min(col("label")).as("nb_min"))
-      val l1 = labels
-        .join(neighborMin, labels("node") === col("nb_node"), "left")
-        .select(col("node"), col("label").as("old_label"),
-          least(col("label"), coalesce(col("nb_min"), col("label"))).as("label"))
-      // pointer jump: label(v) is itself a node id, so follow it one hop —
-      // label := min(label, label(label)). The left join can only miss when
-      // the graph is empty (label values are node ids of this frame).
-      val hop = l1.select(col("node").as("p_node"), col("label").as("p_label"))
+      val l1 = labels.as("cur")
+        .join(nm, col("cur.node") === col("nb_node"), "left")
+        .select(col("cur.node").as("node"), col("cur.label").as("old_label"),
+          least(col("cur.label"), coalesce(col("nb_min"), col("cur.label"))).as("label"))
+      // pointer jump through the PREVIOUS round's materialized labels: a
+      // leaf on the hop side, so neighbor-min runs once per round
+      val hop = labels.select(col("node").as("p_node"), col("label").as("p_label"))
       val jumped = least(col("label"), coalesce(col("p_label"), col("label")))
-      val next = l1
-        .join(hop.as("h"), l1("label") === col("h.p_node"), "left")
-        .select(col("node"), jumped.as("label"),
-          (jumped < col("old_label")).as("changed"))
-        .localCheckpoint() // ONE job: new labels + changed flags together
-      // fused fixpoint test: scans the checkpointed blocks, no extra join
+      val next = mat(
+        l1.join(hop, l1("label") === col("p_node"), "left")
+          .select(col("node"), jumped.as("label"),
+            (jumped < col("old_label")).as("changed"))) // ONE job: labels + flags
+      // fused fixpoint test: take(1) over the checkpointed blocks
       converged = next.filter(col("changed")).isEmpty
       labels = next.drop("changed")
       iter += 1

@@ -9,13 +9,17 @@ import org.apache.spark.sql.functions._
   * The JDK bundles real image codecs (PNG/BMP/GIF/JPEG/TIFF via ImageIO), so
   * the image-shaped operators — [[imageioFeatures]], [[imageioResize]],
   * [[imageioFrames]], [[mixedFeatures]] — decode GENUINE pixels through
-  * [[ImageIoCodec]]. What the JDK genuinely lacks is video (H.264/VP9/AV1)
-  * and audio decode; [[StubCodec]] is the clearly-marked deterministic
-  * stand-in for those, and everything around it — binary column handling,
-  * metadata struct, the `mapPartitions` batch shape (mirroring an
-  * Arrow-batched pandas UDF), partitioning — is real and tested. A real
-  * external decoder is a drop-in: implement [[MediaCodec]] and pass it to
-  * the operators.
+  * [[ImageIoCodec]]: procedural PNG / multi-page-TIFF payloads are encoded
+  * executor-side and round-tripped through the real decoder, with
+  * closed-form pixel-sum oracles that a fake decode cannot reproduce. What
+  * the JDK genuinely lacks is video (H.264/VP9/AV1) and audio decode;
+  * [[StubCodec]] is the clearly-marked deterministic stand-in for those
+  * modalities (it carries the non-image rows of [[mixedFeatures]]), and
+  * everything around it — binary column handling, metadata struct, the
+  * `mapPartitions` batch shape (mirroring an Arrow-batched pandas UDF),
+  * partitioning — is real and tested. A real external decoder is a drop-in:
+  * implement [[MediaCodec]] and pass it to the generic operators
+  * ([[extractFeatures]] / [[resize]] / [[sampleFrames]]).
   */
 object Multimodal {
 
@@ -265,6 +269,125 @@ object Multimodal {
         col("feat").getItem(2).cast("long").as("sum_r"),
         col("feat").getItem(3).cast("long").as("sum_g"),
         col("feat").getItem(4).cast("long").as("sum_b"))
+      .orderBy("doc_id")
+  }
+
+  /** Closed-form solid fixture color for a doc/frame — pure integer
+    * arithmetic so the DuckDB oracle recomputes it without decoding.
+    */
+  def solidColor(id: Long, frame: Int = 0): (Int, Int, Int) = (
+    ((id * 7L + frame * 31L + 3L) % 256).toInt,
+    ((id * 11L + frame * 37L + 5L) % 256).toInt,
+    ((id * 13L + frame * 41L + 7L) % 256).toInt)
+
+  /** REAL-decode resize: each doc gets a solid-color PNG (color and geometry
+    * closed-form in doc_id), resampled through [[ImageIoCodec.resize]]
+    * (genuine decode → bilinear `Graphics2D` render → PNG re-encode), and the
+    * RESIZED payload is decoded AGAIN to report its exact per-channel pixel
+    * sums. Any correct resampler maps a constant image to the same constant,
+    * so the oracle is `channel * targetW * targetH` — but producing it
+    * requires really decoding the input to learn the color and really
+    * rendering the output grid.
+    */
+  def imageioResize(spark: SparkSession, docs: DataFrame,
+                    targetW: Int, targetH: Int): DataFrame = {
+    import spark.implicits._
+    PartitionUtil.spread(docs.select("doc_id"), "doc_id").as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w = 16 + (id % 9).toInt
+          val h = 12 + (id % 7).toInt
+          val (r, g, b) = solidColor(id)
+          val png = ImageIoCodec.encodePng(ImageIoCodec.solidImage(w, h, r, g, b))
+          val resized = ImageIoCodec.resize(id, png, w, h, targetW, targetH)
+          ImageIoCodec.features(MediaRow(id, resized.payload, 0L))
+        }
+      }
+      .toDF()
+      .select(col("doc_id"),
+        col("feat").getItem(0).cast("int").as("width"),
+        col("feat").getItem(1).cast("int").as("height"),
+        col("feat").getItem(2).cast("long").as("sum_r"),
+        col("feat").getItem(3).cast("long").as("sum_g"),
+        col("feat").getItem(4).cast("long").as("sum_b"))
+      .orderBy("doc_id")
+  }
+
+  /** REAL-decode frame sampling: each doc gets a multi-page TIFF "video"
+    * (2-5 solid-color pages, color closed-form in (doc_id, frame)), decoded
+    * through [[ImageIoCodec.frames]] with stride sampling; each sampled frame
+    * is decoded AGAIN for its exact per-channel pixel sums. flatMap shape =
+    * one container row fanning out to frames, the real-pipeline geometry.
+    */
+  def imageioFrames(spark: SparkSession, docs: DataFrame,
+                    stride: Int = 2): DataFrame = {
+    import spark.implicits._
+    PartitionUtil.spread(docs.select("doc_id"), "doc_id").as[Long]
+      .flatMap { id =>
+        val w = 8 + (id % 5).toInt
+        val h = 6 + (id % 4).toInt
+        val nFrames = 2 + (id % 4).toInt
+        val pages = (0 until nFrames).map { f =>
+          val (r, g, b) = solidColor(id, f)
+          ImageIoCodec.solidImage(w, h, r, g, b)
+        }
+        val tiff = ImageIoCodec.encodeTiffPages(pages)
+        ImageIoCodec.frames(MediaRow(id, tiff, 0L), frameBytes = 0, stride = stride)
+          .map { fr =>
+            val feats = ImageIoCodec.features(MediaRow(id, fr.frame, 0L))
+            (id, fr.frame_idx, feats.feat(0).toInt, feats.feat(1).toInt,
+              feats.feat(2).toLong, feats.feat(3).toLong, feats.feat(4).toLong)
+          }
+      }
+      .toDF("doc_id", "frame_idx", "width", "height", "sum_r", "sum_g", "sum_b")
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  /** Payload-sniffing codec: PNG magic bytes route to the real
+    * [[ImageIoCodec]]; anything else (the audio/video stand-in rows) falls
+    * back to [[StubCodec]] — the dispatch shape of a production pipeline
+    * where one binary column carries several modalities.
+    */
+  object MixedCodec extends MediaCodec {
+    private def isPng(p: Array[Byte]): Boolean =
+      p.length >= 8 && (p(0) & 0xff) == 0x89 && p(1) == 'P' && p(2) == 'N' && p(3) == 'G'
+    private def pick(p: Array[Byte]): MediaCodec =
+      if (isPng(p)) ImageIoCodec else StubCodec
+    def features(row: MediaRow): MediaFeatures = pick(row.payload).features(row)
+    def resize(id: Long, payload: Array[Byte], width: Int, height: Int,
+               targetW: Int, targetH: Int): ResizedMedia =
+      pick(payload).resize(id, payload, width, height, targetW, targetH)
+    def frames(row: MediaRow, frameBytes: Int, stride: Int): Iterator[Frame] =
+      pick(row.payload).frames(row, frameBytes, stride)
+  }
+
+  /** Mixed-modality feature extraction over one binary column: every third
+    * doc carries a non-image payload (UTF-8 text bytes standing in for
+    * audio/video — no JDK decoder exists) handled by [[StubCodec]]; the rest
+    * carry genuine procedural PNGs decoded pixel-by-pixel through
+    * [[ImageIoCodec]] via the sniffing [[MixedCodec]]. Image rows report
+    * `[width, height, sum_r, sum_g, sum_b]` (closed-form oracle), stub rows
+    * `[n_bytes, n_chars, doc_id mod 7]`.
+    */
+  def mixedFeatures(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    PartitionUtil.spread(docs.select("doc_id", "text", "n_chars"), "doc_id")
+      .as[(Long, String, Long)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text, nChars) =>
+          val payload =
+            if (id % 3 == 0) text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            else {
+              val w = 8 + (id % 8).toInt
+              val h = 8 + (id % 5).toInt
+              ImageIoCodec.encodePng(ImageIoCodec.patternImage(id, w, h))
+            }
+          val f = MixedCodec.features(MediaRow(id, payload, nChars))
+          val modality = if (id % 3 == 0) "text" else "image"
+          (id, modality, f.feat.map(_.toLong).mkString("|"))
+        }
+      }
+      .toDF("doc_id", "modality", "mm_feat")
       .orderBy("doc_id")
   }
 

@@ -77,30 +77,53 @@ object Similarity {
     * only with p ≈ 0.4 — the config targets true near-duplicates; lower the
     * chunk width (more bands) to chase lower-similarity pairs.
     */
-  def embeddingLshPairs(emb0: DataFrame, threshold: Double, nBits: Int = 16): DataFrame = {
-    require(nBits % 4 == 0)
-    val nChunks = nBits / 4
+  def embeddingLshPairs(emb0: DataFrame, threshold: Double, nBits: Int = 16): DataFrame =
+    embeddingLshPairsRaw(emb0, threshold, nBits)
+      .dropDuplicates(Seq("vec_a", "vec_b"))
+      .orderBy("vec_a", "vec_b")
+
+  /** [[embeddingLshPairs]] without the final dedup/sort: a candidate pair
+    * colliding in several chunks appears once per collision (verified each
+    * time — `sim` is identical). Consumers whose semantics absorb duplicate
+    * edges (min-label connected components) feed on this directly and skip
+    * two shuffles; everyone else wants [[embeddingLshPairs]].
+    *
+    * `bandBits` sets the band (chunk) width: each band hashes vectors into
+    * 2^bandBits buckets, and candidate generation is quadratic WITHIN a
+    * bucket — so size bands to the corpus (expected bucket occupancy =
+    * n / 2^bandBits). The fixture default (4-bit bands, 16 buckets) suits
+    * hundreds-to-thousands of vectors; at 20k+ use 8-bit bands, and at
+    * 100 TB widen further (e.g. 16-20 bits) so per-bucket occupancy stays
+    * bounded. Wider bands trade recall per band for fan-out; recover recall
+    * by raising `nBits` (more bands).
+    */
+  def embeddingLshPairsRaw(emb0: DataFrame, threshold: Double, nBits: Int = 16,
+                           bandBits: Int = 4): DataFrame = {
+    require(nBits % bandBits == 0)
+    val nChunks = nBits / bandBits
     val emb = PartitionUtil.spread(emb0, "vec_id")
     val dim = 64 // fixture embedding dimensionality
     val signVecs = (0 until nBits).map(i => (0 until dim).map(d => hyperplaneSign(i, d)))
 
     val bits = (0 until nBits).map { i =>
-      (when(VecF.dot(col("embedding"), typedLit(signVecs(i))) > 0, 1).otherwise(0) * (1 << (i % 4))).as(s"bit$i")
+      (when(VecF.dot(col("embedding"), typedLit(signVecs(i))) > 0, 1).otherwise(0) * (1 << (i % bandBits))).as(s"bit$i")
     }
     val withBits = emb.select(col("vec_id") +: col("embedding") +: bits: _*)
     val chunkCols = (0 until nChunks).map { c =>
-      (4 * c until 4 * c + 4).map(i => col(s"bit$i")).reduce(_ + _).as(s"chunk$c")
+      (bandBits * c until bandBits * c + bandBits).map(i => col(s"bit$i")).reduce(_ + _).as(s"chunk$c")
     }
     val withNorm = withBits.select(
       (col("vec_id") +: col("embedding") +: chunkCols) :+ VecF.norm(col("embedding")).as("nrm"): _*)
     val chunked = withNorm.select(col("vec_id"),
       posexplode(array((0 until nChunks).map(c => col(s"chunk$c")): _*)).as(Seq("chunk_id", "chunk_val")))
 
+    // candidates are NOT distinct'd here: the duplicate factor is bounded by
+    // nChunks and the verify joins below broadcast the (small) vector side,
+    // so re-verifying a duplicate is cheaper than a full dedup shuffle
     val cand = chunked.as("a").join(chunked.as("b"),
         col("a.chunk_id") === col("b.chunk_id") && col("a.chunk_val") === col("b.chunk_val") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
-      .distinct()
 
     val side = withNorm.select(col("vec_id"), col("embedding"), col("nrm"))
     cand
@@ -109,7 +132,6 @@ object Similarity {
       .withColumn("sim", round(VecF.dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6))
       .filter(col("sim") >= threshold)
       .select("vec_a", "vec_b", "sim")
-      .orderBy("vec_a", "vec_b")
   }
 
   /** Symmetric int8 quantization of the embedding column — the standard

@@ -184,6 +184,68 @@ class OperatorSpec extends SparkSpec {
     assert(StubCodec.features(MediaRow(3L, Array[Byte](7, 7), 2L)).feat.toSeq == Seq(2.0, 2.0, 3.0))
   }
 
+  test("imageioResize: constant-color sums at target geometry, from real decodes") {
+    val docs = Tables.table(spark, sf0001, "documents").limit(12)
+    val rows = Multimodal.imageioResize(spark, docs, 32, 32).collect()
+    assert(rows.length == 12)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val (cr, cg, cb) = Multimodal.solidColor(id)
+      assert(r.getInt(1) == 32 && r.getInt(2) == 32)
+      assert(r.getLong(3) == cr.toLong * 1024, s"sum_r mismatch for doc $id")
+      assert(r.getLong(4) == cg.toLong * 1024)
+      assert(r.getLong(5) == cb.toLong * 1024)
+    }
+  }
+
+  test("imageioFrames: TIFF pages stride-sampled, per-frame sums closed-form") {
+    val docs = Tables.table(spark, sf0001, "documents").limit(12)
+    val rows = Multimodal.imageioFrames(spark, docs, stride = 2).collect()
+    val byDoc = rows.groupBy(_.getLong(0))
+    byDoc.foreach { case (id, frames) =>
+      val w = 8 + (id % 5).toInt
+      val h = 6 + (id % 4).toInt
+      val nFrames = 2 + (id % 4).toInt
+      val expectIdx = (0 until nFrames by 2).toSeq
+      assert(frames.map(_.getInt(1)).toSeq.sorted == expectIdx)
+      frames.foreach { r =>
+        val fi = r.getInt(1)
+        val (cr, cg, cb) = Multimodal.solidColor(id, fi)
+        assert(r.getInt(2) == w && r.getInt(3) == h)
+        assert(r.getLong(4) == cr.toLong * w * h, s"sum_r mismatch doc $id frame $fi")
+        assert(r.getLong(5) == cg.toLong * w * h)
+        assert(r.getLong(6) == cb.toLong * w * h)
+      }
+    }
+  }
+
+  test("mixedFeatures: PNG rows decode real pixels, stand-in rows take the stub path") {
+    val docs = Tables.table(spark, sf0001, "documents").limit(12)
+    val rows = Multimodal.mixedFeatures(spark, docs).collect()
+    assert(rows.length == 12)
+    assert(rows.exists(_.getString(1) == "text") && rows.exists(_.getString(1) == "image"))
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val feat = r.getString(2).split('|').map(_.toLong)
+      if (id % 3 == 0) {
+        assert(r.getString(1) == "text" && feat.length == 3)
+        assert(feat(2) == id % 7)
+      } else {
+        assert(r.getString(1) == "image" && feat.length == 5)
+        val w = 8 + (id % 8).toInt
+        val h = 8 + (id % 5).toInt
+        // closed-form pattern sums — only a REAL decode reproduces these
+        var sr = 0L; var sg = 0L; var sb = 0L
+        for (y <- 0 until h; x <- 0 until w) {
+          sr += (id + x * 7L + y * 13L) % 256
+          sg += (id * 3L + x * 11L + y) % 256
+          sb += (id * 5L + x + y * 17L) % 256
+        }
+        assert(feat.toSeq == Seq(w.toLong, h.toLong, sr, sg, sb), s"pixel sums mismatch doc $id")
+      }
+    }
+  }
+
   test("SetAggregator: typed groupByKey path equals the DataFrame pipeline (Q18)") {
     import org.apache.spark.sql.functions.udaf
     val changelog = Tables.shareHoldersChangelog(spark, sf0001)

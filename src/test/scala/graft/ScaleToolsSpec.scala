@@ -186,4 +186,58 @@ class ScaleToolsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       assert(scanned < n / 4, s"bucket pruning ineffective: rescored $scanned of $n")
     } finally assigned.unpersist()
   }
+
+  test("ConnectedComponents: reliable-checkpoint mode matches localCheckpoint mode") {
+    import spark.implicits._
+    import graft.operators.ConnectedComponents
+    // chain (multi-round), isolated pair, clique — all three shapes
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (20L, 22L), (21L, 22L)).toDF("a", "b")
+    val local = ConnectedComponents.components(pairs, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_ckpt").toString
+    val reliable = ConnectedComponents.components(pairs, "a", "b", checkpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reliable == local)
+    // the reliable mode must actually have written checkpoint state
+    def anyFile(f: java.io.File): Boolean =
+      f.isFile || Option(f.listFiles()).exists(_.exists(anyFile))
+    assert(anyFile(new java.io.File(dir)),
+      "reliable mode wrote no checkpoint files — it silently fell back to lineage")
+  }
+
+  test("dedup_clusters composition survives 10x data: wall-time growth stays sub-quadratic") {
+    import graft.operators.{ConnectedComponents, Similarity}
+    // deterministic 64-dim clustered fixture (clusters of 4 near-identical
+    // vectors, cos within-cluster ~0.94): the dedup_clusters regime, scaled.
+    // Band width follows the scaladoc sizing rule: 8-bit bands for 20k.
+    def u(cols: Column*): Column = // hash-uniform double in [-1, 1]
+      pmod(xxhash64(cols: _*), lit(2001)).cast("double") / 1000.0 - 1.0
+    def fixture(n: Int) = spark.range(n).select(
+      col("id").as("vec_id"),
+      array((0 until 64).map { d =>
+        u(lit("cc"), (col("id") / 4).cast("long"), lit(d)) +
+          u(lit("nn"), col("id"), lit(d)) * 0.25
+      }: _*).as("embedding"))
+    def run(n: Int): (Long, Double) = {
+      val pairs = Similarity.embeddingLshPairsRaw(
+        fixture(n), threshold = 0.8, nBits = 32, bandBits = 8)
+      val t0 = System.nanoTime()
+      val nComponents = ConnectedComponents.components(pairs, "vec_a", "vec_b")
+        .select("cluster_id").distinct().count()
+      (nComponents, (System.nanoTime() - t0) / 1e9)
+    }
+    run(2000) // warm plan shapes/codegen so t1 isn't charged for compilation
+    val (c1, t1) = run(2000)
+    val (c2, t2) = run(20000)
+    // recall sanity: planted clusters of 4 must actually collapse — the gate
+    // is meaningless if LSH found nothing at the bigger scale
+    assert(c1 >= 400 && c1 <= 520, s"2k fixture found $c1 components (expect ~500)")
+    assert(c2 >= 4000 && c2 <= 5200, s"20k fixture found $c2 components (expect ~5000)")
+    // 10x data: linear-ish growth lands well under 30x even with box noise;
+    // a quadratic candidate path (degenerate bucketing) lands far above
+    val ratio = t2 / t1
+    assert(ratio <= 30.0,
+      f"10x vectors grew dedup_clusters wall-time $ratio%.1fx (t1=$t1%.2fs t2=$t2%.2fs)")
+  }
 }
