@@ -167,46 +167,68 @@ object ExtensionOracleSql {
          |WHERE e.doc_id % 97 <> 0
          |GROUP BY e.doc_id ORDER BY e.doc_id""".stripMargin,
 
+    // TRUE-run semantics: candidates join on the hash (mirroring the engine's
+    // fixed-width index) but matches require STRING equality, and runs stitch
+    // along (pa - pb) diagonals — both docs must advance in lockstep
     "dedup_exact_substring" ->
       s"""WITH t AS (SELECT doc_id, $toksOf AS toks FROM documents),
          |s AS (SELECT doc_id, ${shinglesOf(13)} AS sh FROM t),
          |ex0 AS (SELECT doc_id, generate_subscripts(sh, 1) - 1 AS pos, unnest(sh) AS g
          |        FROM s WHERE len(sh) > 0),
-         |ex AS (SELECT doc_id, pos, ${h60("g")} AS h FROM ex0),
+         |ex AS (SELECT doc_id, pos, g, ${h60("g")} AS h FROM ex0),
          |dfc AS (SELECT h FROM (
          |          SELECT h, COUNT(DISTINCT doc_id) AS df FROM ex GROUP BY h)
          |        WHERE df <= 50),
-         |idx AS (SELECT ex.doc_id, ex.pos, ex.h FROM ex JOIN dfc USING (h)),
-         |m AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa
-         |      FROM idx a JOIN idx b ON a.h = b.h AND a.doc_id < b.doc_id),
-         |r AS (SELECT doc_a, doc_b, pa,
-         |        pa - row_number() OVER (PARTITION BY doc_a, doc_b ORDER BY pa) AS grp
+         |idx AS (SELECT ex.doc_id, ex.pos, ex.g, ex.h FROM ex JOIN dfc USING (h)),
+         |m AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |        a.pos AS pa, b.pos AS pb
+         |      FROM idx a JOIN idx b
+         |        ON a.h = b.h AND a.g = b.g AND a.doc_id < b.doc_id),
+         |r AS (SELECT doc_a, doc_b, pa, pa - pb AS diag,
+         |        pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS grp
          |      FROM m),
-         |runs AS (SELECT doc_a, doc_b, grp, COUNT(*) AS run FROM r GROUP BY doc_a, doc_b, grp)
-         |SELECT doc_a, doc_b, CAST(SUM(run) AS BIGINT) AS n_shared_ngrams,
-         |  CAST(COUNT(*) AS BIGINT) AS n_spans,
-         |  CAST(MAX(run) + 12 AS BIGINT) AS longest_span
-         |FROM runs GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b""".stripMargin,
+         |runs AS (SELECT doc_a, doc_b, diag, grp, COUNT(*) AS run
+         |         FROM r GROUP BY doc_a, doc_b, diag, grp),
+         |spans AS (SELECT doc_a, doc_b, COUNT(*) AS n_spans, MAX(run) + 12 AS longest
+         |          FROM runs GROUP BY doc_a, doc_b),
+         |hits AS (SELECT doc_a, doc_b, COUNT(DISTINCT pa) AS n_shared
+         |         FROM m GROUP BY doc_a, doc_b)
+         |SELECT hits.doc_a, hits.doc_b,
+         |  CAST(n_shared AS BIGINT) AS n_shared_ngrams,
+         |  CAST(n_spans AS BIGINT) AS n_spans,
+         |  CAST(longest AS BIGINT) AS longest_span
+         |FROM hits JOIN spans USING (doc_a, doc_b)
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
+    // TRUE-run semantics: matches are exact strings, runs stitch along each
+    // (hold_id, pos - hpos) diagonal, n_spans counts maximal runs per
+    // holdout counterpart, n_hit_ngrams counts distinct matched positions
     "decontaminate_exact" ->
       s"""WITH t AS (SELECT doc_id, $toksOf AS toks FROM documents),
-         |ht AS (SELECT list_slice(toks, 6, 26) AS toks FROM t WHERE doc_id % 97 = 0),
-         |hsh AS (SELECT ${shinglesOf(13)} AS sh FROM ht),
-         |hx AS (SELECT unnest(sh) AS g FROM hsh WHERE len(sh) > 0),
-         |hold AS (SELECT DISTINCT ${h60("g")} AS h FROM hx),
+         |ht AS (SELECT doc_id AS hold_id, list_slice(toks, 6, 26) AS toks
+         |       FROM t WHERE doc_id % 97 = 0),
+         |hsh AS (SELECT hold_id, ${shinglesOf(13)} AS sh FROM ht),
+         |hx AS (SELECT hold_id, generate_subscripts(sh, 1) - 1 AS hpos, unnest(sh) AS hg
+         |       FROM hsh WHERE len(sh) > 0),
          |ts AS (SELECT doc_id, ${shinglesOf(13)} AS sh FROM t),
          |ex0 AS (SELECT doc_id, generate_subscripts(sh, 1) - 1 AS pos, unnest(sh) AS g
          |        FROM ts WHERE len(sh) > 0),
-         |ex AS (SELECT doc_id, pos, ${h60("g")} AS h FROM ex0),
-         |m AS (SELECT e.doc_id, e.pos FROM ex e JOIN hold USING (h)),
-         |r AS (SELECT doc_id, pos,
-         |        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |m AS (SELECT DISTINCT e.doc_id, e.pos, hx.hold_id, hx.hpos
+         |      FROM ex0 e JOIN hx ON e.g = hx.hg),
+         |r AS (SELECT doc_id, pos, hold_id, pos - hpos AS diag,
+         |        pos - row_number() OVER (
+         |          PARTITION BY doc_id, hold_id, pos - hpos ORDER BY pos) AS grp
          |      FROM m),
-         |runs AS (SELECT doc_id, grp, COUNT(*) AS run FROM r GROUP BY doc_id, grp)
-         |SELECT doc_id, CAST(SUM(run) AS BIGINT) AS n_hit_ngrams,
-         |  CAST(COUNT(*) AS BIGINT) AS n_spans,
-         |  CAST(MAX(run) + 12 AS BIGINT) AS longest_span
-         |FROM runs GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+         |runs AS (SELECT doc_id, hold_id, diag, grp, COUNT(*) AS run
+         |         FROM r GROUP BY doc_id, hold_id, diag, grp),
+         |spans AS (SELECT doc_id, COUNT(*) AS n_spans, MAX(run) + 12 AS longest
+         |          FROM runs GROUP BY doc_id),
+         |hits AS (SELECT doc_id, COUNT(DISTINCT pos) AS n_hits FROM m GROUP BY doc_id)
+         |SELECT hits.doc_id, CAST(n_hits AS BIGINT) AS n_hit_ngrams,
+         |  CAST(n_spans AS BIGINT) AS n_spans,
+         |  CAST(longest AS BIGINT) AS longest_span
+         |FROM hits JOIN spans USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
 
     "vocab_encode" ->
       s"""WITH t AS (SELECT doc_id, $toksOf AS toks FROM documents),

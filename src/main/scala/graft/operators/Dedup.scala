@@ -48,12 +48,12 @@ object Dedup {
                                hashFn: Column => Column): DataFrame =
     shingleHashesPositional(df0, idCol, textCol, k, hashFn).drop("pos")
 
-  /** Like [[shingleHashesRaw]] but KEEPS each shingle's token position —
-    * the span-level operators need to know WHERE a match sits to stitch
-    * consecutive matched k-grams into maximal verbatim runs.
+  /** Positional shingles WITH the shingle text: (doc_id, pos, g). Only for
+    * small frames (benchmark holdouts) or remnant re-derivation — the
+    * full-corpus indexes hash to longs before any exchange.
     */
-  private def shingleHashesPositional(df0: DataFrame, idCol: String, textCol: String, k: Int,
-                                      hashFn: Column => Column): DataFrame = {
+  private def shingleTextPositional(df0: DataFrame, idCol: String, textCol: String,
+                                    k: Int): DataFrame = {
     val w = Window.partitionBy("doc_id").orderBy("pos")
     val tok = spread(df0, idCol)
       .select(col(idCol).as("doc_id"), posexplode(Text.tokens(col(textCol))).as(Seq("pos", "t")))
@@ -61,8 +61,17 @@ object Dedup {
     val shingle = concat_ws(" ", col("t") +: (1 until k).map(i => col(s"t$i")): _*)
     tok.select(col("doc_id") +: col("pos") +: col("t") +: leads: _*)
       .filter(col(s"t${k - 1}").isNotNull)
-      .select(col("doc_id"), col("pos"), hashFn(shingle).as("h"))
+      .select(col("doc_id"), col("pos"), shingle.as("g"))
   }
+
+  /** Like [[shingleHashesRaw]] but KEEPS each shingle's token position —
+    * the span-level operators need to know WHERE a match sits to stitch
+    * consecutive matched k-grams into maximal verbatim runs.
+    */
+  private def shingleHashesPositional(df0: DataFrame, idCol: String, textCol: String, k: Int,
+                                      hashFn: Column => Column): DataFrame =
+    shingleTextPositional(df0, idCol, textCol, k)
+      .select(col("doc_id"), col("pos"), hashFn(col("g")).as("h"))
 
   private def shingleHashesExploded(df0: DataFrame, idCol: String, textCol: String, k: Int,
                                     hashFn: Column => Column): DataFrame =
@@ -162,32 +171,61 @@ object Dedup {
     *
     * Scale shape: the train side is positional n-gram hashes
     * (doc_id, pos, h) — one tokenize pass, no per-doc distinct; the holdout
-    * reduces to a broadcast distinct hash set, so the corpus is filtered to
+    * reduces to a broadcast positional index, so the corpus is filtered to
     * the contaminated remnant BEFORE any exchange (never doc × doc). The
-    * run-stitching window (pos − row_number) runs per-doc over matched
-    * positions only — at 100 TB that remnant is orders of magnitude smaller
-    * than the corpus.
+    * run-stitching window runs per-doc over matched positions only — at
+    * 100 TB that remnant is orders of magnitude smaller than the corpus.
+    *
+    * TRUE-run semantics: a verbatim run requires positions to advance in
+    * LOCKSTEP on both sides — consecutive train positions whose holdout
+    * counterparts are scattered are separate single-gram matches, not one
+    * long span (stitching train positions alone overstates `longest_span`
+    * when a doc happens to hit several disjoint holdout fragments
+    * back-to-back). Islands are therefore computed per
+    * (train doc, holdout doc, pos − hpos) diagonal, and `n_spans` counts
+    * maximal runs per holdout counterpart.
+    *
+    * Matches are verified by EXACT n-gram string comparison, re-derived for
+    * the remnant docs only — a 60-bit hash collision can propose a
+    * candidate position but never survives verification.
     */
   def exactSubstringContamination(train: DataFrame, holdout: DataFrame,
                                   idCol: String, textCol: String, n: Int = 13,
                                   hashFn: Column => Column = Hashing.hash60): DataFrame = {
-    val holdSh = shingleHashesRaw(holdout, idCol, textCol, n, hashFn)
-      .select(col("h")).distinct()
-    val matched = shingleHashesPositional(train, idCol, textCol, n, hashFn)
+    // benchmark sets are tiny at any scale: broadcasting the n-gram TEXT
+    // alongside (hold_id, hpos, h) costs nothing and enables exact verify
+    val holdSh = shingleTextPositional(holdout, idCol, textCol, n)
+      .select(col("doc_id").as("hold_id"), col("pos").as("hpos"), col("g").as("hg"))
+      .withColumn("h", hashFn(col("hg")))
+    val hashMatched = shingleHashesPositional(train, idCol, textCol, n, hashFn)
       .join(broadcast(holdSh), "h")
-      .select("doc_id", "pos")
-    // classic gaps-and-islands: consecutive matched positions share
-    // (pos - row_number), so each maximal verbatim run is one group
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    matched
+      .select("doc_id", "pos", "hold_id", "hpos", "hg")
+    // exact-text verification over the remnant: re-derive n-gram strings
+    // for matched train docs only and require string equality
+    val remnant = hashMatched.select(col("doc_id").as("__rid")).distinct()
+    val trainText = shingleTextPositional(
+      train.join(broadcast(remnant), col(idCol) === col("__rid")).drop("__rid"),
+      idCol, textCol, n)
+    val matched = hashMatched
+      .join(trainText, Seq("doc_id", "pos"))
+      .filter(col("g") === col("hg"))
+      .select("doc_id", "pos", "hold_id", "hpos")
+    // gaps-and-islands along each (hold_id, pos - hpos) diagonal: both
+    // sides must advance together for positions to stitch into one run
+    val diag = matched.withColumn("diag", col("pos") - col("hpos"))
+    val w = Window.partitionBy("doc_id", "hold_id", "diag").orderBy("pos")
+    val runs = diag
       .withColumn("grp", col("pos") - row_number().over(w))
-      .groupBy(col("doc_id"), col("grp"))
+      .groupBy(col("doc_id"), col("hold_id"), col("diag"), col("grp"))
       .agg(count(lit(1)).as("run"))
-      .groupBy(col("doc_id"))
+    val spans = runs.groupBy(col("doc_id"))
       .agg(
-        sum(col("run")).as("n_hit_ngrams"),
         count(lit(1)).as("n_spans"),
         (max(col("run")) + lit(n - 1).cast("long")).as("longest_span"))
+    val hits = matched.select("doc_id", "pos").distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit_ngrams"))
+    hits.join(spans, "doc_id")
+      .select("doc_id", "n_hit_ngrams", "n_spans", "longest_span")
       .orderBy("doc_id")
   }
 
@@ -202,8 +240,19 @@ object Dedup {
     * n-gram index on the 60-bit hash, never doc × doc; the index is
     * df-capped first (a boilerplate n-gram appearing in d docs contributes
     * O(d²) pairs and no dedup signal — same rationale as
-    * [[ngramJaccardCappedPairs]]). Span stitching (pos − row_number per
-    * pair) runs only over matched positions.
+    * [[ngramJaccardCappedPairs]]). Span stitching runs only over matched
+    * positions.
+    *
+    * TRUE-run semantics (same rule as [[exactSubstringContamination]]):
+    * positions stitch into one run only when BOTH documents advance in
+    * lockstep — islands along each (doc_a, doc_b, pa − pb) diagonal, so
+    * back-to-back matches against scattered counterpart positions can no
+    * longer overstate `longest_span`. `n_shared_ngrams` stays the count of
+    * distinct matched a-positions; `n_spans` counts maximal diagonal runs.
+    *
+    * Matches are verified by EXACT n-gram string comparison re-derived over
+    * the remnant docs only (hash candidates in, string-equal matches out) —
+    * the full-corpus index still ships fixed-width longs.
     */
   def exactSubstringPairs(df: DataFrame, idCol: String, textCol: String,
                           n: Int = 13, maxDf: Int = 50,
@@ -216,22 +265,43 @@ object Dedup {
         .groupBy("h").agg(count(lit(1)).as("df")).filter(col("df") <= maxDf)
         .select("h")
       val idx = pos.join(rare, "h")
-      // distinct: the same a-position may match several b-positions
-      val matched = idx.as("a").join(idx.as("b"),
+      // distinct: the same position pair may collide through several hashes
+      val hashMatched = idx.as("a").join(idx.as("b"),
           col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          col("a.pos").as("pa"))
+          col("a.pos").as("pa"), col("b.pos").as("pb"))
         .distinct()
-      val w = Window.partitionBy("doc_a", "doc_b").orderBy("pa")
-      matched
+      // exact-text verification: re-derive n-gram strings for remnant docs
+      // only (docs appearing in any candidate pair) and require equality
+      val remnant = hashMatched.select(col("doc_a").as("__rid"))
+        .union(hashMatched.select(col("doc_b")))
+        .distinct()
+      val textIdx = shingleTextPositional(
+        df.join(broadcast(remnant), col(idCol) === col("__rid")).drop("__rid"),
+        idCol, textCol, n)
+      val matched = hashMatched
+        .join(textIdx.select(col("doc_id").as("doc_a"), col("pos").as("pa"),
+          col("g").as("ga")), Seq("doc_a", "pa"))
+        .join(textIdx.select(col("doc_id").as("doc_b"), col("pos").as("pb"),
+          col("g").as("gb")), Seq("doc_b", "pb"))
+        .filter(col("ga") === col("gb"))
+        .select("doc_a", "doc_b", "pa", "pb")
+      // gaps-and-islands along each (pa - pb) diagonal
+      val diag = matched.withColumn("diag", col("pa") - col("pb"))
+      val w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+      val runs = diag
         .withColumn("grp", col("pa") - row_number().over(w))
-        .groupBy(col("doc_a"), col("doc_b"), col("grp"))
+        .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("grp"))
         .agg(count(lit(1)).as("run"))
-        .groupBy(col("doc_a"), col("doc_b"))
+      val spans = runs.groupBy(col("doc_a"), col("doc_b"))
         .agg(
-          sum(col("run")).as("n_shared_ngrams"),
           count(lit(1)).as("n_spans"),
           (max(col("run")) + lit(n - 1).cast("long")).as("longest_span"))
+      val hits = matched.select("doc_a", "doc_b", "pa").distinct()
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("n_shared_ngrams"))
+      hits.join(spans, Seq("doc_a", "doc_b"))
+        .select("doc_a", "doc_b", "n_shared_ngrams", "n_spans", "longest_span")
     }.orderBy("doc_a", "doc_b")
   }
 

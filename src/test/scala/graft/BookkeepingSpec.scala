@@ -57,6 +57,37 @@ class BookkeepingSpec extends AnyFunSuite {
       s"queries missing from SURVEY.md §2.B inventory: $missing")
   }
 
+  test("BASELINE's latest bench prose stays within 1.5x of the committed artifact") {
+    // round-6 verdict: BASELINE quoted local best-of-2 numbers that the
+    // driver artifact contradicted by >2x. The latest round's bench row must
+    // quote a total that the committed BENCH_TIMES.json roughly corroborates
+    // (1.5x tolerance covers box noise, not wishful numbers).
+    val artifact = Files.readString(Paths.get("BENCH_TIMES.json"))
+    val total = "\"value\": *([0-9.]+)".r.findFirstMatchIn(artifact)
+      .map(_.group(1).toDouble)
+      .getOrElse(fail("BENCH_TIMES.json has no total value"))
+    val baseline = Files.readString(Paths.get("BASELINE.md"))
+    val lastRound = baseline.split("## Round").last
+    val benchRow = lastRound.linesIterator.find(_.startsWith("| bench"))
+      .getOrElse(fail("latest round section has no '| bench' row"))
+    val quoted = "([0-9]+(?:\\.[0-9]+)?) s".r.findAllMatchIn(benchRow)
+      .map(_.group(1).toDouble).toSeq
+    assert(quoted.nonEmpty, "bench row quotes no 'N s' wall-clock number")
+    assert(quoted.exists(q => q >= total / 1.5 && q <= total * 1.5),
+      s"bench row totals $quoted all drift >1.5x from BENCH_TIMES.json total $total s — " +
+        "re-run graft.Bench and quote the artifact")
+  }
+
+  test("BENCH_TIMES.json records no failed queries") {
+    // a -1 sentinel means a query crashed during the bench run; committing
+    // such an artifact would undercount the total and hide the failure
+    val json = Files.readString(Paths.get("BENCH_TIMES.json"))
+    assert("\"failed\": *\\[\\]".r.findFirstIn(json).isDefined,
+      "BENCH_TIMES.json has a non-empty failed list — fix the queries and re-run graft.Bench")
+    assert(!json.contains(": -1"),
+      "BENCH_TIMES.json contains -1 sentinel timings — fix the queries and re-run graft.Bench")
+  }
+
   test("BENCH_TIMES.json covers the full declared query surface") {
     // the driver's stdout capture clips long bench lines (29 of 94 per-query
     // timings lost every round) — Bench persists the complete map to

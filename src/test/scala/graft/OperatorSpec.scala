@@ -513,22 +513,25 @@ class OperatorSpec extends SparkSpec {
     import spark.implicits._
     import graft.operators.Dedup
     val n = 13
-    // local model of the operator's declared semantics: an a-position is
-    // matched iff its n-gram occurs anywhere in b; spans = consecutive runs
+    // local model of the operator's declared TRUE-run semantics: a match is
+    // an equal (pa, pb) n-gram pair; runs are maximal lockstep chains along
+    // a (pa - pb) diagonal; n_shared counts distinct matched a-positions
     def localPairs(docs: Seq[(Long, Vector[String])]): Map[(Long, Long), (Long, Long, Long)] = {
       def grams(t: Vector[String]) =
         if (t.size < n) Vector.empty else t.sliding(n).map(_.mkString(" ")).toVector
       (for {
         (ia, ta) <- docs; (ib, tb) <- docs if ia < ib
-        bg = grams(tb).toSet
-        matched = grams(ta).zipWithIndex.collect { case (g, p) if bg.contains(g) => p }
-        if matched.nonEmpty
+        ga = grams(ta); gb = grams(tb)
+        mset = (for {
+          (g, pa) <- ga.zipWithIndex; (h, pb) <- gb.zipWithIndex if g == h
+        } yield (pa, pb)).toSet
+        if mset.nonEmpty
       } yield {
-        val runs = matched.foldLeft(List.empty[(Int, Int)]) { // (start, len)
-          case ((s, l) :: rest, p) if p == s + l => (s, l + 1) :: rest
-          case (acc, p) => (p, 1) :: acc
+        val runs = mset.toSeq.collect {
+          case (pa, pb) if !mset.contains((pa - 1, pb - 1)) => // run head
+            Iterator.from(0).takeWhile(i => mset.contains((pa + i, pb + i))).size
         }
-        (ia, ib) -> (matched.size.toLong, runs.size.toLong, (runs.map(_._2).max + n - 1).toLong)
+        (ia, ib) -> (mset.map(_._1).size.toLong, runs.size.toLong, (runs.max + n - 1).toLong)
       }).toMap
     }
     for (seed <- Seq(11, 42, 77)) {
@@ -579,6 +582,38 @@ class OperatorSpec extends SparkSpec {
     assert(got(1L) == ((1L, 1L, 13L)), s"doc 1: ${got(1L)}") // 1 matched 13-gram = 13-token span
     assert(got(3L) == ((8L, 1L, 20L)), s"doc 3: ${got(3L)}") // 8 consecutive 13-grams = 20 tokens
     assert(got(4L) == ((2L, 2L, 13L)), s"doc 4: ${got(4L)}") // two disjoint minimal spans
+  }
+
+  test("exact-substring spans stitch only in LOCKSTEP: scattered counterparts stay separate") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // the over-stitching counterexample: train doc 1's three consecutive
+    // 5-gram positions all occur in the holdout, but at SCATTERED holdout
+    // positions (hpos 0, 7, 14) — three separate single-gram matches, NOT
+    // one 7-token verbatim run. Position-only stitching glued them.
+    val train = Seq(
+      (1L, "a1 a2 a3 a4 a5 a6 a7"),
+      (2L, "f1 f2 b1 b2 b3 b4 b5 b6 f3 f4"), // genuine 6-token quote: one true run
+      (3L, "c1 c2 c3 c4 c5 c6 c7")).toDF("doc_id", "text")
+    val holdout = Seq(
+      (100L, "a1 a2 a3 a4 a5 x1 x2 a2 a3 a4 a5 a6 y1 y2 a3 a4 a5 a6 a7"),
+      (101L, "h1 h2 b1 b2 b3 b4 b5 b6 h3 h4")).toDF("doc_id", "text")
+    val got = Dedup.exactSubstringContamination(train, holdout, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // doc 1: 3 matched positions, 3 separate diagonal runs, longest = 5 tokens
+    assert(got(1L) == ((3L, 3L, 5L)), s"scattered counterparts over-stitched: ${got(1L)}")
+    // doc 2: 2 matched positions in lockstep = ONE 6-token run
+    assert(got(2L) == ((2L, 1L, 6L)), s"true run broken: ${got(2L)}")
+    assert(!got.contains(3L))
+
+    // same rule pairwise: docs 1<->holdout-100 content as a doc pair
+    val pairDocs = Seq(
+      (1L, "a1 a2 a3 a4 a5 a6 a7"),
+      (2L, "a1 a2 a3 a4 a5 x1 x2 a2 a3 a4 a5 a6 y1 y2 a3 a4 a5 a6 a7")).toDF("doc_id", "text")
+    val pairs = Dedup.exactSubstringPairs(pairDocs, "doc_id", "text", n = 5, maxDf = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(pairs((1L, 2L)) == ((3L, 3L, 5L)),
+      s"pairwise scattered counterparts over-stitched: ${pairs((1L, 2L))}")
   }
 
   test("quantizeInt8: range bounded, amax element hits ±127, reconstruction tight") {

@@ -73,4 +73,22 @@ class StreamingDecontaminateSpec extends SparkSpec {
     assert(strict.isEmpty)
     gate.close()
   }
+
+  test("span gate stitches only lockstep runs: scattered holdout fragments admit the doc") {
+    val dir = Files.createTempDirectory("decontam-diag-index").toString
+    val gate = new StreamingDecontaminate(dir, k = 5)
+    // holdout holds train doc 1's three 5-grams at SCATTERED positions —
+    // consecutive batch positions, non-consecutive counterparts: three
+    // separate 5-token matches, no 6-token verbatim run exists
+    gate.buildIndex(Seq(
+      (1000L, "a1 a2 a3 a4 a5 x1 x2 a2 a3 a4 a5 a6 y1 y2 a3 a4 a5 a6 a7"),
+      (1001L, "h1 h2 b1 b2 b3 b4 b5 b6 h3 h4")).toDF("doc_id", "text"))
+    val admitted = gate.processBatchSpans(spark, Seq(
+      (1L, "a1 a2 a3 a4 a5 a6 a7"),             // phantom 7-token "span": admit
+      (2L, "f1 f2 b1 b2 b3 b4 b5 b6 f3 f4"),    // true 6-token quote: drop
+      (3L, "c1 c2 c3 c4 c5 c6 c7")).toDF("doc_id", "text"), minSpanTokens = 6)
+      .collect().map(_.getLong(0)).toSet
+    assert(admitted == Set(1L, 3L), s"diagonal stitching wrong: admitted $admitted")
+    gate.close()
+  }
 }
