@@ -191,25 +191,32 @@ object Dedup {
     */
   def exactSubstringContamination(train: DataFrame, holdout: DataFrame,
                                   idCol: String, textCol: String, n: Int = 13,
-                                  hashFn: Column => Column = Hashing.hash60): DataFrame = {
+                                  hashFn: Column => Column = Hashing.hash60,
+                                  materialize: Boolean = true): DataFrame = {
     // benchmark sets are tiny at any scale: broadcasting the n-gram TEXT
     // alongside (hold_id, hpos, h) costs nothing and enables exact verify
     val holdSh = shingleTextPositional(holdout, idCol, textCol, n)
       .select(col("doc_id").as("hold_id"), col("pos").as("hpos"), col("g").as("hg"))
       .withColumn("h", hashFn(col("hg")))
-    val hashMatched = shingleHashesPositional(train, idCol, textCol, n, hashFn)
+    // materialized: the matched remnant feeds the remnant-id derivation,
+    // the text verify, and two aggregations — left lazy, the corpus scan
+    // re-executes per consumer (materialize=false keeps the raw dataflow
+    // for plan-shape assertions)
+    val hashMatched0 = shingleHashesPositional(train, idCol, textCol, n, hashFn)
       .join(broadcast(holdSh), "h")
       .select("doc_id", "pos", "hold_id", "hpos", "hg")
+    val hashMatched = if (materialize) hashMatched0.localCheckpoint() else hashMatched0
     // exact-text verification over the remnant: re-derive n-gram strings
     // for matched train docs only and require string equality
     val remnant = hashMatched.select(col("doc_id").as("__rid")).distinct()
     val trainText = shingleTextPositional(
       train.join(broadcast(remnant), col(idCol) === col("__rid")).drop("__rid"),
       idCol, textCol, n)
-    val matched = hashMatched
+    val matched0 = hashMatched
       .join(trainText, Seq("doc_id", "pos"))
       .filter(col("g") === col("hg"))
       .select("doc_id", "pos", "hold_id", "hpos")
+    val matched = if (materialize) matched0.localCheckpoint() else matched0
     // gaps-and-islands along each (hold_id, pos - hpos) diagonal: both
     // sides must advance together for positions to stitch into one run
     val diag = matched.withColumn("diag", col("pos") - col("hpos"))
@@ -261,31 +268,44 @@ object Dedup {
     // persist bracket: the positional index feeds the df-cap pass AND both
     // self-join sides — without it tokenize+md5 runs three times
     withShingleIndex(shingleHashesPositional(df, idCol, textCol, n, hashFn), materialize) { pos =>
-      val rare = pos.select(col("doc_id"), col("h")).distinct()
-        .groupBy("h").agg(count(lit(1)).as("df")).filter(col("df") <= maxDf)
-        .select("h")
+      val dfStats = pos.select(col("doc_id"), col("h")).distinct()
+        .groupBy("h").agg(count(lit(1)).as("df"))
+      val rare = dfStats.filter(col("df") <= maxDf).select("h")
       val idx = pos.join(rare, "h")
-      // distinct: the same position pair may collide through several hashes
-      val hashMatched = idx.as("a").join(idx.as("b"),
+      // remnant ids straight from the df stats (docs holding any n-gram
+      // that at least one OTHER doc also holds, below the cap): a superset
+      // of the docs in candidate pairs, derivable from the persisted index
+      // without waiting on the self-join — so the whole verify pipeline
+      // stays ONE materialization
+      val remnant = pos
+        .join(dfStats.filter(col("df") >= 2 && col("df") <= maxDf).select("h"), "h")
+        .select(col("doc_id").as("__rid")).distinct()
+      val textIdx = shingleTextPositional(
+        df.join(broadcast(remnant), col(idCol) === col("__rid")).drop("__rid"),
+        idCol, textCol, n)
+      // (textIdx is evaluated once per verify side inside the same job —
+      // re-tokenizing the tiny remnant twice measures cheaper than an extra
+      // materialization barrier)
+      // the distinct is semantically a no-op (a position holds exactly ONE
+      // n-gram hash, so each (doc_a, doc_b, pa, pb) row is unique by
+      // construction) but its shuffle boundary lets AQE re-plan the verify
+      // joins on actual candidate stats — measured faster than fusing;
+      // exact-text verification re-derives n-gram strings for remnant docs
+      // only and requires string equality
+      val matched0 = idx.as("a").join(idx.as("b"),
           col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
           col("a.pos").as("pa"), col("b.pos").as("pb"))
         .distinct()
-      // exact-text verification: re-derive n-gram strings for remnant docs
-      // only (docs appearing in any candidate pair) and require equality
-      val remnant = hashMatched.select(col("doc_a").as("__rid"))
-        .union(hashMatched.select(col("doc_b")))
-        .distinct()
-      val textIdx = shingleTextPositional(
-        df.join(broadcast(remnant), col(idCol) === col("__rid")).drop("__rid"),
-        idCol, textCol, n)
-      val matched = hashMatched
         .join(textIdx.select(col("doc_id").as("doc_a"), col("pos").as("pa"),
           col("g").as("ga")), Seq("doc_a", "pa"))
         .join(textIdx.select(col("doc_id").as("doc_b"), col("pos").as("pb"),
           col("g").as("gb")), Seq("doc_b", "pb"))
         .filter(col("ga") === col("gb"))
         .select("doc_a", "doc_b", "pa", "pb")
+      // materialized once: feeds the span aggregation AND the distinct
+      // a-position count
+      val matched = if (materialize) matched0.localCheckpoint() else matched0
       // gaps-and-islands along each (pa - pb) diagonal
       val diag = matched.withColumn("diag", col("pa") - col("pb"))
       val w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")

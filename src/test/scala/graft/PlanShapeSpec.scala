@@ -191,10 +191,12 @@ class PlanShapeSpec extends SparkSpec {
 
   test("decontaminate_exact: holdout broadcasts; the corpus is filtered before any exchange") {
     val docs = Tables.table(spark, sf0001, "documents")
+    // materialize = false: lock the LAZY dataflow (checkpointed intermediates
+    // would hide the broadcast joins behind LogicalRDD leaves)
     val p = plan(graft.operators.Dedup.exactSubstringContamination(
       docs,
       docs.filter(org.apache.spark.sql.functions.col("doc_id") % 97 === 0),
-      "doc_id", "text", n = 13))
+      "doc_id", "text", n = 13, materialize = false))
     assert(p.contains("BroadcastExchange"), "holdout 13-gram set must broadcast")
     assert(p.contains("BroadcastHashJoin"), "corpus x holdout must be a broadcast hash join")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
