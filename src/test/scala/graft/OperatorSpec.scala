@@ -246,6 +246,34 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("MixedCodec sniffs payloads: PNG routes to ImageIO, anything else to the stub") {
+    import graft.operators.Multimodal
+    import graft.operators.Multimodal.{ImageIoCodec, MediaRow, MixedCodec, StubCodec}
+    val png = ImageIoCodec.encodePng(ImageIoCodec.solidImage(4, 3, 10, 20, 30))
+    val raw = "not an image".getBytes("UTF-8")
+    // features: PNG -> 5-wide pixel features; raw -> 3-wide stub features
+    assert(MixedCodec.features(MediaRow(1L, png, 0L)).feat.toSeq ==
+      Seq(4.0, 3.0, 120.0, 240.0, 360.0))
+    assert(MixedCodec.features(MediaRow(1L, raw, 5L)).feat.toSeq ==
+      StubCodec.features(MediaRow(1L, raw, 5L)).feat.toSeq)
+    // resize: PNG -> real render at target geometry (decodable PNG out);
+    // raw -> stub byte truncation
+    val r = MixedCodec.resize(1L, png, 4, 3, 2, 2)
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+    assert(back.getWidth == 2 && back.getHeight == 2)
+    assert(MixedCodec.resize(1L, raw, 4, 3, 2, 2).payload.toSeq ==
+      StubCodec.resize(1L, raw, 4, 3, 2, 2).payload.toSeq)
+    // frames: TIFF container -> real page decode; raw -> stub blocks
+    val tiff = ImageIoCodec.encodeTiffPages(Seq(
+      ImageIoCodec.solidImage(2, 2, 1, 2, 3), ImageIoCodec.solidImage(2, 2, 4, 5, 6)))
+    // TIFF is not PNG-magic, so the sniffing codec sends it to the stub —
+    // multi-frame containers go through ImageIoCodec explicitly (as
+    // imageioFrames does); document the dispatch boundary here
+    assert(MixedCodec.frames(MediaRow(1L, tiff, 0L), 16, 1).size ==
+      StubCodec.frames(MediaRow(1L, tiff, 0L), 16, 1).size)
+    assert(ImageIoCodec.frames(MediaRow(1L, tiff, 0L), 0, 1).size == 2)
+  }
+
   test("SetAggregator: typed groupByKey path equals the DataFrame pipeline (Q18)") {
     import org.apache.spark.sql.functions.udaf
     val changelog = Tables.shareHoldersChangelog(spark, sf0001)

@@ -206,6 +206,40 @@ class ScaleToolsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       "reliable mode wrote no checkpoint files — it silently fell back to lineage")
   }
 
+  test("ConnectedComponents: clique+chain converges in 2 rounds with bounded job count") {
+    import spark.implicits._
+    import graft.operators.ConnectedComponents
+    // the dedup_clusters perf story is JOB-COUNT discipline: pair
+    // checkpoint + fused init + (materialize + fixpoint scan) per round.
+    // A clique and a short chain converge in 2 rounds => at most
+    // 2 setup jobs + 2 rounds x 2 jobs + slack for AQE sub-jobs.
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (20L, 21L), (20L, 22L), (21L, 22L))
+      .toDF("a", "b")
+    val counter = new org.apache.spark.scheduler.SparkListener {
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(counter)
+    try {
+      val got = ConnectedComponents.components(pairs, "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // listener events are delivered asynchronously; a short settle is
+      // enough at this fixture size (the bound has generous slack anyway)
+      Thread.sleep(500)
+      assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+        20L -> 20L, 21L -> 20L, 22L -> 20L))
+      val jobs = counter.jobs.get()
+      // measured today: 17 (AQE materializes each exchange as its own job,
+      // so one logical checkpoint is 2-4 jobs). The gate catches structural
+      // regressions — an extra materialization or a doubled aggregation adds
+      // 2+ jobs per ROUND — not AQE's fixed per-stage accounting.
+      assert(jobs <= 20, s"ConnectedComponents ran $jobs jobs on a 2-round fixture — " +
+        "the per-round job budget regressed (17 measured for 2 setup + 2 rounds + collect)")
+    } finally spark.sparkContext.removeSparkListener(counter)
+  }
+
   test("dedup_clusters composition survives 10x data: wall-time growth stays sub-quadratic") {
     import graft.operators.{ConnectedComponents, Similarity}
     // deterministic 64-dim clustered fixture (clusters of 4 near-identical
