@@ -321,6 +321,49 @@ object ExtensionOracleSql {
          |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
 
+    // end-to-end application of the MinHash-LSH pipeline above: collapse
+    // pairs into components (recursive reachability), keep the minimum id
+    // per cluster, anti-join the rest out of the corpus
+    "dedup_apply" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id, $toksOf AS toks FROM documents),
+         |shl AS (SELECT doc_id, ${shinglesOf(3)} AS sh FROM t),
+         |hs AS (SELECT doc_id, list_distinct(list_transform(sh, s -> ${h60("s")})) AS hs
+         |       FROM shl WHERE len(sh) > 0),
+         |ex AS (SELECT doc_id, unnest(hs) % 2147483647 AS hm FROM hs),
+         |perms AS (SELECT unnest(range(0, 64)) AS i),
+         |mins AS (
+         |  SELECT doc_id, i,
+         |    MIN((CAST(1 + 7919 * i AS BIGINT) * hm + (104729 * i) % 2147483647) % 2147483647) AS m
+         |  FROM ex CROSS JOIN perms GROUP BY doc_id, i),
+         |bands AS (
+         |  SELECT doc_id, i // 4 AS band_id, string_agg(CAST(m AS VARCHAR), '_' ORDER BY i) AS sig
+         |  FROM mins GROUP BY doc_id, i // 4),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_id = b.band_id AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         |j AS (
+         |  SELECT doc_a, doc_b,
+         |    round(CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE) /
+         |          (len(ha.hs) + len(hb.hs) - len(list_intersect(ha.hs, hb.hs))), 6) AS jaccard
+         |  FROM cand
+         |  JOIN hs ha ON ha.doc_id = doc_a
+         |  JOIN hs hb ON hb.doc_id = doc_b),
+         |p AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.5),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM p
+         |  UNION ALL SELECT doc_b, doc_a FROM p),
+         |reach AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |labels AS (SELECT src AS doc_id, least(src, MIN(dst)) AS cluster_id
+         |           FROM reach GROUP BY src),
+         |dropped AS (SELECT doc_id FROM labels WHERE doc_id <> cluster_id)
+         |SELECT d.doc_id, d.source FROM documents d
+         |WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)
+         |ORDER BY d.doc_id""".stripMargin,
+
     "dedup_simhash" ->
       s"""WITH tok AS (
          |  SELECT doc_id, unnest($toksOf) AS tkn FROM documents),

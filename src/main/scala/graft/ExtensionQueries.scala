@@ -63,6 +63,17 @@ object ExtensionQueries {
           array_join(slice(graft.functions.Text.tokens(col("text")), 6, 21), " ").as("text"))
       Dedup.exactSubstringContamination(d, holdout, "doc_id", "text", n = 13)
     },
+    "dedup_apply" -> { (s, dir) =>
+      import org.apache.spark.sql.functions.col
+      // the end-to-end shape a corpus pipeline ships: MinHash-LSH pairs ->
+      // connected components -> drop non-canonical members -> corpus out
+      val d = docs(s, dir)
+      val pairs = Dedup.minHashLshPairs(d, "doc_id", "text",
+        k = 3, numPerm = 64, bands = 16, threshold = 0.5)
+      Dedup.applyDedup(d, pairs, "doc_id")
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")
+    },
     "vocab_encode" -> ((s, dir) =>
       TextAnalysis.vocabEncode(docs(s, dir), vocabSize = 256)),
     "sample_temperature" -> ((s, dir) =>

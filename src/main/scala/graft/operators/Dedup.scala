@@ -444,6 +444,25 @@ object Dedup {
       posexplode(array(bandCols: _*)).as(Seq("band_id", "sig")))
   }
 
+  /** End-to-end dedup APPLICATION — the step a training pipeline actually
+    * ships: collapse near-dup `pairs` (from any pair emitter in this file or
+    * [[Similarity]]) into clusters via [[ConnectedComponents]] and return
+    * `df` with every NON-CANONICAL member removed (canonical = minimum id
+    * per cluster). Unpaired documents pass through untouched.
+    *
+    * Scale shape: the pair list (tiny relative to the corpus — it only
+    * names near-duplicates) drives an equi anti-join keyed on the id; the
+    * corpus is never shuffled on anything but that join. Duplicate/unsorted
+    * pairs are absorbed by min-label CC, so raw candidate feeds work.
+    */
+  def applyDedup(df: DataFrame, pairs: DataFrame, idCol: String,
+                 aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
+    val dropIds = ConnectedComponents.components(pairs, aCol, bCol)
+      .filter(col("node") =!= col("cluster_id"))
+      .select(col("node").as("__drop_id"))
+    df.join(dropIds, col(idCol) === col("__drop_id"), "left_anti")
+  }
+
   /** The shingle index for a document frame (see [[shingleHashesExploded]]). */
   def shingleIndex(df: DataFrame, idCol: String, textCol: String, k: Int,
                    hashFn: Column => Column = Hashing.hash60): DataFrame =

@@ -246,6 +246,21 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("applyDedup: non-canonical cluster members removed, unpaired docs pass through") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val corpus = Seq((1L, "s0"), (2L, "s0"), (3L, "s1"), (10L, "s2"), (20L, "s2"))
+      .toDF("doc_id", "source")
+    // {1,2,3} chain into one cluster (canonical 1); 10 and 20 are unpaired
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val kept = Dedup.applyDedup(corpus, pairs, "doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 10L, 20L), s"survivors wrong: $kept")
+    // empty pair list: identity
+    assert(Dedup.applyDedup(corpus, Seq.empty[(Long, Long)].toDF("doc_a", "doc_b"),
+      "doc_id").count() == 5)
+  }
+
   test("MixedCodec sniffs payloads: PNG routes to ImageIO, anything else to the stub") {
     import graft.operators.Multimodal
     import graft.operators.Multimodal.{ImageIoCodec, MediaRow, MixedCodec, StubCodec}
