@@ -230,6 +230,33 @@ object ExtensionOracleSql {
          |FROM hits JOIN spans USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
 
+    // decontaminate_exact's span geometry + threshold-20 gate + anti-join:
+    // documents whose longest TRUE verbatim run reaches 20 tokens drop out
+    "decontaminate_apply" ->
+      s"""WITH t AS (SELECT doc_id, $toksOf AS toks FROM documents),
+         |ht AS (SELECT doc_id AS hold_id, list_slice(toks, 6, 26) AS toks
+         |       FROM t WHERE doc_id % 97 = 0),
+         |hsh AS (SELECT hold_id, ${shinglesOf(13)} AS sh FROM ht),
+         |hx AS (SELECT hold_id, generate_subscripts(sh, 1) - 1 AS hpos, unnest(sh) AS hg
+         |       FROM hsh WHERE len(sh) > 0),
+         |ts AS (SELECT doc_id, ${shinglesOf(13)} AS sh FROM t),
+         |ex0 AS (SELECT doc_id, generate_subscripts(sh, 1) - 1 AS pos, unnest(sh) AS g
+         |        FROM ts WHERE len(sh) > 0),
+         |m AS (SELECT DISTINCT e.doc_id, e.pos, hx.hold_id, hx.hpos
+         |      FROM ex0 e JOIN hx ON e.g = hx.hg),
+         |r AS (SELECT doc_id, pos, hold_id, pos - hpos AS diag,
+         |        pos - row_number() OVER (
+         |          PARTITION BY doc_id, hold_id, pos - hpos ORDER BY pos) AS grp
+         |      FROM m),
+         |runs AS (SELECT doc_id, MAX(cnt) AS max_run FROM (
+         |          SELECT doc_id, hold_id, diag, grp, COUNT(*) AS cnt
+         |          FROM r GROUP BY doc_id, hold_id, diag, grp)
+         |        GROUP BY doc_id),
+         |dropped AS (SELECT doc_id FROM runs WHERE max_run + 12 >= 20)
+         |SELECT d.doc_id, d.source FROM documents d
+         |WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)
+         |ORDER BY d.doc_id""".stripMargin,
+
     "vocab_encode" ->
       s"""WITH t AS (SELECT doc_id, $toksOf AS toks FROM documents),
          |tok AS (SELECT doc_id, generate_subscripts(toks, 1) - 1 AS pos,

@@ -74,6 +74,20 @@ object ExtensionQueries {
         .select(col("doc_id"), col("source"))
         .orderBy("doc_id")
     },
+    "decontaminate_apply" -> { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      // end-to-end Lee-et-al decontamination: same synthetic quoting
+      // holdout as decontaminate_exact, span threshold 20 so documents
+      // with sub-threshold verbatim overlap SURVIVE (both branches of the
+      // gate are exercised) while full 21-token quotes are dropped
+      val d = docs(s, dir)
+      val holdout = d.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id"),
+          array_join(slice(graft.functions.Text.tokens(col("text")), 6, 21), " ").as("text"))
+      Dedup.applyDecontamination(d, holdout, "doc_id", "text", n = 13, minSpanTokens = 20)
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")
+    },
     "vocab_encode" -> ((s, dir) =>
       TextAnalysis.vocabEncode(docs(s, dir), vocabSize = 256)),
     "sample_temperature" -> ((s, dir) =>

@@ -463,6 +463,25 @@ object Dedup {
     df.join(dropIds, col(idCol) === col("__drop_id"), "left_anti")
   }
 
+  /** End-to-end decontamination APPLICATION — the batch sibling of the
+    * streaming span gate ([[graft.streaming.StreamingDecontaminate]]): drop
+    * every training document whose longest TRUE verbatim run against the
+    * holdout reaches `minSpanTokens` (the Lee-et-al rule; isolated
+    * sub-threshold n-gram overlap is tolerated), return the surviving
+    * corpus. Span geometry comes from [[exactSubstringContamination]] —
+    * string-verified matches, lockstep diagonal stitching.
+    */
+  def applyDecontamination(train: DataFrame, holdout: DataFrame,
+                           idCol: String, textCol: String, n: Int = 13,
+                           minSpanTokens: Int = 13,
+                           hashFn: Column => Column = Hashing.hash60): DataFrame = {
+    require(minSpanTokens >= n, s"span threshold $minSpanTokens below the index n=$n")
+    val flagged = exactSubstringContamination(train, holdout, idCol, textCol, n, hashFn)
+      .filter(col("longest_span") >= minSpanTokens)
+      .select(col("doc_id").as("__drop_id"))
+    train.join(flagged, col(idCol) === col("__drop_id"), "left_anti")
+  }
+
   /** The shingle index for a document frame (see [[shingleHashesExploded]]). */
   def shingleIndex(df: DataFrame, idCol: String, textCol: String, k: Int,
                    hashFn: Column => Column = Hashing.hash60): DataFrame =

@@ -261,6 +261,28 @@ class OperatorSpec extends SparkSpec {
       "doc_id").count() == 5)
   }
 
+  test("applyDecontamination: span-threshold gate drops quotes, tolerates short overlap") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    def filler(tag: String, n: Int) = (1 to n).map(i => s"$tag$i").mkString(" ")
+    val quote20 = (1 to 20).map(i => s"z$i").mkString(" ")
+    val quote14 = (1 to 14).map(i => s"q$i").mkString(" ")
+    val train = Seq(
+      (1L, s"${filler("a", 3)} $quote20 ${filler("b", 3)}"),  // 20-token quote: dropped
+      (2L, s"${filler("c", 3)} $quote14 ${filler("d", 3)}"),  // 14 < 20: survives
+      (3L, filler("e", 30))).toDF("doc_id", "text")           // clean: survives
+    val holdout = Seq((100L, s"$quote20 x1 x2 $quote14")).toDF("doc_id", "text")
+    val kept = Dedup.applyDecontamination(train, holdout, "doc_id", "text",
+        n = 13, minSpanTokens = 20)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L), s"survivors wrong: $kept")
+    // at the canonical 13-token rule, doc 2 drops too
+    val strict = Dedup.applyDecontamination(train, holdout, "doc_id", "text",
+        n = 13, minSpanTokens = 13)
+      .collect().map(_.getLong(0)).toSet
+    assert(strict == Set(3L), s"strict survivors wrong: $strict")
+  }
+
   test("MixedCodec sniffs payloads: PNG routes to ImageIO, anything else to the stub") {
     import graft.operators.Multimodal
     import graft.operators.Multimodal.{ImageIoCodec, MediaRow, MixedCodec, StubCodec}
