@@ -89,7 +89,7 @@ object ViewMaintenance {
     val untouched = baseView
       .join(broadcast(deltaLatest.select(col(key))), Seq(key), "left_anti")
     untouched.unionByName(
-      deltaLatest.filter(col(value).isNotNull).select(baseView.columns.map(col): _*))
+      deltaLatest.filter(col(value).isNotNull).select(baseView.columns.toIndexedSeq.map(col): _*))
   }
 
   /** Column for a stable maintained-sum output: exact decimal cast back to

@@ -81,7 +81,7 @@ object StreamingAsOf {
       col(key).cast("string").as("k"),
       unix_micros(col(probeTs).cast("timestamp")).as("t"),
       lit(1).as("side"),
-      to_json(struct(probe.columns.map(col): _*), JsonOpts).as("pl"))
+      to_json(struct(probe.columns.toIndexedSeq.map(col): _*), JsonOpts).as("pl"))
 
     val enriched: Dataset[Enriched] = taggedBuild.unionByName(taggedProbe)
       .as[Event]
@@ -99,7 +99,7 @@ object StreamingAsOf {
         from_json(col("probePl"), probeSchema, JsonOpts).as("__p"),
         from_json(col("buildPl"), buildPayloadSchema, JsonOpts).as("__b"))
       .select(
-      probe.columns.map(c => col(s"__p.$c").as(c)) ++
+      probe.columns.toIndexedSeq.map(c => col(s"__p.$c").as(c)) ++
         buildPayloadCols.map(c => col(s"__b.$c").as(c)): _*)
   }
 
@@ -205,7 +205,7 @@ object StreamingAsOf {
         from_json(col("probePl"), probeSchema, JsonOpts).as("__p"),
         from_json(col("buildPl"), buildPayloadSchema, JsonOpts).as("__b"))
       .select(
-        probe.columns.map(c => col(s"__p.$c").as(c)) ++
+        probe.columns.toIndexedSeq.map(c => col(s"__p.$c").as(c)) ++
           buildPayloadCols.map(c => col(s"__b.$c").as(c)): _*)
   }
 
