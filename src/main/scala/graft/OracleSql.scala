@@ -286,6 +286,17 @@ object OracleSql {
         |FROM (SELECT event_id, map(['k'], [json_extract_string(props, '$.k')]) AS m FROM events)
         |ORDER BY event_id""".stripMargin,
 
+    // Q31/Q42 bounded-tolerance sketch oracles: the Spark side emits the
+    // EXACT value plus a within-tolerance boolean computed against its own
+    // sketch (±10% HLL, ±2% GK — the suite-gated bounds); the oracle
+    // recomputes the exact value and asserts the bound held (TRUE literal).
+    // A sketch drifting out of tolerance fails the hash compare.
+    "q31_approx_distinct" ->
+      """SELECT o_orderpriority,
+        |  count(DISTINCT o_custkey) AS exact_cust,
+        |  TRUE AS within_10pct
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
     "q32_grouping_sets" ->
       """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
         |  COALESCE(o_orderpriority, 'ALL') AS priority,
@@ -384,6 +395,14 @@ object OracleSql {
         |  COALESCE(array_to_string(list_slice(list_sort(string_split(p_type, ' ')), 1, 2), '|'), '') AS first_two,
         |  CAST(len(string_split(p_type, ' ')) AS INT) AS n_words
         |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q42_approx_percentile" ->
+      """SELECT o_orderpriority,
+        |  round(quantile_cont(o_totalprice, 0.25), 6) AS p25,
+        |  round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+        |  round(quantile_cont(o_totalprice, 0.75), 6) AS p75,
+        |  TRUE AS within_2pct
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q43_lateral_join" ->
       """SELECT c.o_custkey, t.o_orderkey, t.o_totalprice

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -395,14 +395,25 @@ object Queries {
       .orderBy("event_id")
 
   // ---------------------------------------------------------------- Q31
-  /** approx_count_distinct (HLL). Engine-specific sketch values — declared
-    * WITHOUT an oracle entry (driver records a weaker rows-only check);
-    * exactness is cross-checked against countDistinct in the test suite.
+  /** approx_count_distinct (HLL++). The sketch value is engine-specific so
+    * it can never hash-match another engine; instead the query emits the
+    * EXACT distinct count plus a `within_10pct` bound computed Spark-side
+    * (|approx − exact| ≤ 10% · exact, the suite-gated HLL tolerance). The
+    * DuckDB oracle recomputes the exact count and asserts the bound holds
+    * (`TRUE AS within_10pct`), so a sketch drifting out of tolerance now
+    * fails the driver's hash compare instead of hiding behind a rows-only
+    * check.
     */
   def q31ApproxDistinct(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "orders")
       .groupBy(col("o_orderpriority"))
-      .agg(approx_count_distinct(col("o_custkey")).as("approx_cust"))
+      .agg(
+        approx_count_distinct(col("o_custkey")).as("approx_cust"),
+        countDistinct(col("o_custkey")).as("exact_cust"))
+      .select(
+        col("o_orderpriority"), col("exact_cust"),
+        (abs(col("approx_cust") - col("exact_cust"))
+          <= col("exact_cust") * lit(0.10)).as("within_10pct"))
       .orderBy("o_orderpriority")
 
   // ---------------------------------------------------------------- Q32
@@ -579,15 +590,27 @@ object Queries {
     * internals are engine-specific, so (like Q31's HLL) declared rows-only;
     * `OperatorSpec` gates the values against Q35's exact percentiles.
     */
-  def q42ApproxPercentile(s: SparkSession, dir: String): DataFrame =
+  def q42ApproxPercentile(s: SparkSession, dir: String): DataFrame = {
+    // GK-sketch quantiles vs the exact interpolated percentiles. Like Q31,
+    // the sketch output is engine-specific: the emitted columns are the
+    // EXACT percentiles (hash-comparable against DuckDB quantile_cont)
+    // plus `within_2pct` — every GK estimate within 2% of exact, computed
+    // Spark-side and asserted TRUE by the oracle.
+    val within = (i: Int, exact: Column) =>
+      abs(col("aps")(i) - exact) <= abs(exact) * lit(0.02)
     T(s, dir, "orders")
       .groupBy(col("o_orderpriority"))
-      .agg(expr("approx_percentile(o_totalprice, array(0.25, 0.5, 0.75), 10000)").as("aps"))
+      .agg(
+        expr("approx_percentile(o_totalprice, array(0.25, 0.5, 0.75), 10000)").as("aps"),
+        expr("percentile(o_totalprice, array(0.25, 0.5, 0.75))").as("eps"))
       .select(col("o_orderpriority"),
-        round(col("aps")(0), 6).as("p25"),
-        round(col("aps")(1), 6).as("p50"),
-        round(col("aps")(2), 6).as("p75"))
+        round(col("eps")(0), 6).as("p25"),
+        round(col("eps")(1), 6).as("p50"),
+        round(col("eps")(2), 6).as("p75"),
+        (within(0, col("eps")(0)) && within(1, col("eps")(1))
+          && within(2, col("eps")(2))).as("within_2pct"))
       .orderBy("o_orderpriority")
+  }
 
   // ---------------------------------------------------------------- Q43
   /** LATERAL join: per-customer top-2 orders via a correlated lateral

@@ -10,10 +10,14 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class BookkeepingSpec extends AnyFunSuite {
 
-  test("every declared query has an oracle, except the documented sketches") {
+  test("every declared query has an oracle") {
+    // round-8: the former rows-only sketches (q31/q42) now carry
+    // bounded-tolerance oracles (exact value + within-tolerance boolean),
+    // so the full declared surface is oracle-checked — keep it that way.
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly == Set("q31_approx_distinct", "q42_approx_percentile"),
-      s"undeclared rows-only queries: $rowsOnly — add oracle SQL or document why not")
+    assert(rowsOnly.isEmpty,
+      s"undeclared rows-only queries: $rowsOnly — add oracle SQL (bounded-" +
+        "tolerance pattern for sketches, see q31/q42) or document why not")
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracle SQL with no query: $orphans")
   }

@@ -754,14 +754,17 @@ class OperatorSpec extends SparkSpec {
   }
 
   test("q31 approx_count_distinct within HLL error of exact counts") {
-    val approx = Queries.q31ApproxDistinct(spark, sf0001).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // q31 emits (priority, exact_cust, within_10pct): the boolean is the
+    // Spark-side |approx − exact| ≤ 10% gate the oracle asserts TRUE, and
+    // exact_cust must agree with the independent q9 exact distinct count.
+    val rows = Queries.q31ApproxDistinct(spark, sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
     val exact = Queries.q9Distinct(spark, sf0001).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(approx.keySet == exact.keySet)
-    approx.foreach { case (k, a) =>
-      val e = exact(k)
-      assert(math.abs(a - e).toDouble / e < 0.1, s"$k: approx $a vs exact $e")
+    assert(rows.keySet == exact.keySet)
+    rows.foreach { case (k, (e, within)) =>
+      assert(e == exact(k), s"$k: exact_cust $e vs q9 ${exact(k)}")
+      assert(within, s"$k: HLL estimate drifted >10% from exact $e")
     }
   }
 
@@ -856,13 +859,18 @@ class OperatorSpec extends SparkSpec {
   }
 
   test("q42 approx percentiles within 2% of the exact q35 values") {
-    val approx = Queries.q42ApproxPercentile(spark, sf0001).collect()
-      .map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    // q42 emits exact percentiles + within_2pct (the Spark-side GK-vs-exact
+    // gate the oracle asserts TRUE); the exact columns must equal q35's.
+    val rows = Queries.q42ApproxPercentile(spark, sf0001).collect()
+      .map(r => r.getString(0) ->
+        ((Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3)), r.getBoolean(4)))).toMap
     val exact = Queries.q35Percentiles(spark, sf0001).collect()
       .map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
-    assert(approx.keySet === exact.keySet)
-    for (k <- exact.keySet; (a, e) <- approx(k).zip(exact(k)))
-      assert(math.abs(a - e) / e < 0.02, s"$k: approx $a vs exact $e")
+    assert(rows.keySet === exact.keySet)
+    for (k <- exact.keySet) {
+      assert(rows(k)._1 == exact(k), s"$k: exact cols ${rows(k)._1} vs q35 ${exact(k)}")
+      assert(rows(k)._2, s"$k: GK estimate drifted >2% from exact")
+    }
   }
 
   test("bloom prefilter join equals the plain join (no false negatives survive)") {
