@@ -10,6 +10,16 @@ import org.apache.spark.sql.SparkSession
   * name order for run-to-run comparability.
   */
 object Bench {
+  /** One-line headline trailer printed AFTER the big per-query line: the
+    * driver's stdout capture keeps the tail of long output and clips the
+    * head, and the main JSON line leads with the total — in rounds 4 and 7
+    * the headline number was exactly what got clipped. Tail capture always
+    * retains this short repeat. Kept as a function so BookkeepingSpec can
+    * pin the format.
+    */
+  def trailerLine(total: Double, n: Int, failedJson: String, sfDir: String): String =
+    s"""{"metric":"total_trailer","total":$total,"n":$n,"failed":$failedJson,"sf":"$sfDir"}"""
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = Graft.defaultCpus
@@ -44,6 +54,14 @@ object Bench {
     // optional args = query-name filter for local iteration; filtered runs
     // never persist BENCH_TIMES.json (a partial map would masquerade as the
     // full committed artifact)
+    val unknown = args.toSet -- SparkEntry.queries.keySet
+    if (unknown.nonEmpty) {
+      // a typo'd filter would otherwise run zero queries, print a zero total,
+      // and exit 0 — masquerading as a successful local iteration
+      System.err.println(s"BENCH ERROR: unknown queries ${unknown.toSeq.sorted.mkString(", ")}")
+      spark.stop()
+      sys.exit(2)
+    }
     val selected =
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(args.toSet).toMap
@@ -71,6 +89,7 @@ object Bench {
     val total = results.collect { case (_, v, None) => v }.sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
     println(line)
+    println(trailerLine(total, results.size, failedJson, sfDir))
     // The driver's log capture clips long stdout lines, losing the head of
     // the per-query map (round-4 verdict: 29 of 94 timings unrecoverable
     // every round). Persist the COMPLETE result as a committed artifact so

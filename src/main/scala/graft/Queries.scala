@@ -587,8 +587,9 @@ object Queries {
   /** approx percentiles (GK sketch): the scale path for Q35 — exact
     * percentiles sort every group; the sketch is one pass, merges map-side,
     * and holds O(accuracy) memory per group regardless of group size. Sketch
-    * internals are engine-specific, so (like Q31's HLL) declared rows-only;
-    * `OperatorSpec` gates the values against Q35's exact percentiles.
+    * internals are engine-specific, so (like Q31's HLL) the oracle check is
+    * bounded-tolerance: exact percentiles + a within_2pct boolean asserted
+    * TRUE by DuckDB; `OperatorSpec` also gates against Q35's exact values.
     */
   def q42ApproxPercentile(s: SparkSession, dir: String): DataFrame = {
     // GK-sketch quantiles vs the exact interpolated percentiles. Like Q31,

@@ -92,6 +92,18 @@ class BookkeepingSpec extends AnyFunSuite {
       "BENCH_TIMES.json contains -1 sentinel timings — fix the queries and re-run graft.Bench")
   }
 
+  test("Bench trailer line keeps the headline total parseable after tail-clipping") {
+    // rounds 4 and 7: the driver's stdout capture clipped the HEAD of the
+    // long per-query JSON line, losing the total. The trailer repeats the
+    // headline in a short line printed after it; pin its shape so the
+    // driver's tail capture can always recover total/n/failed.
+    val line = Bench.trailerLine(12.345, 102, "[]", "/root/testdata/sf0.1")
+    assert(line ==
+      """{"metric":"total_trailer","total":12.345,"n":102,"failed":[],"sf":"/root/testdata/sf0.1"}""")
+    assert(!line.contains("\n") && line.length < 200,
+      "trailer must stay one short line — that is what survives tail capture")
+  }
+
   test("BENCH_TIMES.json covers the full declared query surface") {
     // the driver's stdout capture clips long bench lines (29 of 94 per-query
     // timings lost every round) — Bench persists the complete map to
