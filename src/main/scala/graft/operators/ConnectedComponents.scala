@@ -48,8 +48,14 @@ import org.apache.spark.sql.functions._
   * truncation, the fast choice for a single-JVM or short-lived job, but a
   * lost executor mid-fixpoint kills the job. For long multi-tenant cluster
   * runs pass `checkpointDir = Some(dir)` (an HDFS/object-store path): rounds
-  * then use RELIABLE `checkpoint()` — each round's labels survive executor
-  * loss at the cost of a write to stable storage per round.
+  * then materialize through [[Materialize.reliable]] — each round's labels
+  * survive executor loss at the cost of a write to stable storage per round.
+  * No global SparkContext state is touched (concurrent components() calls
+  * with different dirs don't race), and a superseded round's files are
+  * deleted as soon as the next round materializes, so long fixpoints hold at
+  * most two rounds of label state on disk (plus the edge snapshot and final
+  * labels, which the returned frame still reads — the caller owns the dir
+  * and deletes it after consuming the result).
   */
 object ConnectedComponents {
 
@@ -63,22 +69,23 @@ object ConnectedComponents {
   def components(pairs: DataFrame, aCol: String, bCol: String,
                  maxIters: Int = 20,
                  checkpointDir: Option[String] = None): DataFrame = {
-    val mat: DataFrame => DataFrame = checkpointDir match {
+    // (frame, Some(path)) in reliable mode so a superseded round's files can
+    // be deleted the moment the next round lands; (frame, None) otherwise
+    def mat(df: DataFrame): (DataFrame, Option[String]) = checkpointDir match {
       case Some(dir) =>
-        val sc = pairs.sparkSession.sparkContext
-        if (!sc.getCheckpointDir.contains(dir)) sc.setCheckpointDir(dir)
-        df => df.checkpoint()
-      case None => df => df.localCheckpoint()
+        val (out, path) = Materialize.reliable(df, dir)
+        (out, Some(path))
+      case None => (df.localCheckpoint(), None)
     }
     // undirected: propagate along both directions. Materialize the pair
     // source BEFORE the direction union — the source is typically an
     // expensive dedup pipeline (an LSH candidate join for dedup_clusters),
     // and a union of two selects over the raw frame would execute it once
     // per branch.
-    val p0 = mat(pairs.select(col(aCol).as("src"), col(bCol).as("dst")))
+    val (p0, _) = mat(pairs.select(col(aCol).as("src"), col(bCol).as("dst")))
     val edges = p0.union(p0.select(col("dst").as("src"), col("src").as("dst")))
     // fused init == round 1's neighbor-min over self-labels, as one groupBy
-    var labels = mat(
+    var (labels, labelsPath) = mat(
       edges.groupBy(col("src").as("node"))
         .agg(min(least(col("src"), col("dst"))).as("label")))
     var converged = false
@@ -95,13 +102,17 @@ object ConnectedComponents {
       // leaf on the hop side, so neighbor-min runs once per round
       val hop = labels.select(col("node").as("p_node"), col("label").as("p_label"))
       val jumped = least(col("label"), coalesce(col("p_label"), col("label")))
-      val next = mat(
+      val (next, nextPath) = mat(
         l1.join(hop, l1("label") === col("p_node"), "left")
           .select(col("node"), jumped.as("label"),
             (jumped < col("old_label")).as("changed"))) // ONE job: labels + flags
+      // the new round is durable — the superseded round's files can go now
+      // (reliable mode only; localCheckpoint blocks are ContextCleaner-GC'd)
+      labelsPath.foreach(Materialize.delete(labels, _))
       // fused fixpoint test: take(1) over the checkpointed blocks
       converged = next.filter(col("changed")).isEmpty
       labels = next.drop("changed")
+      labelsPath = nextPath
       iter += 1
     }
     labels.select(col("node"), col("label").as("cluster_id"))

@@ -84,21 +84,27 @@ object Dedup {
     * running the whole dedup surface must not ACCUMULATE cached indexes
     * (the round-2 `CacheManager: already cached` smell). The bracket:
     * persist + count-barrier the index, build the result, eagerly
-    * materialize it (`localCheckpoint` — the result is the bounded
-    * pair/report output, orders of magnitude smaller than the index, and
-    * its blocks are GC-managed by the ContextCleaner rather than pinned in
-    * the CacheManager), then unpersist the index before returning. Callers
-    * that only want the lazy plan (plan-shape tests, `explain`) pass
-    * `materialize = false` and get the raw dataflow with no caching at all.
+    * materialize it ([[Materialize.barrier]] — the result is the bounded
+    * pair/report output, orders of magnitude smaller than the index;
+    * `localCheckpoint` blocks are GC-managed by the ContextCleaner rather
+    * than pinned in the CacheManager, and `checkpointDir` switches to the
+    * executor-loss-safe parquet barrier for cluster runs), then unpersist
+    * the index before returning. The index itself stays a lineage-backed
+    * persist in both modes: a lost cached block is recomputed from source,
+    * so only the lineage-TRUNCATING result barrier needs the reliable
+    * option. Callers that only want the lazy plan (plan-shape tests,
+    * `explain`) pass `materialize = false` and get the raw dataflow with no
+    * caching at all.
     */
-  private def withShingleIndex(ex0raw: DataFrame, materialize: Boolean)
+  private def withShingleIndex(ex0raw: DataFrame, materialize: Boolean,
+                               checkpointDir: Option[String] = None)
                               (build: DataFrame => DataFrame): DataFrame = {
     if (!materialize) build(ex0raw)
     else {
       val ex0 = ex0raw.persist()
       ex0.count() // materialization barrier: downstream stages run concurrently
                   // and would otherwise each recompute the index into the cache
-      try build(ex0).localCheckpoint()
+      try Materialize.barrier(build(ex0), checkpointDir)
       finally ex0.unpersist(blocking = false)
     }
   }
@@ -192,7 +198,8 @@ object Dedup {
   def exactSubstringContamination(train: DataFrame, holdout: DataFrame,
                                   idCol: String, textCol: String, n: Int = 13,
                                   hashFn: Column => Column = Hashing.hash60,
-                                  materialize: Boolean = true): DataFrame = {
+                                  materialize: Boolean = true,
+                                  checkpointDir: Option[String] = None): DataFrame = {
     // benchmark sets are tiny at any scale: broadcasting the n-gram TEXT
     // alongside (hold_id, hpos, h) costs nothing and enables exact verify
     val holdSh = shingleTextPositional(holdout, idCol, textCol, n)
@@ -205,7 +212,8 @@ object Dedup {
     val hashMatched0 = shingleHashesPositional(train, idCol, textCol, n, hashFn)
       .join(broadcast(holdSh), "h")
       .select("doc_id", "pos", "hold_id", "hpos", "hg")
-    val hashMatched = if (materialize) hashMatched0.localCheckpoint() else hashMatched0
+    val hashMatched =
+      if (materialize) Materialize.barrier(hashMatched0, checkpointDir) else hashMatched0
     // exact-text verification over the remnant: re-derive n-gram strings
     // for matched train docs only and require string equality
     val remnant = hashMatched.select(col("doc_id").as("__rid")).distinct()
@@ -216,7 +224,8 @@ object Dedup {
       .join(trainText, Seq("doc_id", "pos"))
       .filter(col("g") === col("hg"))
       .select("doc_id", "pos", "hold_id", "hpos")
-    val matched = if (materialize) matched0.localCheckpoint() else matched0
+    val matched =
+      if (materialize) Materialize.barrier(matched0, checkpointDir) else matched0
     // gaps-and-islands along each (hold_id, pos - hpos) diagonal: both
     // sides must advance together for positions to stitch into one run
     val diag = matched.withColumn("diag", col("pos") - col("hpos"))
@@ -264,10 +273,12 @@ object Dedup {
   def exactSubstringPairs(df: DataFrame, idCol: String, textCol: String,
                           n: Int = 13, maxDf: Int = 50,
                           hashFn: Column => Column = Hashing.hash60,
-                          materialize: Boolean = true): DataFrame = {
+                          materialize: Boolean = true,
+                          checkpointDir: Option[String] = None): DataFrame = {
     // persist bracket: the positional index feeds the df-cap pass AND both
     // self-join sides — without it tokenize+md5 runs three times
-    withShingleIndex(shingleHashesPositional(df, idCol, textCol, n, hashFn), materialize) { pos =>
+    withShingleIndex(shingleHashesPositional(df, idCol, textCol, n, hashFn),
+        materialize, checkpointDir) { pos =>
       val dfStats = pos.select(col("doc_id"), col("h")).distinct()
         .groupBy("h").agg(count(lit(1)).as("df"))
       val rare = dfStats.filter(col("df") <= maxDf).select("h")
@@ -305,7 +316,8 @@ object Dedup {
         .select("doc_a", "doc_b", "pa", "pb")
       // materialized once: feeds the span aggregation AND the distinct
       // a-position count
-      val matched = if (materialize) matched0.localCheckpoint() else matched0
+      val matched =
+        if (materialize) Materialize.barrier(matched0, checkpointDir) else matched0
       // gaps-and-islands along each (pa - pb) diagonal
       val diag = matched.withColumn("diag", col("pa") - col("pb"))
       val w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
@@ -337,12 +349,14 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 3, threshold: Double = 0.5,
                         hashFn: Column => Column = Hashing.hash60,
-                        materialize: Boolean = true): DataFrame = {
+                        materialize: Boolean = true,
+                        checkpointDir: Option[String] = None): DataFrame = {
     // the exploded inverted index is cached for the bracket's lifetime only:
     // the self-join would otherwise recompute tokenization+md5 for both
     // sides. The persisted form is (doc_id, h) longs — far smaller than the
     // source text.
-    withShingleIndex(shingleHashesExploded(df, idCol, textCol, k, hashFn), materialize) { ex0 =>
+    withShingleIndex(shingleHashesExploded(df, idCol, textCol, k, hashFn),
+        materialize, checkpointDir) { ex0 =>
       val sz = ex0.groupBy("doc_id").agg(count(lit(1)).as("sz"))
       // sz is one row per doc — AQE turns this into a broadcast join locally;
       // at scale it's a co-partitioned shuffle on doc_id either way
@@ -372,8 +386,10 @@ object Dedup {
   def ngramJaccardCappedPairs(df: DataFrame, idCol: String, textCol: String,
                               k: Int = 3, threshold: Double = 0.5, maxDf: Int = 50,
                               hashFn: Column => Column = Hashing.hash60,
-                              materialize: Boolean = true): DataFrame = {
-    withShingleIndex(shingleHashesExploded(df, idCol, textCol, k, hashFn), materialize) { ex0 =>
+                              materialize: Boolean = true,
+                              checkpointDir: Option[String] = None): DataFrame = {
+    withShingleIndex(shingleHashesExploded(df, idCol, textCol, k, hashFn),
+        materialize, checkpointDir) { ex0 =>
     val rare = ex0.groupBy("h").agg(count(lit(1)).as("df")).filter(col("df") <= maxDf)
     val idx = ex0.join(rare, "h").select("doc_id", "h")
 
@@ -456,8 +472,10 @@ object Dedup {
     * pairs are absorbed by min-label CC, so raw candidate feeds work.
     */
   def applyDedup(df: DataFrame, pairs: DataFrame, idCol: String,
-                 aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
-    val dropIds = ConnectedComponents.components(pairs, aCol, bCol)
+                 aCol: String = "doc_a", bCol: String = "doc_b",
+                 checkpointDir: Option[String] = None): DataFrame = {
+    val dropIds = ConnectedComponents.components(pairs, aCol, bCol,
+        checkpointDir = checkpointDir)
       .filter(col("node") =!= col("cluster_id"))
       .select(col("node").as("__drop_id"))
     df.join(dropIds, col(idCol) === col("__drop_id"), "left_anti")
@@ -474,9 +492,11 @@ object Dedup {
   def applyDecontamination(train: DataFrame, holdout: DataFrame,
                            idCol: String, textCol: String, n: Int = 13,
                            minSpanTokens: Int = 13,
-                           hashFn: Column => Column = Hashing.hash60): DataFrame = {
+                           hashFn: Column => Column = Hashing.hash60,
+                           checkpointDir: Option[String] = None): DataFrame = {
     require(minSpanTokens >= n, s"span threshold $minSpanTokens below the index n=$n")
-    val flagged = exactSubstringContamination(train, holdout, idCol, textCol, n, hashFn)
+    val flagged = exactSubstringContamination(train, holdout, idCol, textCol, n, hashFn,
+        checkpointDir = checkpointDir)
       .filter(col("longest_span") >= minSpanTokens)
       .select(col("doc_id").as("__drop_id"))
     train.join(flagged, col(idCol) === col("__drop_id"), "left_anti")
@@ -499,10 +519,12 @@ object Dedup {
                       k: Int = 3, numPerm: Int = 64, bands: Int = 16,
                       threshold: Double = 0.5,
                       hashFn: Column => Column = Hashing.hash60,
-                      materialize: Boolean = true): DataFrame = {
+                      materialize: Boolean = true,
+                      checkpointDir: Option[String] = None): DataFrame = {
     // index cached for the bracket only: consumed three times (signature
     // build + both verify sides)
-    withShingleIndex(shingleHashesExploded(df, idCol, textCol, k, hashFn), materialize) { ex0 =>
+    withShingleIndex(shingleHashesExploded(df, idCol, textCol, k, hashFn),
+        materialize, checkpointDir) { ex0 =>
       val sh = shingleSets(ex0)
       val banded = bandedSignatures(ex0, numPerm, bands)
 
@@ -585,7 +607,8 @@ object Dedup {
   def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
                         maxDist: Int = 8, prefixLen: Int = 32,
                         maxLenDiff: Int = 16,
-                        materialize: Boolean = true): DataFrame = {
+                        materialize: Boolean = true,
+                        checkpointDir: Option[String] = None): DataFrame = {
     val w = maxLenDiff + 1
     val base0 = spread(df, idCol).select(
         col(idCol).as("doc_id"),
@@ -595,7 +618,7 @@ object Dedup {
       .withColumn("bkt", floor(col("len") / w))
     // persist bracket: base feeds BOTH sides of BOTH candidate branches —
     // without it the normalize+substring pass runs four times
-    withShingleIndex(base0, materialize) { base =>
+    withShingleIndex(base0, materialize, checkpointDir) { base =>
       def cand(joinKeys: Column, ordered: Boolean) =
         base.as("a").join(base.as("b"),
             joinKeys &&

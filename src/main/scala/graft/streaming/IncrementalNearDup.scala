@@ -24,7 +24,8 @@ class IncrementalNearDup(
     k: Int = 3,
     numPerm: Int = 64,
     bands: Int = 16,
-    threshold: Double = 0.5) {
+    threshold: Double = 0.5,
+    checkpointDir: Option[String] = None) {
 
   private def bandsDir = s"$historyDir/bands"
   private def setsDir = s"$historyDir/sets"
@@ -88,10 +89,14 @@ class IncrementalNearDup(
     // materialize + truncate lineage BEFORE extending the history: the lazy
     // plan reads the history parquet this method is about to append to, so a
     // re-evaluation after the append would see the batch's own entries.
-    // localCheckpoint keeps this distributed (no driver collect).
-    val admitted = batch.select(col(idCol).as("doc_id")).distinct()
-      .join(selfDups.union(histDups).distinct(), Seq("doc_id"), "left_anti")
-      .localCheckpoint(true)
+    // Distributed either way (no driver collect): localCheckpoint by
+    // default, or the executor-loss-safe parquet barrier when the
+    // constructor's checkpointDir is set (the returned frame re-reads its
+    // barrier file, so the caller owns the dir's lifetime).
+    val admitted = graft.operators.Materialize.barrier(
+      batch.select(col(idCol).as("doc_id")).distinct()
+        .join(selfDups.union(histDups).distinct(), Seq("doc_id"), "left_anti"),
+      checkpointDir)
 
     // extend the history with the admitted docs' index entries
     batchBands.join(admitted, "doc_id")

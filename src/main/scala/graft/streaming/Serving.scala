@@ -80,7 +80,8 @@ trait ServingSink {
   * upsert becomes a MERGE; plain parquet keeps this self-contained.
   */
 class ParquetServing(storeDir: String, val viewName: String = "us_share_holders",
-                     compactEvery: Int = 0)
+                     compactEvery: Int = 0,
+                     checkpointDir: Option[String] = None)
     extends ServingSink {
 
   def upsertBatch(batch: Dataset[ClientView], batchId: Long): Unit = {
@@ -163,13 +164,18 @@ class ParquetServing(storeDir: String, val viewName: String = "us_share_holders"
     if (batchIds.size < 3) return // nothing worth folding below the max
     val maxBatch = batchIds.last
     val baseId = batchIds.init.last // max folded id = the base partition
-    val folded = LatestPerKey(
-        spark.read.parquet(storeDir).filter(col("batch_id") < lit(maxBatch)),
-        keys = Seq("client"), ordering = Seq("batch_id"))
-      .withColumn("batch_id", lit(baseId))
-      // materialize BEFORE writing: the write overwrites partitions the plan
-      // reads from
-      .localCheckpoint()
+    // materialize BEFORE writing: the write overwrites partitions the plan
+    // reads from. localCheckpoint by default; the constructor's
+    // checkpointDir switches to the executor-loss-safe parquet barrier
+    // (graft.operators.Materialize) for long-running cluster streams — a
+    // lost executor between here and the write would otherwise kill the
+    // stream mid-compaction.
+    val folded = graft.operators.Materialize.barrier(
+      LatestPerKey(
+          spark.read.parquet(storeDir).filter(col("batch_id") < lit(maxBatch)),
+          keys = Seq("client"), ordering = Seq("batch_id"))
+        .withColumn("batch_id", lit(baseId)),
+      checkpointDir)
     folded.write
       .mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
