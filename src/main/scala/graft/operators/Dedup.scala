@@ -515,6 +515,14 @@ object Dedup {
                              hashFn: Column => Column = Hashing.hash60): DataFrame =
     shingleHashesPositional(df, idCol, textCol, k, hashFn)
 
+  /** Positional shingles WITH their text — (doc_id, pos, g). For remnant
+    * re-derivation in exact-verify steps (the streaming span gate) and tiny
+    * holdout indexes; never build this over a full corpus (strings, not
+    * fixed-width longs).
+    */
+  def positionalShingleText(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    shingleTextPositional(df, idCol, textCol, k)
+
   def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       k: Int = 3, numPerm: Int = 64, bands: Int = 16,
                       threshold: Double = 0.5,

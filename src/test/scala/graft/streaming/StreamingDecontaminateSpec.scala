@@ -91,4 +91,46 @@ class StreamingDecontaminateSpec extends SparkSpec {
     assert(admitted == Set(1L, 3L), s"diagonal stitching wrong: admitted $admitted")
     gate.close()
   }
+
+  test("an index written by an older format fails loudly with a rebuild message") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("decontam-stale-index").toString
+    // the first index format: bare positional hashes, no shingle text
+    Seq((1000L, 0, 42L)).toDF("hold_id", "hpos", "h")
+      .write.mode("overwrite").parquet(dir)
+    val gate = new StreamingDecontaminate(dir, k = 5)
+    val batch = Seq((1L, "some training text")).toDF("doc_id", "text")
+    val e = intercept[IllegalStateException] {
+      gate.processBatch(spark, batch).collect()
+    }
+    assert(e.getMessage.contains("re-run buildIndex"), e.getMessage)
+    // rebuild repairs it in place
+    gate.buildIndex(Seq((1000L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text"))
+    assert(gate.processBatch(spark, batch).collect().map(_.getLong(0)).toSet == Set(1L))
+    gate.close()
+  }
+
+  test("span gate string-verifies: a hash collision cannot drop a clean document") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("decontam-collide-index").toString
+    val doc = (1 to 14).map(i => s"v$i").mkString(" ") // 10 positional 5-grams
+    // forge an index whose HASHES are the doc's real 5-gram hashes on a
+    // perfect lockstep diagonal (hash-only stitching sees a 14-token span,
+    // over the 13 threshold) but whose stored TEXT is something else — the
+    // on-disk shape of a 60-bit collision. Only exact verification tells
+    // the difference.
+    graft.operators.Dedup.positionalShingleText(
+        Seq((1L, doc)).toDF("doc_id", "text"), "doc_id", "text", 5)
+      .select(lit(999L).as("hold_id"), col("pos").as("hpos"),
+        graft.functions.Hashing.hash60(col("g")).as("h"),
+        lit("entirely different benchmark text").as("hg"))
+      .write.mode("overwrite").parquet(dir)
+    val gate = new StreamingDecontaminate(dir, k = 5)
+    val admitted = gate.processBatchSpans(spark,
+      Seq((1L, doc)).toDF("doc_id", "text"), minSpanTokens = 13)
+      .collect().map(_.getLong(0)).toSet
+    assert(admitted == Set(1L),
+      "a forged hash-collision diagonal dropped a clean document — string verification is not applied")
+    gate.close()
+  }
 }
