@@ -227,21 +227,28 @@ object Dedup {
     val matched =
       if (materialize) Materialize.barrier(matched0, checkpointDir) else matched0
     // gaps-and-islands along each (hold_id, pos - hpos) diagonal: both
-    // sides must advance together for positions to stitch into one run
-    val diag = matched.withColumn("diag", col("pos") - col("hpos"))
-    val w = Window.partitionBy("doc_id", "hold_id", "diag").orderBy("pos")
-    val runs = diag
-      .withColumn("grp", col("pos") - row_number().over(w))
-      .groupBy(col("doc_id"), col("hold_id"), col("diag"), col("grp"))
-      .agg(count(lit(1)).as("run"))
-    val spans = runs.groupBy(col("doc_id"))
+    // sides must advance together for positions to stitch into one run.
+    // Fused to ONE exchange like [[exactSubstringPairs]]: repartition on
+    // doc_id, windows extend that clustering (local sorts only), indicator
+    // sums replace the runs/spans/hits branches + join.
+    val w1 = Window.partitionBy("doc_id", "hold_id", "diag").orderBy("pos")
+    val base = matched.withColumn("diag", col("pos") - col("hpos"))
+      .repartition(col("doc_id"))
+      .withColumn("grp", col("pos") - row_number().over(w1))
+    val wg = Window.partitionBy("doc_id", "hold_id", "diag", "grp")
+    base
+      .withColumn("run", count(lit(1)).over(wg))
+      .withColumn("first_in_run",
+        when(row_number().over(wg.orderBy("pos")) === 1, 1L).otherwise(0L))
+      .withColumn("first_pos",
+        when(row_number().over(
+          Window.partitionBy("doc_id", "pos").orderBy("hold_id", "hpos")) === 1, 1L)
+          .otherwise(0L))
+      .groupBy(col("doc_id"))
       .agg(
-        count(lit(1)).as("n_spans"),
+        sum(col("first_pos")).as("n_hit_ngrams"),
+        sum(col("first_in_run")).as("n_spans"),
         (max(col("run")) + lit(n - 1).cast("long")).as("longest_span"))
-    val hits = matched.select("doc_id", "pos").distinct()
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit_ngrams"))
-    hits.join(spans, "doc_id")
-      .select("doc_id", "n_hit_ngrams", "n_spans", "longest_span")
       .orderBy("doc_id")
   }
 
@@ -276,38 +283,47 @@ object Dedup {
                           materialize: Boolean = true,
                           checkpointDir: Option[String] = None): DataFrame = {
     // persist bracket: the positional index feeds the df-cap pass AND both
-    // self-join sides — without it tokenize+md5 runs three times
-    withShingleIndex(shingleHashesPositional(df, idCol, textCol, n, hashFn),
-        materialize, checkpointDir) { pos =>
+    // self-join sides — without it tokenize+md5 runs three times. This is
+    // NOT the withShingleIndex bracket: that one barriers the built RESULT
+    // before unpersisting the index (its callers return plans that still
+    // read the index), but here everything downstream of `matched` derives
+    // from the matched barrier alone, so a result barrier would be a third
+    // materialization job for nothing — the heaviest constant cost in the
+    // round-7 bench profile of this operator.
+    def run(pos: DataFrame): DataFrame = {
       val dfStats = pos.select(col("doc_id"), col("h")).distinct()
         .groupBy("h").agg(count(lit(1)).as("df"))
-      val rare = dfStats.filter(col("df") <= maxDf).select("h")
-      val idx = pos.join(rare, "h")
+      // df BETWEEN 2 AND maxDf: above the cap is boilerplate (O(d²) pairs,
+      // no signal), and df = 1 hashes can never produce a pair — at any
+      // scale MOST n-grams are unique, so dropping them shrinks the
+      // self-join exchange by the unique-n-gram mass of the corpus (the
+      // round-7 formulation joined on df <= maxDf and shuffled every
+      // singleton position through the candidate join for nothing)
+      val shared = dfStats.filter(col("df") >= 2 && col("df") <= maxDf).select("h")
+      val idx = pos.join(shared, "h")
       // remnant ids straight from the df stats (docs holding any n-gram
       // that at least one OTHER doc also holds, below the cap): a superset
       // of the docs in candidate pairs, derivable from the persisted index
       // without waiting on the self-join — so the whole verify pipeline
       // stays ONE materialization
-      val remnant = pos
-        .join(dfStats.filter(col("df") >= 2 && col("df") <= maxDf).select("h"), "h")
-        .select(col("doc_id").as("__rid")).distinct()
+      val remnant = idx.select(col("doc_id").as("__rid")).distinct()
       val textIdx = shingleTextPositional(
         df.join(broadcast(remnant), col(idCol) === col("__rid")).drop("__rid"),
         idCol, textCol, n)
       // (textIdx is evaluated once per verify side inside the same job —
       // re-tokenizing the tiny remnant twice measures cheaper than an extra
       // materialization barrier)
-      // the distinct is semantically a no-op (a position holds exactly ONE
-      // n-gram hash, so each (doc_a, doc_b, pa, pb) row is unique by
-      // construction) but its shuffle boundary lets AQE re-plan the verify
-      // joins on actual candidate stats — measured faster than fusing;
+      // no distinct on the candidate quadruples: a position holds exactly
+      // ONE n-gram hash, so each (doc_a, doc_b, pa, pb) row is unique by
+      // construction — the round-7 distinct bought an AQE re-plan boundary,
+      // but with the df >= 2 index filter the join input is already the
+      // shared-n-gram remnant and the extra exchange measures as pure cost;
       // exact-text verification re-derives n-gram strings for remnant docs
       // only and requires string equality
       val matched0 = idx.as("a").join(idx.as("b"),
           col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
           col("a.pos").as("pa"), col("b.pos").as("pb"))
-        .distinct()
         .join(textIdx.select(col("doc_id").as("doc_a"), col("pos").as("pa"),
           col("g").as("ga")), Seq("doc_a", "pa"))
         .join(textIdx.select(col("doc_id").as("doc_b"), col("pos").as("pb"),
@@ -318,23 +334,45 @@ object Dedup {
       // a-position count
       val matched =
         if (materialize) Materialize.barrier(matched0, checkpointDir) else matched0
-      // gaps-and-islands along each (pa - pb) diagonal
-      val diag = matched.withColumn("diag", col("pa") - col("pb"))
-      val w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
-      val runs = diag
-        .withColumn("grp", col("pa") - row_number().over(w))
-        .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("grp"))
-        .agg(count(lit(1)).as("run"))
-      val spans = runs.groupBy(col("doc_a"), col("doc_b"))
-        .agg(
-          count(lit(1)).as("n_spans"),
-          (max(col("run")) + lit(n - 1).cast("long")).as("longest_span"))
-      val hits = matched.select("doc_a", "doc_b", "pa").distinct()
+      // gaps-and-islands along each (pa - pb) diagonal, fused to ONE
+      // exchange: repartition on the output key (doc_a, doc_b) up front —
+      // every window below needs only clustering that hash(doc_a, doc_b)
+      // already satisfies (their partition keys extend it), so they add
+      // local sorts, never exchanges, and the final groupBy aggregates in
+      // place. The round-7 shape (runs/spans/hits branches + a join)
+      // carried four exchanges over the same tiny matched set.
+      val w1 = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+      val base = matched.withColumn("diag", col("pa") - col("pb"))
+        .repartition(col("doc_a"), col("doc_b"))
+        .withColumn("grp", col("pa") - row_number().over(w1))
+      val wg = Window.partitionBy("doc_a", "doc_b", "diag", "grp")
+      // indicator columns instead of countDistinct: first-row-of-run and
+      // first-occurrence-of-pa flags summed per pair — same results, no
+      // Expand duplication for multi-distinct aggregation
+      base
+        .withColumn("run", count(lit(1)).over(wg))
+        .withColumn("first_in_run",
+          when(row_number().over(wg.orderBy("pa")) === 1, 1L).otherwise(0L))
+        .withColumn("first_pa",
+          when(row_number().over(
+            Window.partitionBy("doc_a", "doc_b", "pa").orderBy("pb")) === 1, 1L)
+            .otherwise(0L))
         .groupBy(col("doc_a"), col("doc_b"))
-        .agg(count(lit(1)).as("n_shared_ngrams"))
-      hits.join(spans, Seq("doc_a", "doc_b"))
-        .select("doc_a", "doc_b", "n_shared_ngrams", "n_spans", "longest_span")
-    }.orderBy("doc_a", "doc_b")
+        .agg(
+          sum(col("first_pa")).as("n_shared_ngrams"),
+          sum(col("first_in_run")).as("n_spans"),
+          (max(col("run")) + lit(n - 1).cast("long")).as("longest_span"))
+    }
+    val out =
+      if (!materialize) run(shingleHashesPositional(df, idCol, textCol, n, hashFn))
+      else {
+        val pos = shingleHashesPositional(df, idCol, textCol, n, hashFn).persist()
+        pos.count() // barrier: df-cap pass + both self-join sides share it
+        // safe to unpersist BEFORE the caller's action: `run` barriered
+        // `matched`, and the returned plan reads only that
+        try run(pos) finally pos.unpersist(blocking = false)
+      }
+    out.orderBy("doc_a", "doc_b")
   }
 
   /** Exact n-gram (word k-shingle) Jaccard near-dup pairs via an inverted
