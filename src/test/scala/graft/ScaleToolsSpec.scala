@@ -41,6 +41,41 @@ class ScaleToolsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
 
   def sf0001 = "/root/testdata/sf0.001"
 
+  /** Count the Spark jobs `action` launches, scoped by job group so jobs
+    * from other suites on the shared SparkContext never leak into the count
+    * (the round-7 form counted EVERY job and slept a fixed 500 ms for
+    * listener delivery — both flake sources per the round-7 advice). The
+    * wait polls until the count is stable instead of sleeping blind.
+    */
+  private def countJobs(tag: String)(action: => Unit): Int = {
+    val sc = spark.sparkContext
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        if (Option(js.properties)
+            .exists(_.getProperty("spark.jobGroup.id") == tag)) {
+          jobs.incrementAndGet(); ()
+        }
+      }
+    }
+    sc.addSparkListener(listener)
+    try {
+      sc.setJobGroup(tag, tag)
+      try action finally sc.clearJobGroup()
+      // listener delivery is async: poll until the count stops moving
+      var last = -1
+      var stableMs = 0
+      var waitedMs = 0
+      while (stableMs < 400 && waitedMs < 5000) {
+        val now = jobs.get()
+        if (now == last) stableMs += 50 else { stableMs = 0; last = now }
+        waitedMs += 50
+        Thread.sleep(50)
+      }
+      jobs.get()
+    } finally sc.removeSparkListener(listener)
+  }
+
   test("graft_dot / graft_cosine are callable from pure SQL") {
     Tables.table(spark, sf0001, "embeddings").createOrReplaceTempView("emb")
     val r = spark.sql(
@@ -215,29 +250,80 @@ class ScaleToolsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     // 2 setup jobs + 2 rounds x 2 jobs + slack for AQE sub-jobs.
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (20L, 21L), (20L, 22L), (21L, 22L))
       .toDF("a", "b")
-    val counter = new org.apache.spark.scheduler.SparkListener {
-      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
-      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-        jobs.incrementAndGet(); ()
-      }
-    }
-    spark.sparkContext.addSparkListener(counter)
-    try {
-      val got = ConnectedComponents.components(pairs, "a", "b")
+    var got: Map[Long, Long] = Map.empty
+    val jobs = countJobs("cc-job-budget") {
+      got = ConnectedComponents.components(pairs, "a", "b")
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      // listener events are delivered asynchronously; a short settle is
-      // enough at this fixture size (the bound has generous slack anyway)
-      Thread.sleep(500)
-      assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
-        20L -> 20L, 21L -> 20L, 22L -> 20L))
-      val jobs = counter.jobs.get()
-      // measured today: 17 (AQE materializes each exchange as its own job,
-      // so one logical checkpoint is 2-4 jobs). The gate catches structural
-      // regressions — an extra materialization or a doubled aggregation adds
-      // 2+ jobs per ROUND — not AQE's fixed per-stage accounting.
-      assert(jobs <= 20, s"ConnectedComponents ran $jobs jobs on a 2-round fixture — " +
-        "the per-round job budget regressed (17 measured for 2 setup + 2 rounds + collect)")
-    } finally spark.sparkContext.removeSparkListener(counter)
+    }
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+    // measured today: 17 (AQE materializes each exchange as its own job,
+    // so one logical checkpoint is 2-4 jobs). The gate catches structural
+    // regressions — an extra materialization or a doubled aggregation adds
+    // 2+ jobs per ROUND — not AQE's fixed per-stage accounting.
+    assert(jobs <= 20, s"ConnectedComponents ran $jobs jobs on a 2-round fixture — " +
+      "the per-round job budget regressed (17 measured for 2 setup + 2 rounds + collect)")
+  }
+
+  test("exact-substring family survives 10x docs: linear outputs, flat job count") {
+    import graft.operators.Dedup
+    // deterministic corpus: each doc is 50 tokens, mostly unique to the doc;
+    // docs (20k, 20k+1) share a 20-token quote block q_k — planted verbatim
+    // spans whose count scales LINEARLY with the corpus (nDocs/20 pairs).
+    def fixture(nDocs: Int) = spark.range(nDocs).select(
+      col("id").as("doc_id"),
+      array_join(concat(
+        transform(sequence(lit(0), lit(19)),
+          j => concat_ws("_", lit("u"), col("id"), j)),
+        when(col("id") % 20 < 2,
+          transform(sequence(lit(0), lit(19)),
+            j => concat_ws("_", lit("q"), (col("id") / 20).cast("long"), j)))
+          .otherwise(transform(sequence(lit(20), lit(39)),
+            j => concat_ws("_", lit("u"), col("id"), j))),
+        transform(sequence(lit(40), lit(49)),
+          j => concat_ws("_", lit("u"), col("id"), j))
+      ), " ").as("text"))
+    // holdout: the first nDocs/200 quote blocks as benchmark docs — exactly
+    // 2 training docs per block carry a >= 20-token verbatim span
+    def holdout(nDocs: Int) = spark.range(nDocs / 200).select(
+      (col("id") + 1000000L).as("doc_id"),
+      array_join(transform(sequence(lit(0), lit(19)),
+        j => concat_ws("_", lit("q"), col("id"), j)), " ").as("text"))
+
+    def run(nDocs: Int): (Long, Long, Int, Double) = {
+      var pairRows = 0L
+      var survivors = 0L
+      val t0 = System.nanoTime()
+      val jobs = countJobs(s"substr10x-$nDocs-${System.nanoTime()}") {
+        pairRows = Dedup.exactSubstringPairs(fixture(nDocs), "doc_id", "text", n = 13).count()
+        survivors = Dedup.applyDecontamination(
+          fixture(nDocs), holdout(nDocs), "doc_id", "text",
+          n = 13, minSpanTokens = 20).count()
+      }
+      (pairRows, survivors, jobs, (System.nanoTime() - t0) / 1e9)
+    }
+
+    run(1000) // warm plan shapes/codegen so t1 isn't charged for compilation
+    val (p1a, s1a, j1, t1a) = run(1000)
+    val (_, _, _, t1b) = run(1000)
+    val (p2a, s2a, j2, t2a) = run(10000)
+    val (_, _, _, t2b) = run(10000)
+
+    // exactness at both scales: every planted pair found, nothing else;
+    // exactly the quote-carrying docs decontaminated
+    assert(p1a == 50 && p2a == 500, s"pair counts $p1a/$p2a (expect 50/500)")
+    assert(s1a == 990 && s2a == 9900, s"survivors $s1a/$s2a (expect 990/9900)")
+    // structural gate (noise-free): the job/materialization count must not
+    // depend on data volume — a data-dependent loop or per-bucket action
+    // would show up here long before wall time does
+    assert(j2 <= j1 + 4,
+      s"10x docs grew the job count $j1 -> $j2 — a data-dependent job structure crept in")
+    // wall gate (min-of-2 per run, generous bound): quadratic candidate
+    // generation lands near 100x, box noise lands nowhere near 30x
+    val ratio = math.min(t2a, t2b) / math.min(t1a, t1b)
+    assert(ratio <= 30.0,
+      f"10x docs grew exact-substring wall-time $ratio%.1fx " +
+        f"(t1=${math.min(t1a, t1b)}%.2fs t2=${math.min(t2a, t2b)}%.2fs)")
   }
 
   test("dedup_clusters composition survives 10x data: wall-time growth stays sub-quadratic") {
