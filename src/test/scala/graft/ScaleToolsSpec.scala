@@ -222,6 +222,61 @@ class ScaleToolsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     } finally assigned.unpersist()
   }
 
+  test("IVF sqrt(n) sizing proven at 10x: recall holds, per-probe rescans grow sub-linearly") {
+    import graft.operators.Similarity
+    // the ivfTopK scaladoc prescribes nlist ~ sqrt(n) at corpus scale; this
+    // gates that claim across a 10x step on the clustered fixture (50
+    // natural clusters, the regime IVF is for). nprobe stays CONSTANT
+    // across scales: with nlist = sqrt(n), a probe's rescan set is
+    // nprobe * n/nlist = nprobe * sqrt(n) — the sub-linear growth that
+    // makes the index worth maintaining at 100 TB (a fixed nprobe/nlist
+    // FRACTION would keep rescans linear in n).
+    val dim = 16
+    val nClusters = 50
+    def u(cols: Column*): Column =
+      pmod(xxhash64(cols: _*), lit(2001)).cast("double") / 1000.0 - 1.0
+    def fixture(n: Int) = spark.range(n).select(
+      col("id").as("vec_id"),
+      array((0 until dim).map { d =>
+        u(lit("c"), pmod(col("id"), lit(nClusters)), lit(d)) +
+          u(lit("n"), col("id"), lit(d)) * 0.3
+      }: _*).as("embedding"))
+
+    val k = 5
+    val nprobe = 6
+    def gate(n: Int, nlist: Int): (Double, Long) = {
+      val emb = fixture(n)
+      val (centroids, assignedRaw) = Similarity.ivfIndex(emb, nlist = nlist, iters = 4)
+      val assigned = assignedRaw.persist()
+      assigned.count()
+      try {
+        val probes = Seq(0L, 7L, n / 3L, n / 2L, n - 1L)
+        val recalls = probes.map { p =>
+          val exact = Similarity.bruteForceTopK(emb, p, k).collect().map(_.getLong(0)).toSet
+          val ivf = Similarity.ivfSearch(centroids, assigned, emb, p, k, nprobe)
+            .collect().map(_.getLong(0)).toSet
+          exact.intersect(ivf).size.toDouble / k
+        }
+        // rescan volume for one probe: ask for every vector in the probed
+        // buckets (k = n) and count what comes back
+        val scanned = Similarity.ivfSearch(centroids, assigned, emb, 0L, n, nprobe).count()
+        (recalls.sum / recalls.size, scanned)
+      } finally { assigned.unpersist(); () }
+    }
+
+    val (recall1, scanned1) = gate(2000, nlist = 45)   // ~sqrt(2000)
+    val (recall2, scanned2) = gate(20000, nlist = 144) // ~sqrt(20000)
+    assert(recall1 >= 0.8, s"recall@5 at 2k/sqrt(n): $recall1")
+    assert(recall2 >= 0.8, s"recall@5 at 20k/sqrt(n): $recall2")
+    // 10x corpus must NOT mean 10x rescans: sqrt scaling predicts ~3.2x
+    // (sqrt(10)); 6x leaves headroom for bucket-size skew without letting
+    // linear growth through
+    assert(scanned2 <= scanned1 * 6,
+      s"10x corpus grew per-probe rescans $scanned1 -> $scanned2 (expected ~3.2x under sqrt(n) sizing)")
+    // and the absolute fraction stays small — the index prunes
+    assert(scanned2 < 20000 / 8, s"rescored $scanned2 of 20000 — pruning ineffective")
+  }
+
   test("ConnectedComponents: reliable-checkpoint mode matches localCheckpoint mode") {
     import spark.implicits._
     import graft.operators.ConnectedComponents
