@@ -104,6 +104,25 @@ class BookkeepingSpec extends AnyFunSuite {
       "trailer must stay one short line — that is what survives tail capture")
   }
 
+  test("no query exceeds the standing 2.5 s idle-box mean bar (BENCH_VARIANCE.json)") {
+    // round-8 bar (BASELINE.md): with dedup_clusters long under the retired
+    // 2.0 s bar, perf pressure stays concrete as "no single query >2.5 s
+    // MEAN in the committed idle-box variance artifact". Gating the
+    // committed artifact keeps this deterministic — refreshing the artifact
+    // after a regression is what trips it, not box noise during `sbt test`.
+    val json = Files.readString(Paths.get("BENCH_VARIANCE.json"))
+    val means = "\"([A-Za-z0-9_]+)\": *\\{\\s*\"mean\": *([0-9.]+)".r
+      .findAllMatchIn(json)
+      .map(m => m.group(1) -> m.group(2).toDouble)
+      .filter(_._1 != "total").toSeq
+    assert(means.size >= SparkEntry.queries.size,
+      s"BENCH_VARIANCE.json has ${means.size} per-query stats for ${SparkEntry.queries.size} queries — refresh it")
+    val over = means.filter(_._2 > 2.5)
+    assert(over.isEmpty,
+      s"queries over the 2.5 s idle-box mean bar: ${over.map { case (q, m) => s"$q=$m" }.mkString(", ")} — " +
+        "optimize or re-measure on an idle box (BASELINE.md round-8 bar)")
+  }
+
   test("BENCH_TIMES.json covers the full declared query surface") {
     // the driver's stdout capture clips long bench lines (29 of 94 per-query
     // timings lost every round) — Bench persists the complete map to
