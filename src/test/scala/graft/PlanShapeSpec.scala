@@ -202,6 +202,31 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("exact-substring tail fuses to one pair-key exchange (no aggregate join)") {
+    val docs = Tables.table(spark, sf0001, "documents")
+    // materialize = false: the lazy dataflow exposes the aggregation tail
+    // (checkpointed intermediates would hide it behind LogicalRDD leaves).
+    // The round-7 shape ran runs/spans/hits as separate aggregations joined
+    // at the end — four (doc_a, doc_b)-keyed exchanges; the fused shape
+    // repartitions once and every window/aggregate extends that clustering.
+    val pairs = graft.operators.Dedup.exactSubstringPairs(
+      docs, "doc_id", "text", n = 13, materialize = false)
+      .queryExecution.executedPlan.toString
+    val pairKeyExchanges = "hashpartitioning\\(doc_a".r.findAllIn(pairs).size
+    assert(pairKeyExchanges == 1,
+      s"expected ONE (doc_a, doc_b) exchange in the fused tail, found $pairKeyExchanges:\n$pairs")
+    assert(!pairs.contains("SortMergeJoin"),
+      "pairs plan re-grew a shuffled join (the fused tail needs none; candidate/verify joins are hash-key or broadcast)")
+    // the contamination sibling: the only shuffled join is the remnant
+    // verify join — an aggregate-vs-aggregate join would add a second
+    val contam = graft.operators.Dedup.exactSubstringContamination(
+      docs, docs.filter(org.apache.spark.sql.functions.col("doc_id") % 97 === 0),
+      "doc_id", "text", n = 13, materialize = false)
+      .queryExecution.executedPlan.toString
+    val smj = "SortMergeJoin".r.findAllIn(contam).size
+    assert(smj <= 1, s"contamination plan has $smj shuffled joins (expected <=1, the remnant verify):\n$contam")
+  }
+
   test("sample_shuffle: one global range sort, no driver, no window") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val df = ExtensionQueries.all("sample_shuffle")(spark, sf0001)
