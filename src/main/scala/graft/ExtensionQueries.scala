@@ -70,7 +70,9 @@ object ExtensionQueries {
       val d = docs(s, dir)
       val pairs = Dedup.minHashLshPairs(d, "doc_id", "text",
         k = 3, numPerm = 64, bands = 16, threshold = 0.5)
-      Dedup.applyDedup(d, pairs, "doc_id")
+      // the pair bracket already checkpointed its output — CC can skip its
+      // own edge-snapshot barrier and scan those blocks directly
+      Dedup.applyDedup(d, pairs, "doc_id", pairsMaterialized = true)
         .select(col("doc_id"), col("source"))
         .orderBy("doc_id")
     },

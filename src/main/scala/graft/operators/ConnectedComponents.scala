@@ -65,10 +65,18 @@ object ConnectedComponents {
     * @param checkpointDir when set, rounds checkpoint RELIABLY to this
     *   directory (fault-tolerant on a real cluster); when None, rounds use
     *   `localCheckpoint` (fastest, but not executor-loss safe).
+    * @param inputMaterialized callers whose `pairs` frame is ALREADY eagerly
+    *   materialized (e.g. the checkpointed output of a Dedup/Similarity
+    *   pair bracket) pass true to skip the redundant edge-snapshot barrier
+    *   — the both-directions union then scans the caller's blocks twice,
+    *   which is cheaper than re-materializing them. Ignored in reliable
+    *   mode: a localCheckpoint input is not executor-loss safe, so the
+    *   snapshot is still written to `checkpointDir`.
     */
   def components(pairs: DataFrame, aCol: String, bCol: String,
                  maxIters: Int = 20,
-                 checkpointDir: Option[String] = None): DataFrame = {
+                 checkpointDir: Option[String] = None,
+                 inputMaterialized: Boolean = false): DataFrame = {
     // (frame, Some(path)) in reliable mode so a superseded round's files can
     // be deleted the moment the next round lands; (frame, None) otherwise
     def mat(df: DataFrame): (DataFrame, Option[String]) = checkpointDir match {
@@ -82,7 +90,10 @@ object ConnectedComponents {
     // expensive dedup pipeline (an LSH candidate join for dedup_clusters),
     // and a union of two selects over the raw frame would execute it once
     // per branch.
-    val (p0, _) = mat(pairs.select(col(aCol).as("src"), col(bCol).as("dst")))
+    val (p0, _) =
+      if (inputMaterialized && checkpointDir.isEmpty)
+        (pairs.select(col(aCol).as("src"), col(bCol).as("dst")), None)
+      else mat(pairs.select(col(aCol).as("src"), col(bCol).as("dst")))
     val edges = p0.union(p0.select(col("dst").as("src"), col("src").as("dst")))
     // fused init == round 1's neighbor-min over self-labels, as one groupBy
     var (labels, labelsPath) = mat(

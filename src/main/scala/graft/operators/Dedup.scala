@@ -511,9 +511,10 @@ object Dedup {
     */
   def applyDedup(df: DataFrame, pairs: DataFrame, idCol: String,
                  aCol: String = "doc_a", bCol: String = "doc_b",
-                 checkpointDir: Option[String] = None): DataFrame = {
+                 checkpointDir: Option[String] = None,
+                 pairsMaterialized: Boolean = false): DataFrame = {
     val dropIds = ConnectedComponents.components(pairs, aCol, bCol,
-        checkpointDir = checkpointDir)
+        checkpointDir = checkpointDir, inputMaterialized = pairsMaterialized)
       .filter(col("node") =!= col("cluster_id"))
       .select(col("node").as("__drop_id"))
     df.join(dropIds, col(idCol) === col("__drop_id"), "left_anti")
