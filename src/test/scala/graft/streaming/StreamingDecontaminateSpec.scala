@@ -110,6 +110,39 @@ class StreamingDecontaminateSpec extends SparkSpec {
     gate.close()
   }
 
+  test("span gate throughput: string-verified batches sustain >= 300 docs/s") {
+    import org.apache.spark.sql.functions._
+    // the round-8 exact-verify step re-derives k-gram text for the matched
+    // remnant each batch; this gates that the added work stays remnant-sized
+    // (a full-corpus re-tokenize or a quadratic verify would land far below
+    // the bound even with 45% box noise)
+    val dir = Files.createTempDirectory("decontam-rate-index").toString
+    val gate = new StreamingDecontaminate(dir, k = 5)
+    val nDocs = 5000
+    def qblock(k: org.apache.spark.sql.Column) =
+      transform(sequence(lit(0), lit(19)), j => concat_ws("_", lit("q"), k, j))
+    gate.buildIndex(spark.range(10).select(
+      (col("id") + 1000000L).as("doc_id"),
+      array_join(qblock(col("id")), " ").as("text")))
+    def batch = spark.range(nDocs).select(
+      col("id").as("doc_id"),
+      array_join(concat(
+        transform(sequence(lit(0), lit(29)), j => concat_ws("_", lit("u"), col("id"), j)),
+        when(col("id") % 100 < 2, qblock(pmod(col("id") / 100, lit(10)).cast("long")))
+          .otherwise(transform(sequence(lit(30), lit(49)),
+            j => concat_ws("_", lit("u"), col("id"), j)))
+      ), " ").as("text"))
+    gate.processBatchSpans(spark, batch.limit(200), minSpanTokens = 13).count() // warmup
+    val t0 = System.nanoTime()
+    val survivors = gate.processBatchSpans(spark, batch, minSpanTokens = 13).count()
+    val dt = (System.nanoTime() - t0) / 1e9
+    assert(survivors == nDocs - 100, s"expected ${nDocs - 100} survivors, got $survivors")
+    val rate = nDocs / dt
+    info(f"span gate sustained $rate%.0f docs/s over $nDocs docs (gate: >= 300)")
+    assert(rate >= 300, f"span-gate rate $rate%.0f docs/s below the 300 floor")
+    gate.close()
+  }
+
   test("span gate string-verifies: a hash collision cannot drop a clean document") {
     import org.apache.spark.sql.functions._
     val dir = Files.createTempDirectory("decontam-collide-index").toString
