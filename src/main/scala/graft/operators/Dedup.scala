@@ -220,12 +220,15 @@ object Dedup {
     val trainText = shingleTextPositional(
       train.join(broadcast(remnant), col(idCol) === col("__rid")).drop("__rid"),
       idCol, textCol, n)
-    val matched0 = hashMatched
+    // NOT barriered: since the round-8 tail fusion the verified matches
+    // feed exactly ONE downstream pipeline (repartition + windows + one
+    // groupBy), and nothing here depends on a persisted index that a
+    // barrier would need to outlive — the plan executes hashMatched's
+    // checkpointed blocks plus one remnant re-tokenize, once
+    val matched = hashMatched
       .join(trainText, Seq("doc_id", "pos"))
       .filter(col("g") === col("hg"))
       .select("doc_id", "pos", "hold_id", "hpos")
-    val matched =
-      if (materialize) Materialize.barrier(matched0, checkpointDir) else matched0
     // gaps-and-islands along each (hold_id, pos - hpos) diagonal: both
     // sides must advance together for positions to stitch into one run.
     // Fused to ONE exchange like [[exactSubstringPairs]]: repartition on
