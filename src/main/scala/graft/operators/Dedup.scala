@@ -371,6 +371,9 @@ object Dedup {
       else {
         val pos = shingleHashesPositional(df, idCol, textCol, n, hashFn).persist()
         pos.count() // barrier: df-cap pass + both self-join sides share it
+        // (measured: dropping this count job is a wash — AQE materializes
+        // the downstream exchanges concurrently and the racing stages
+        // re-tokenize into the cache, costing what the job saved)
         // safe to unpersist BEFORE the caller's action: `run` barriered
         // `matched`, and the returned plan reads only that
         try run(pos) finally pos.unpersist(blocking = false)
