@@ -624,6 +624,62 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("exactSubstringContamination law: agrees with a local reference model on random corpora") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val n = 5
+    // local model of the declared geometry: per train doc, n_hit_ngrams =
+    // distinct matched train positions across ALL holdout counterparts;
+    // runs are maximal lockstep chains along each (hold_id, pos - hpos)
+    // diagonal; n_spans counts runs over every counterpart; longest_span =
+    // max run + n - 1 tokens
+    def localContam(train: Seq[(Long, Vector[String])],
+                    hold: Seq[(Long, Vector[String])]): Map[Long, (Long, Long, Long)] = {
+      def grams(t: Vector[String]) =
+        if (t.size < n) Vector.empty else t.sliding(n).map(_.mkString(" ")).toVector
+      train.flatMap { case (id, t) =>
+        val ga = grams(t)
+        val mset = (for {
+          (hid, ht) <- hold
+          gh = grams(ht)
+          (g, pos) <- ga.zipWithIndex
+          (h, hpos) <- gh.zipWithIndex if g == h
+        } yield (hid, pos, hpos)).toSet
+        if (mset.isEmpty) None
+        else {
+          val runs = mset.toSeq.collect {
+            case (hid, pos, hpos) if !mset.contains((hid, pos - 1, hpos - 1)) =>
+              Iterator.from(0).takeWhile(i => mset.contains((hid, pos + i, hpos + i))).size
+          }
+          Some(id -> ((mset.map(_._2).size.toLong, runs.size.toLong, (runs.max + n - 1).toLong)))
+        }
+      }.toMap
+    }
+    for (seed <- Seq(5, 23, 91)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = (1 to 30).map(i => s"w$i")
+      val base = Vector.fill(50)(vocab(rnd.nextInt(vocab.size)))
+      def doc(minLen: Int, splice: Boolean) = {
+        val own = Vector.fill(minLen + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size)))
+        if (splice) {
+          val from = rnd.nextInt(25); val len = 6 + rnd.nextInt(20)
+          own.take(5) ++ base.slice(from, from + len) ++ own.drop(5)
+        } else own
+      }
+      val train = (1L to 8L).map(id => (id, doc(15, id % 2 == 0)))
+      val hold = (100L to 102L).map(id => (id, doc(10, id != 101L)))
+      val got = Dedup.exactSubstringContamination(
+          train.map { case (id, t) => (id, t.mkString(" ")) }.toDF("doc_id", "text"),
+          hold.map { case (id, t) => (id, t.mkString(" ")) }.toDF("doc_id", "text"),
+          "doc_id", "text", n = n)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
+      val want = localContam(train, hold)
+      assert(got == want, s"seed $seed: operator $got != reference model $want")
+    }
+  }
+
   test("exactSubstringContamination: planted >= 13-token verbatim runs are always caught") {
     import spark.implicits._
     import graft.operators.Dedup
