@@ -415,4 +415,163 @@ class ScaleToolsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(ratio <= 30.0,
       f"10x vectors grew dedup_clusters wall-time $ratio%.1fx (t1=$t1%.2fs t2=$t2%.2fs)")
   }
+
+  test("dedup_apply chain (MinHash-LSH -> CC -> anti-join) survives 10x docs") {
+    import graft.operators.Dedup
+    // deterministic corpus mirroring the shipped dedup_apply composition
+    // (ExtensionQueries: minHashLshPairs -> applyDedup(pairsMaterialized)):
+    // docs with id%10 in {0,1,2} form triplet clusters sharing a 30-token
+    // body (cluster c = id/10) plus one member-unique token — pairwise
+    // shingle Jaccard 28/30 ~ 0.93, far above the 0.5 threshold; the other
+    // 70% are singletons with fully unique tokens (Jaccard 0 to everything).
+    // The exact-Jaccard verify step makes precision exact, so the expected
+    // output is EXACTLY 3 pairs per planted cluster at both scales.
+    def fixture(nDocs: Int) = spark.range(nDocs).select(
+      col("id").as("doc_id"),
+      array_join(
+        when(col("id") % 10 < 3,
+          concat(
+            transform(sequence(lit(0), lit(29)),
+              j => concat_ws("_", lit("c"), (col("id") / 10).cast("long"), j)),
+            array(concat_ws("_", lit("u"), col("id")))))
+        .otherwise(
+          transform(sequence(lit(0), lit(30)),
+            j => concat_ws("_", lit("u"), col("id"), j))),
+        " ").as("text"))
+
+    def run(nDocs: Int): (Long, Long, Int, Double) = {
+      var pairRows = 0L
+      var survivors = 0L
+      val t0 = System.nanoTime()
+      val jobs = countJobs(s"apply10x-$nDocs-${System.nanoTime()}") {
+        val d = fixture(nDocs)
+        val pairs = Dedup.minHashLshPairs(d, "doc_id", "text",
+          k = 3, numPerm = 64, bands = 16, threshold = 0.5)
+        pairRows = pairs.count()
+        survivors = Dedup.applyDedup(d, pairs, "doc_id", pairsMaterialized = true)
+          .count()
+      }
+      (pairRows, survivors, jobs, (System.nanoTime() - t0) / 1e9)
+    }
+
+    run(1000) // warm plan shapes/codegen so t1 isn't charged for compilation
+    val (p1, s1, j1, t1a) = run(1000)
+    val (_, _, _, t1b) = run(1000)
+    val (p2, s2, j2, t2a) = run(10000)
+    val (_, _, _, t2b) = run(10000)
+
+    // exactness at both scales: every planted triplet recovered as exactly
+    // its 3 pairs (recall), nothing else (precision), and applyDedup keeps
+    // exactly one canonical member per cluster plus every singleton
+    assert(p1 == 300 && p2 == 3000, s"pair counts $p1/$p2 (expect 300/3000)")
+    assert(s1 == 800 && s2 == 8000, s"survivors $s1/$s2 (expect 800/8000)")
+    // structural gate (noise-free): CC round count is set by cluster
+    // DIAMETER (constant 3-cliques), not corpus size — the job count must
+    // not grow with data volume
+    assert(j2 <= j1 + 4,
+      s"10x docs grew the dedup_apply job count $j1 -> $j2 — a data-dependent job structure crept in")
+    // wall gate (min-of-2, generous bound): banded candidates + equi-joins
+    // grow linearly; a doc x doc path would land near 100x
+    val ratio = math.min(t2a, t2b) / math.min(t1a, t1b)
+    assert(ratio <= 30.0,
+      f"10x docs grew dedup_apply wall-time $ratio%.1fx " +
+        f"(t1=${math.min(t1a, t1b)}%.2fs t2=${math.min(t2a, t2b)}%.2fs)")
+  }
+
+  test("dedup_ngram_capped survives 10x docs: exact planted recovery, flat job count") {
+    import graft.operators.Dedup
+    // same triplet-cluster geometry as the dedup_apply gate: 30-token shared
+    // body + 1 unique token per member (pairwise Jaccard ~0.93), singletons
+    // fully unique. Body shingles have df=3 — comfortably under the maxDf=50
+    // cap — so the df-capped index keeps every discriminating shingle and the
+    // exact-verify step must return EXACTLY 3 pairs per planted cluster.
+    def fixture(nDocs: Int) = spark.range(nDocs).select(
+      col("id").as("doc_id"),
+      array_join(
+        when(col("id") % 10 < 3,
+          concat(
+            transform(sequence(lit(0), lit(29)),
+              j => concat_ws("_", lit("c"), (col("id") / 10).cast("long"), j)),
+            array(concat_ws("_", lit("u"), col("id")))))
+        .otherwise(
+          transform(sequence(lit(0), lit(30)),
+            j => concat_ws("_", lit("u"), col("id"), j))),
+        " ").as("text"))
+
+    def run(nDocs: Int): (Long, Int, Double) = {
+      var pairRows = 0L
+      val t0 = System.nanoTime()
+      val jobs = countJobs(s"ngcap10x-$nDocs-${System.nanoTime()}") {
+        pairRows = Dedup.ngramJaccardCappedPairs(fixture(nDocs), "doc_id", "text",
+          k = 3, threshold = 0.5, maxDf = 50).count()
+      }
+      (pairRows, jobs, (System.nanoTime() - t0) / 1e9)
+    }
+
+    run(1000) // warm plan shapes/codegen
+    val (p1, j1, t1a) = run(1000)
+    val (_, _, t1b) = run(1000)
+    val (p2, j2, t2a) = run(10000)
+    val (_, _, t2b) = run(10000)
+
+    assert(p1 == 300 && p2 == 3000, s"pair counts $p1/$p2 (expect 300/3000)")
+    assert(j2 <= j1 + 4,
+      s"10x docs grew the ngram_capped job count $j1 -> $j2 — a data-dependent job structure crept in")
+    // the df cap bounds per-shingle fan-out at df^2 — candidate volume is
+    // linear in docs; a quadratic index path lands near 100x
+    val ratio = math.min(t2a, t2b) / math.min(t1a, t1b)
+    assert(ratio <= 30.0,
+      f"10x docs grew ngram_capped wall-time $ratio%.1fx " +
+        f"(t1=${math.min(t1a, t1b)}%.2fs t2=${math.min(t2a, t2b)}%.2fs)")
+  }
+
+  test("dedup_edit_distance survives 10x docs: exact planted recovery, flat job count") {
+    import graft.operators.Dedup
+    // planted typo pairs (2m, 2m+1): both share the 32-hex-char md5 prefix of
+    // pair m, the odd member with its first two chars substituted ('q' is not
+    // a hex digit, remainder identical => banded Levenshtein distance exactly
+    // 2), both padded to length 32+m. Lengths grow 1 char per pair, so the
+    // length HISTOGRAM spreads linearly with the corpus and each width-17
+    // bucket holds a CONSTANT ~17 pairs at any scale — candidate volume stays
+    // linear in docs, which is precisely the blocking claim this gates.
+    // Cross-pair prefixes are independent md5 strings: 32-char hex pairs sit
+    // ~15+ edits apart, so nothing else passes the maxDist=8 filter.
+    def fixture(nPairs: Int) = spark.range(nPairs * 2L).select(
+      col("id").as("doc_id"),
+      concat(
+        when(col("id") % 2 === 0,
+          md5(concat(lit("p"), (col("id") / 2).cast("long").cast("string"))))
+        .otherwise(concat(lit("qq"),
+          substring(md5(concat(lit("p"), (col("id") / 2).cast("long").cast("string"))), 3, 30))),
+        repeat(lit("z"), (col("id") / 2).cast("int"))).as("text"))
+
+    def run(nPairs: Int): (Long, Long, Int, Double) = {
+      var pairRows = 0L
+      var planted = 0L
+      val t0 = System.nanoTime()
+      val jobs = countJobs(s"edit10x-$nPairs-${System.nanoTime()}") {
+        val p = Dedup.editDistancePairs(fixture(nPairs), "doc_id", "text")
+        pairRows = p.count()
+        planted = p.filter(col("doc_a") % 2 === 0 &&
+          col("doc_b") === col("doc_a") + 1 && col("dist") === 2).count()
+      }
+      (pairRows, planted, jobs, (System.nanoTime() - t0) / 1e9)
+    }
+
+    run(300) // warm plan shapes/codegen
+    val (p1, g1, j1, t1a) = run(300)
+    val (_, _, _, t1b) = run(300)
+    val (p2, g2, j2, t2a) = run(3000)
+    val (_, _, _, t2b) = run(3000)
+
+    // exactness: every planted pair at distance exactly 2, nothing else
+    assert(p1 == 300 && g1 == 300, s"1x found $p1 pairs / $g1 planted (expect 300/300)")
+    assert(p2 == 3000 && g2 == 3000, s"10x found $p2 pairs / $g2 planted (expect 3000/3000)")
+    assert(j2 <= j1 + 4,
+      s"10x docs grew the edit-distance job count $j1 -> $j2 — a data-dependent job structure crept in")
+    val ratio = math.min(t2a, t2b) / math.min(t1a, t1b)
+    assert(ratio <= 30.0,
+      f"10x docs grew edit-distance wall-time $ratio%.1fx " +
+        f"(t1=${math.min(t1a, t1b)}%.2fs t2=${math.min(t2a, t2b)}%.2fs)")
+  }
 }
