@@ -108,6 +108,14 @@ object Multimodal {
     import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
     import javax.imageio.ImageIO
 
+    // ImageIO's stream cache defaults to FILE-backed: every encode/decode
+    // round-trips through a temp file, so a per-row codec pass does disk I/O
+    // per row and its latency tracks box I/O load (measured as the worst
+    // bench stddev on the board). All payloads here are in-memory byte
+    // arrays — switch the cache to memory-backed once per JVM (object init
+    // runs on first use in each executor JVM, so this holds on a cluster).
+    ImageIO.setUseCache(false)
+
     private def decode(payload: Array[Byte]): BufferedImage = {
       val img = ImageIO.read(new ByteArrayInputStream(payload))
       require(img != null, "payload is not a decodable image (PNG/BMP/GIF/JPEG/TIFF)")

