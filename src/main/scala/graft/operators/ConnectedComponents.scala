@@ -90,8 +90,29 @@ object ConnectedComponents {
     // expensive dedup pipeline (an LSH candidate join for dedup_clusters),
     // and a union of two selects over the raw frame would execute it once
     // per branch.
+    val skipSnapshot = inputMaterialized && checkpointDir.isEmpty
+    if (skipSnapshot) {
+      // the flag is a caller PROMISE that `pairs` is already an eager
+      // snapshot; verify it instead of trusting it — a lazy pipeline passed
+      // here would re-execute per direction branch per round (and a
+      // nondeterministic one could yield an inconsistent edge set). Accepted
+      // shapes: cheap row-preserving ops (project/filter/sort) over
+      // materialized leaves (LogicalRDD from localCheckpoint, LocalRelation,
+      // file/relation scans) — anything with a join/aggregate/generate in it
+      // is NOT a snapshot and must take the barrier.
+      import org.apache.spark.sql.catalyst.plans.logical
+      val plan = pairs.queryExecution.optimizedPlan
+      val cheapOverLeaves = plan.collect { case n => n }.forall {
+        case _: logical.Project | _: logical.Filter | _: logical.Sort => true
+        case _: logical.LeafNode => true
+        case _ => false
+      }
+      require(cheapOverLeaves,
+        "inputMaterialized=true but the pairs plan is not a materialized " +
+          s"snapshot (found non-trivial operators):\n$plan")
+    }
     val (p0, _) =
-      if (inputMaterialized && checkpointDir.isEmpty)
+      if (skipSnapshot)
         (pairs.select(col(aCol).as("src"), col(bCol).as("dst")), None)
       else mat(pairs.select(col(aCol).as("src"), col(bCol).as("dst")))
     val edges = p0.union(p0.select(col("dst").as("src"), col("src").as("dst")))

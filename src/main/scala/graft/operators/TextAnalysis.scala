@@ -323,24 +323,33 @@ object TextAnalysis {
     * all until whatever consumes the chunks. Output rows ≈ input tokens /
     * (chunkSize - overlap), each carrying only its own slice of text.
     */
-  def chunkDocuments(docs: DataFrame, chunkSize: Int = 64, overlap: Int = 16): DataFrame = {
+  def chunkDocuments(docs: DataFrame, chunkSize: Int = 64, overlap: Int = 16): DataFrame =
+    chunkCore(docs, chunkSize, overlap, carry = Nil).orderBy("doc_id", "chunk_idx")
+
+  /** Sort-free chunking core shared by the batch operator above and the
+    * streaming ingest stage ([[graft.streaming.DocumentIngest.chunked]]) —
+    * a global sort is neither streamable nor needed there. `carry` columns
+    * pass through unchanged onto every chunk row (the streaming stage keeps
+    * the ingest signals alongside each chunk).
+    */
+  private[graft] def chunkCore(docs: DataFrame, chunkSize: Int, overlap: Int,
+                               carry: Seq[String]): DataFrame = {
     require(overlap >= 0 && chunkSize > overlap, "need chunkSize > overlap >= 0")
     val step = chunkSize - overlap
+    val carried = carry.map(col)
     docs
-      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .select(col("doc_id") +: carried :+ Text.tokens(col("text")).as("toks"): _*)
       .withColumn("n", size(col("toks")))
       .filter(col("n") > 0)
       // smallest m with (m-1)*step + chunkSize >= n, at least 1
       .withColumn("nchunks",
         greatest(lit(1), ceil((col("n") - lit(overlap)).cast("double") / step).cast("int")))
-      .select(col("doc_id"), col("toks"), col("n"),
-        explode(sequence(lit(0), col("nchunks") - 1)).as("chunk_idx"))
-      .select(
-        col("doc_id"),
-        col("chunk_idx"),
-        least(lit(chunkSize), col("n") - col("chunk_idx") * step).cast("int").as("n_tokens"),
+      .select(col("doc_id") +: carried :+ col("toks") :+ col("n") :+
+        explode(sequence(lit(0), col("nchunks") - 1)).as("chunk_idx"): _*)
+      .select(col("doc_id") +: carried :+
+        col("chunk_idx") :+
+        least(lit(chunkSize), col("n") - col("chunk_idx") * step).cast("int").as("n_tokens") :+
         array_join(slice(col("toks"), col("chunk_idx") * step + 1, lit(chunkSize)), " ")
-          .as("chunk_text"))
-      .orderBy("doc_id", "chunk_idx")
+          .as("chunk_text"): _*)
   }
 }

@@ -39,4 +39,27 @@ object DocumentIngest {
       .filter(col("n_tokens") >= minTokens && col("stop_ratio") <= maxStopRatio)
       .select("doc_id", "ts", "text", "content_hash", "n_tokens", "stop_ratio")
   }
+
+  /** [[pipeline]] + context-length chunking: admitted docs split into
+    * `chunkSize`-token chunks sharing `overlap` tokens — the streaming half
+    * of the batch chunk→pack prep
+    * ([[graft.operators.TextAnalysis.chunkDocuments]], same core, proven
+    * equal in `DocumentIngestSpec`). Chunking is stateless and narrow
+    * (tokenize + explode + slice, no sort, no added state), so it appends
+    * cleanly after the watermarked dedup; each chunk row keeps the doc's
+    * ingest signals (`ts`, `content_hash`).
+    *
+    * Packing stays batch-only by design: bin assignment is a sequential walk
+    * over a sorted snapshot (`Packing.packSequences`), which an unbounded
+    * append stream cannot provide — pack per landed partition downstream.
+    */
+  def chunked(docs: DataFrame,
+              watermark: String = "1 hour",
+              minTokens: Int = 5,
+              maxStopRatio: Double = 0.9,
+              chunkSize: Int = 64,
+              overlap: Int = 16): DataFrame =
+    graft.operators.TextAnalysis.chunkCore(
+      pipeline(docs, watermark, minTokens, maxStopRatio),
+      chunkSize, overlap, carry = Seq("ts", "content_hash"))
 }

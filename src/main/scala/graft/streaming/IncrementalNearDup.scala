@@ -30,6 +30,11 @@ class IncrementalNearDup(
   private def bandsDir = s"$historyDir/bands"
   private def setsDir = s"$historyDir/sets"
 
+  // the previous batch's reliable-barrier path, rotated at the next
+  // processBatch call (see below) so a long-running stream holds at most ONE
+  // barrier dir instead of accumulating one per batch
+  private var prevBarrierPath: Option[String] = None
+
   /** History existence via the Hadoop FileSystem API so the check honors the
     * configured filesystem (HDFS/S3 at scale, local in tests) — a
     * java.io.File probe would silently report "absent" on any non-local FS
@@ -47,6 +52,17 @@ class IncrementalNearDup(
     */
   def processBatch(spark: SparkSession, batch: DataFrame,
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // rotate the reliable barrier: the returned frame lazily re-reads its
+    // barrier file, so THIS batch's path cannot be deleted in-method — but
+    // by the time the next batch arrives, the previous batch's frame has
+    // been fully consumed (foreachBatch completes before the next batch is
+    // scheduled), so its barrier files are deleted here. Growth is thereby
+    // bounded at one barrier dir, not one per batch. Contract: the caller
+    // must not hold the returned frame past its micro-batch (the
+    // foreachBatch shape guarantees this).
+    prevBarrierPath.foreach(p => graft.operators.Materialize.delete(batch, p))
+    prevBarrierPath = None
+
     val ex0 = Dedup.shingleIndex(batch, idCol, textCol, k).persist()
     ex0.count()
     val batchSets = Dedup.shingleSets(ex0).persist()
@@ -93,10 +109,15 @@ class IncrementalNearDup(
     // default, or the executor-loss-safe parquet barrier when the
     // constructor's checkpointDir is set (the returned frame re-reads its
     // barrier file, so the caller owns the dir's lifetime).
-    val admitted = graft.operators.Materialize.barrier(
-      batch.select(col(idCol).as("doc_id")).distinct()
-        .join(selfDups.union(histDups).distinct(), Seq("doc_id"), "left_anti"),
-      checkpointDir)
+    val admittedPlan = batch.select(col(idCol).as("doc_id")).distinct()
+      .join(selfDups.union(histDups).distinct(), Seq("doc_id"), "left_anti")
+    val admitted = checkpointDir match {
+      case Some(dir) =>
+        val (f, p) = graft.operators.Materialize.reliable(admittedPlan, dir)
+        prevBarrierPath = Some(p) // deleted at the NEXT processBatch call
+        f
+      case None => admittedPlan.localCheckpoint()
+    }
 
     // extend the history with the admitted docs' index entries
     batchBands.join(admitted, "doc_id")

@@ -170,17 +170,26 @@ class ParquetServing(storeDir: String, val viewName: String = "us_share_holders"
     // (graft.operators.Materialize) for long-running cluster streams — a
     // lost executor between here and the write would otherwise kill the
     // stream mid-compaction.
-    val folded = graft.operators.Materialize.barrier(
-      LatestPerKey(
-          spark.read.parquet(storeDir).filter(col("batch_id") < lit(maxBatch)),
-          keys = Seq("client"), ordering = Seq("batch_id"))
-        .withColumn("batch_id", lit(baseId)),
-      checkpointDir)
+    val foldedPlan = LatestPerKey(
+        spark.read.parquet(storeDir).filter(col("batch_id") < lit(maxBatch)),
+        keys = Seq("client"), ordering = Seq("batch_id"))
+      .withColumn("batch_id", lit(baseId))
+    // capture the reliable path so it can be deleted below: the folded frame
+    // is fully consumed by the write inside this method, and a long-running
+    // stream compacts indefinitely — leaking one barrier dir per compaction
+    // would grow checkpointDir without bound
+    val (folded, barrierPath) = checkpointDir match {
+      case Some(dir) =>
+        val (f, p) = graft.operators.Materialize.reliable(foldedPlan, dir)
+        (f, Some(p))
+      case None => (foldedPlan.localCheckpoint(), None)
+    }
     folded.write
       .mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id")
       .parquet(storeDir)
+    barrierPath.foreach(graft.operators.Materialize.delete(folded, _))
     batchIds.filter(_ < baseId).foreach { id =>
       fs.delete(new org.apache.hadoop.fs.Path(path, s"batch_id=$id"), true)
     }

@@ -133,6 +133,29 @@ class ReliableCheckpointSpec extends SparkSpec {
     }
     val dir = ckptDir("serving")
     assert(run(Some(dir)) == run(None))
-    assert(barrierDirs(dir).nonEmpty)
+    // round 9: compact() deletes its barrier once the folded write lands —
+    // the frame is fully consumed inside the method, and a long-running
+    // stream compacts indefinitely, so leftover dirs would grow unboundedly
+    assert(barrierDirs(dir).isEmpty,
+      s"compact leaked barrier dirs: ${barrierDirs(dir)}")
+  }
+
+  test("IncrementalNearDup: reliable barriers rotate — at most one dir retained") {
+    import spark.implicits._
+    val dir = ckptDir("neardup-rot")
+    val hist = Files.createTempDirectory("neardup-rot-hist").toString
+    val dedup = new IncrementalNearDup(hist, threshold = 0.5,
+      checkpointDir = Some(dir))
+    def batch(id: Long, text: String) =
+      dedup.processBatch(spark, Seq((id, text)).toDF("doc_id", "text")).count()
+    batch(1L, "fast column scan with vector units and simd gather ops")
+    assert(barrierDirs(dir).size == 1) // current batch's barrier is live
+    batch(2L, "hash join probe side build partition radix bits tune it")
+    // batch 2 deleted batch 1's barrier before writing its own
+    assert(barrierDirs(dir).size == 1,
+      s"barriers accumulated instead of rotating: ${barrierDirs(dir)}")
+    batch(3L, "sort merge join spill threshold and page size tuning notes")
+    assert(barrierDirs(dir).size == 1,
+      s"barriers accumulated instead of rotating: ${barrierDirs(dir)}")
   }
 }

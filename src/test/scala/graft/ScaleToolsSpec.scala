@@ -416,6 +416,29 @@ class ScaleToolsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       f"10x vectors grew dedup_clusters wall-time $ratio%.1fx (t1=$t1%.2fs t2=$t2%.2fs)")
   }
 
+  test("ConnectedComponents: inputMaterialized promise is verified, not trusted") {
+    import spark.implicits._
+    import graft.operators.ConnectedComponents
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    // a snapshot-shaped plan (local relation / checkpointed leaf) is accepted
+    val viaLeaf = ConnectedComponents.components(pairs, "a", "b",
+      inputMaterialized = true).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaLeaf == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // a LAZY pipeline with a join in it is NOT a snapshot: trusting the flag
+    // would re-execute the join once per direction branch per round (and an
+    // expensive/nondeterministic producer could diverge between branches)
+    val lazyPairs = pairs.as("x").join(pairs.as("y"), col("x.a") === col("y.a"))
+      .select(col("x.a").as("a"), col("y.b").as("b"))
+    val err = intercept[IllegalArgumentException] {
+      ConnectedComponents.components(lazyPairs, "a", "b", inputMaterialized = true)
+    }
+    assert(err.getMessage.contains("not a materialized snapshot"))
+    // the same frame is fine once the caller actually snapshots it
+    val viaCkpt = ConnectedComponents.components(lazyPairs.localCheckpoint(), "a", "b",
+      inputMaterialized = true).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaCkpt == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("dedup_apply chain (MinHash-LSH -> CC -> anti-join) survives 10x docs") {
     import graft.operators.Dedup
     // deterministic corpus mirroring the shipped dedup_apply composition

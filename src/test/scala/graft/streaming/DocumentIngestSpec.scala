@@ -74,4 +74,51 @@ class DocumentIngestSpec extends SparkSpec {
     assert(seen.keySet == Set(1L, 3L),
       s"restored state must reject the duplicate, got ${seen.keySet}")
   }
+
+  test("streaming chunk stage == batch chunkDocuments on the surviving docs") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // fixture: one long doc (multiple chunks), one exactly-chunk-sized doc,
+    // one duplicate and one sub-minTokens doc the gate must drop first
+    val longText = (1 to 23).map(i => s"tok$i").mkString(" ")
+    val fixture = Seq(
+      (1L, longText, ts(0)),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta", ts(1)),
+      (3L, longText, ts(2)), // exact duplicate of doc 1 -> dropped pre-chunk
+      (4L, "too short", ts(3)))
+
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val out = DocumentIngest.chunked(input.toDF().toDF("doc_id", "text", "ts"),
+      minTokens = 3, chunkSize = 8, overlap = 3)
+    val q = out.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("ingest-chunk").toString)
+      .format("memory").queryName("chunked")
+      .start()
+    input.addData(fixture: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("chunked")
+    assert(streamed.columns.toSeq ==
+      Seq("doc_id", "ts", "content_hash", "chunk_idx", "n_tokens", "chunk_text"))
+
+    // batch reference: the same gate decisions (docs 1 and 2 survive), then
+    // the batch chunk operator — identical chunk geometry and text required
+    val batchChunks = graft.operators.TextAnalysis.chunkDocuments(
+        Seq((1L, longText), (2L, "alpha beta gamma delta epsilon zeta eta theta"))
+          .toDF("doc_id", "text"), chunkSize = 8, overlap = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3))).toSet
+    val streamChunks = streamed.collect()
+      .map(r => (r.getLong(0), r.getInt(3), r.getInt(4), r.getString(5))).toSet
+    assert(streamChunks == batchChunks,
+      s"streaming chunks diverge from batch: ${streamChunks.diff(batchChunks)} / ${batchChunks.diff(streamChunks)}")
+    // 23 tokens at size 8 / stride 5 -> 4 chunks; 8 tokens -> exactly 1
+    assert(batchChunks.count(_._1 == 1L) == 4 && batchChunks.count(_._1 == 2L) == 1)
+
+    // the carried ingest signals are per-doc constants on every chunk row
+    val sig = streamed.select("doc_id", "ts", "content_hash").distinct().collect()
+      .map(r => r.getLong(0) -> ((r.getTimestamp(1), r.getLong(2)))).toMap
+    assert(sig.keySet == Set(1L, 2L) && sig(1L)._1 == ts(0) && sig(2L)._1 == ts(1))
+  }
 }

@@ -110,12 +110,16 @@ class StreamingDecontaminateSpec extends SparkSpec {
     gate.close()
   }
 
-  test("span gate throughput: string-verified batches sustain >= 300 docs/s") {
+  test("span gate throughput: string-verified batches sustain >= 900 docs/s") {
     import org.apache.spark.sql.functions._
     // the round-8 exact-verify step re-derives k-gram text for the matched
     // remnant each batch; this gates that the added work stays remnant-sized
     // (a full-corpus re-tokenize or a quadratic verify would land far below
-    // the bound even with 45% box noise)
+    // the bound even with 45% box noise). Floor calibration: idle-box
+    // measurement is ~2060 docs/s (round 9), so 900 holds under the worst
+    // measured load swing. The floor is docs/s rather than the 10k ev/s of
+    // the stateless gates because each batch pays an index equi-join plus a
+    // remnant-sized string verify, not a narrow projection.
     val dir = Files.createTempDirectory("decontam-rate-index").toString
     val gate = new StreamingDecontaminate(dir, k = 5)
     val nDocs = 5000
@@ -138,8 +142,8 @@ class StreamingDecontaminateSpec extends SparkSpec {
     val dt = (System.nanoTime() - t0) / 1e9
     assert(survivors == nDocs - 100, s"expected ${nDocs - 100} survivors, got $survivors")
     val rate = nDocs / dt
-    info(f"span gate sustained $rate%.0f docs/s over $nDocs docs (gate: >= 300)")
-    assert(rate >= 300, f"span-gate rate $rate%.0f docs/s below the 300 floor")
+    info(f"span gate sustained $rate%.0f docs/s over $nDocs docs (gate: >= 900)")
+    assert(rate >= 900, f"span-gate rate $rate%.0f docs/s below the 900 floor")
     gate.close()
   }
 
