@@ -60,25 +60,32 @@ object ExtensionOracleSql {
        |          FROM asg$n)
        |    GROUP BY centroid_id, idx) GROUP BY centroid_id)""".stripMargin
 
-  /** The IVF search result with the canonical build parameters — shared by
-    * `simsearch_ivf` (build + search in one query) and `simsearch_ivf_search`
-    * (search over the STORED index): both must produce this exact result.
+  /** Shared CTE prefix: the canonical Lloyd build (nlist=4, iters=4) plus
+    * the per-vector nearest-centroid assignment `best` — the index both the
+    * IVF searches and `dedup_semantic` are defined over.
     */
-  private val simsearchIvfSql: String =
+  private val lloydBestCtes: String =
     s"""WITH cent0 AS (SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings WHERE vec_id < 4),
        |${lloydIterCte(1)},
        |${lloydIterCte(2)},
        |${lloydIterCte(3)},
        |${lloydIterCte(4)},
        |cent AS (SELECT * FROM cent4),
-       |probe AS (SELECT embedding AS pv FROM embeddings WHERE vec_id = 0),
        |asn AS (
        |  SELECT e.vec_id, c.centroid_id,
        |    round(${cos("e.embedding", "c.cvec")}, 6) AS csim
        |  FROM embeddings e CROSS JOIN cent c),
        |best AS (
        |  SELECT vec_id, centroid_id FROM asn
-       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, centroid_id) = 1),
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, centroid_id) = 1)""".stripMargin
+
+  /** The IVF search result with the canonical build parameters — shared by
+    * `simsearch_ivf` (build + search in one query) and `simsearch_ivf_search`
+    * (search over the STORED index): both must produce this exact result.
+    */
+  private val simsearchIvfSql: String =
+    s"""$lloydBestCtes,
+       |probe AS (SELECT embedding AS pv FROM embeddings WHERE vec_id = 0),
        |pb AS (
        |  SELECT centroid_id FROM (
        |    SELECT c.centroid_id, round(${cos("c.cvec", "p.pv")}, 6) AS csim
@@ -95,6 +102,24 @@ object ExtensionOracleSql {
   val all: Map[String, String] = Map(
     "simsearch_ivf" -> simsearchIvfSql,
     "simsearch_ivf_search" -> simsearchIvfSql,
+
+    // SemDeDup over the canonical Lloyd index: within-cluster pairs only,
+    // drop any vector dominated (cosine >= 0.45) by a lower id in its
+    // cluster — in lock-step with graft.operators.Similarity.semanticDedup.
+    "dedup_semantic" ->
+      s"""$lloydBestCtes,
+         |v AS (
+         |  SELECT b.vec_id, b.centroid_id, e.embedding
+         |  FROM best b JOIN embeddings e ON e.vec_id = b.vec_id),
+         |p AS (
+         |  SELECT a.vec_id AS vec_a, w.vec_id AS vec_b,
+         |    round(${cos("a.embedding", "w.embedding")}, 6) AS sim
+         |  FROM v a JOIN v w
+         |    ON a.centroid_id = w.centroid_id AND a.vec_id < w.vec_id),
+         |dom AS (SELECT DISTINCT vec_b FROM p WHERE sim >= 0.45)
+         |SELECT v.vec_id, v.centroid_id FROM v
+         |WHERE v.vec_id NOT IN (SELECT vec_b FROM dom)
+         |ORDER BY v.vec_id""".stripMargin,
 
     "multimodal_imageio" ->
       s"""WITH d AS (SELECT doc_id, 8 + doc_id % 8 AS w, 8 + doc_id % 5 AS h FROM documents),

@@ -28,6 +28,8 @@ object ExtensionQueries {
       Similarity.embeddingNearDupPairs(emb(s, dir), threshold = 0.45)),
     "dedup_embedding_lsh" -> ((s, dir) =>
       Similarity.embeddingLshPairs(emb(s, dir), threshold = 0.45)),
+    "dedup_semantic" -> ((s, dir) =>
+      Similarity.semanticDedup(emb(s, dir), nlist = 4, iters = 4, threshold = 0.45)),
     "dedup_ngram_capped" -> ((s, dir) =>
       Dedup.ngramJaccardCappedPairs(docs(s, dir), "doc_id", "text", k = 3, threshold = 0.5, maxDf = 50)),
     "dedup_normalized" -> ((s, dir) =>

@@ -401,4 +401,49 @@ object Similarity {
         col("s.id").as("neighbor_id"), col("s.score").as("sim"))
       .orderBy("probe_id", "rank")
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): partition the embedding space with the deterministic
+    * Lloyd k-means index, then deduplicate only WITHIN each cluster — a
+    * vector is dropped when a lower-id vector in the same cluster has cosine
+    * ≥ `threshold`. Survivors keep their cluster id.
+    *
+    * Scale shape: clustering bounds the pair fan-out — instead of the global
+    * O(n²) join of [[embeddingNearDupPairs]], candidate pairs exist only
+    * inside a cluster (an equi-join on `centroid_id`), so pair work is
+    * Σ|cluster|². Size `nlist` proportional to n (SemDeDup trains ~100 k
+    * clusters for 5 B embeddings) to hold expected cluster size — and with
+    * it per-cluster quadratic work and per-key join fan-out — constant. The
+    * keep-lowest-id rule replaces the paper's keep-farthest-from-centroid
+    * tie-break to stay deterministic and oracle-checkable; the semantic
+    * groups found are identical.
+    *
+    * The cluster assignment is consumed three times (both pair-join sides
+    * and the survivor anti-join), so it is materialized once behind a
+    * [[Materialize.barrier]] — `checkpointDir` switches it to the
+    * executor-loss-safe reliable mode like every other dedup barrier.
+    */
+  def semanticDedup(emb: DataFrame, nlist: Int = 4, iters: Int = 4,
+                    threshold: Double = 0.45,
+                    checkpointDir: Option[String] = None): DataFrame = {
+    val centroids = broadcast(lloydCentroidsLocal(emb, nlist, iters))
+    val assigned = Materialize.barrier(
+      assignToCentroids(PartitionUtil.spread(emb, "vec_id"), centroids)
+        .select(col("vec_id"), col("centroid_id"), col("embedding"),
+          VecF.norm(col("embedding")).as("nrm")),
+      checkpointDir)
+    val a = assigned.select(col("centroid_id").as("cid"), col("vec_id").as("vec_a"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val b = assigned.select(col("centroid_id").as("cid"), col("vec_id").as("vec_b"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    val dominated = a.join(b, Seq("cid"))
+      .filter(col("vec_a") < col("vec_b"))
+      .filter(round(VecF.dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6)
+        >= threshold)
+      .select(col("vec_b").as("vec_id"))
+      .distinct()
+    assigned.join(dominated, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("centroid_id"))
+      .orderBy("vec_id")
+  }
 }
