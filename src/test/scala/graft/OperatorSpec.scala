@@ -524,6 +524,33 @@ class OperatorSpec extends SparkSpec {
     assert(stored == direct, s"stored $stored != direct $direct")
   }
 
+  test("semanticDedup: within-cluster domination only; cross-cluster near-dups exempt") {
+    import graft.operators.Similarity
+    // iters=0 pins the centroids to the two lowest-id vectors — (1,0,0,0)
+    // and (0,1,0,0) — so every assignment and cosine below is hand-checkable.
+    val emb = Seq(
+      (0L, Seq(1.0, 0.0, 0.0, 0.0)),   // centroid A
+      (1L, Seq(0.0, 1.0, 0.0, 0.0)),   // centroid B
+      (2L, Seq(0.95, 0.05, 0.0, 0.0)), // A; cos(0,2)=0.9986 -> dominated by 0
+      (3L, Seq(0.6, 0.55, 0.0, 0.0)),  // A (cos to A 0.7372 > to B 0.6757)
+      (4L, Seq(0.55, 0.6, 0.0, 0.0)),  // B, mirror of 3
+      (5L, Seq(0.0, 0.9, 0.1, 0.0))    // B; cos(1,5)=0.9939 -> dominated by 1
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.semanticDedup(emb, nlist = 2, iters = 0, threshold = 0.8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    // 2 and 5 drop (dominated by a lower id in their own cluster); 3 and 4
+    // BOTH survive even though cos(3,4)=0.9962 >= 0.8 — they sit in
+    // different clusters, the pair SemDeDup never scores. That exemption is
+    // the operator's defining scale trade: pair work bounded by cluster
+    // size, at the cost of boundary-straddling near-dups.
+    assert(got == Seq(0L -> 0L, 1L -> 1L, 3L -> 0L, 4L -> 1L), s"got $got")
+    // the global (quadratic) near-dup baseline DOES pair (3,4) — proving the
+    // exemption above is cluster scoping, not a cosine miss
+    val global = Similarity.embeddingNearDupPairs(emb, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(global.contains((3L, 4L)), s"global pairs $global should include (3,4)")
+  }
+
   test("deterministicShuffle: a reproducible permutation, stable across partitionings") {
     import graft.operators.Sampling
     val docs = Tables.table(spark, "/root/testdata/sf0.001", "documents")
