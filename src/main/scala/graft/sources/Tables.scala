@@ -18,17 +18,19 @@ object Tables {
     if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Read nanos as long (legacy conf) and floor-truncate to
-    * microseconds — the exact behavior of DuckDB's TIMESTAMP_NS -> TIMESTAMP
-    * cast, so the oracle (which truncates via CAST) sees identical values.
+  /** `events.ts` has shipped in two fixture generations: parquet
+    * TIMESTAMP(NANOS) (rounds 1-8, which Spark only reads as long via the
+    * legacy conf) and TIMESTAMP(MICROS) without a timezone annotation
+    * (round 9+, which Spark reads as TIMESTAMP_NTZ). Branch on the resolved
+    * type so either fixture yields the same column: a session-tz TIMESTAMP
+    * with microsecond values identical to DuckDB's view of the file (the
+    * session tz is UTC everywhere, so NTZ -> TIMESTAMP is value-preserving,
+    * and nanos are floor-truncated exactly like DuckDB's TIMESTAMP_NS cast).
     */
   private def events(spark: SparkSession, dir: String): DataFrame = {
     // Scope the legacy conf to this load: save and restore around the read so
     // later parquet reads in the same session don't silently inherit
-    // nanos-as-long semantics. (Schema resolution happens inside the load;
-    // execution-time readers take the flag from the relation's captured
-    // options, see below.)
+    // nanos-as-long semantics. The conf is a no-op for micros fixtures.
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, "true")
@@ -36,8 +38,14 @@ object Tables {
       // Pass the conf as a read option too: per-relation options are merged
       // into the Hadoop conf each time the scan is planned, keeping lazy
       // executions correct after the session conf is restored.
-      spark.read.option(key, "true").parquet(s"$dir/events.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val raw = spark.read.option(key, "true").parquet(s"$dir/events.parquet")
+      val ts = raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          timestamp_micros(expr("ts div 1000")) // nanos-as-long fixture
+        case _ =>
+          col("ts").cast("timestamp") // µs fixture (NTZ under a UTC session)
+      }
+      raw.withColumn("ts", ts)
         .select("event_id", "ts", "user_id", "event_type", "value", "props")
     } finally {
       prev match {

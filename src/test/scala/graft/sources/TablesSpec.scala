@@ -2,13 +2,13 @@ package graft.sources
 
 import graft.SparkSpec
 
-/** Regression: `Tables.events` scopes the `nanosAsLong` legacy conf to the
-  * load and restores it before returning, so the returned frame is LAZY and
-  * only executes after the session conf is back to default. Correctness
-  * depends on the per-relation read option carrying nanos-as-long semantics
-  * into scan planning — a Spark upgrade that re-derived the flag from the
-  * session conf at scan time would break every events query with no
-  * unit-level signal (ADVICE r2). This pins it.
+/** Regression: `Tables.events` must deliver `ts` as a session-tz TIMESTAMP
+  * regardless of which fixture generation is on disk — TIMESTAMP(NANOS)
+  * (rounds 1-8, readable only as long via the legacy conf) or
+  * TIMESTAMP(MICROS)/NTZ (round 9+). The legacy conf is scoped to the load
+  * and restored before returning, so the returned frame is LAZY and only
+  * executes after the session conf is back to default (ADVICE r2). This pins
+  * both the restore and the type normalization.
   */
 class TablesSpec extends SparkSpec {
 
@@ -18,11 +18,13 @@ class TablesSpec extends SparkSpec {
     val ev = Tables.table(spark, sf0001, "events") // load + conf restore done
     assert(spark.conf.getOption(key) == before, "legacy conf must not leak")
     assert(!spark.conf.getOption(key).contains("true"))
-    // execution happens HERE, post-restore: the relation's captured read
-    // option must still deliver nanos-as-long at scan time
+    // execution happens HERE, post-restore — the load must not depend on
+    // session state that is already gone
     assert(ev.count() > 0)
     val r = ev.selectExpr("min(ts)", "max(ts)").head()
     assert(!r.isNullAt(0) && !r.isNullAt(1))
+    // normalized type: session-tz TIMESTAMP, never NTZ or long — streaming
+    // watermarks and every downstream window/date_trunc depend on this
     assert(ev.schema("ts").dataType.typeName == "timestamp")
   }
 
