@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -242,18 +242,66 @@ object Similarity {
     * table — no cached-DataFrame leak, no per-consumer recompute of the
     * training passes.
     */
-  def lloydCentroidsLocal(emb: DataFrame, nlist: Int, iters: Int): DataFrame = {
-    val spark = emb.sparkSession
+  /** Nearest-centroid scoring with the centroid set baked into the
+    * projection as LITERALS: one struct per centroid — (-csim, cid), csim
+    * rounded to 6 like [[assignToCentroids]] — and `array_min` picks the
+    * lexicographic minimum, i.e. max csim with ties to the LOWEST centroid
+    * id: exactly [[assignToCentroids]]'s `max_by(struct(csim, -cid))` order.
+    * Because the centroids are driver-local index metadata (bounded like any
+    * broadcast dimension), this turns assignment into a NARROW codegen
+    * projection — no broadcast-build job, no per-vector groupBy exchange.
+    * Result fields: `cid` (the assignment) and `neg` (-csim to the chosen
+    * centroid). Input must expose an `embedding` column; unlike the groupBy
+    * in [[assignToCentroids]] this never deduplicates vec_ids, so inputs
+    * must be (and are) unique by construction.
+    */
+  private def nearestCentroidScored(cents: Seq[(Long, Array[Double])]): Column = {
+    require(cents.nonEmpty, "empty centroid set")
+    array_min(array(cents.map { case (cid, vec) =>
+      struct(
+        (-round(VecF.cosine(col("embedding"), typedLit(vec.toSeq)), 6)).as("neg"),
+        lit(cid).as("cid"))
+    }: _*))
+  }
+
+  /** Lloyd centroids as driver-local VALUES: one collect of the full
+    * iters-deep [[lloydCentroids]] plan.
+    *
+    * Two rejected-by-measurement alternatives are worth recording. (a) A
+    * per-round collect keeping the broadcast-join assignment: ~1.7x slower
+    * (dedup_semantic 2.7 -> 4.5 s) — five small jobs each pay scheduling +
+    * a broadcast build. (b) Per-round literal-projection assignment
+    * (each round's centroids baked in as literals): still slower than the
+    * deep plan (dedup_semantic ~2.0 -> 2.4 s) — every round's literals
+    * produce a DIFFERENT expression tree, so whole-stage codegen cache
+    * misses and janino recompiles per round. The deep plan compiles each
+    * shape once and AQE's many tiny query stages measure cheaper than
+    * either. Literal assignment still wins where it runs ONCE — see
+    * [[nearestCentroidScored]] consumers.
+    *
+    * iters = 0 short-circuits to the init set (the nlist lowest vec_ids),
+    * cast to double on the way out — Lloyd-round outputs are double-typed
+    * quantized means, but the raw init embeddings may be float[].
+    */
+  def lloydCentroidsLocalValues(emb: DataFrame, nlist: Int,
+                                iters: Int): Seq[(Long, Array[Double])] = {
+    val frame =
+      if (iters == 0)
+        emb.filter(col("vec_id") < nlist)
+          .select(col("vec_id").as("centroid_id"),
+            col("embedding").cast("array<double>").as("cvec"))
+      else lloydCentroids(emb, nlist, iters)
+    frame.collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq.sortBy(_._1)
+  }
+
+  def lloydCentroidsLocal(emb: DataFrame, nlist: Int, iters: Int): DataFrame =
+    centroidsToDF(emb.sparkSession, lloydCentroidsLocalValues(emb, nlist, iters))
+
+  private def centroidsToDF(spark: org.apache.spark.sql.SparkSession,
+                            cents: Seq[(Long, Array[Double])]): DataFrame = {
     import spark.implicits._
-    // One collect of the full iters-deep plan, NOT a collect per round: the
-    // per-round-collect variant was built and measured ~1.7x SLOWER on the
-    // Lloyd consumers (dedup_semantic 2.7 -> 4.5 s, cluster_assign 1.1 ->
-    // 2.8 s at sf0.1) — five small jobs each pay scheduling + a fresh
-    // centroid broadcast, which costs more than Catalyst optimizing the one
-    // deep tree. Collecting once keeps the whole loop a single job.
-    lloydCentroids(emb, nlist, iters).collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1)))
-      .toSeq.toDF("centroid_id", "cvec")
+    cents.map { case (cid, v) => (cid, v.toSeq) }.toDF("centroid_id", "cvec")
   }
 
   /** IVF top-k: assign every vector to its nearest of `nlist` centroids
@@ -289,9 +337,14 @@ object Similarity {
     * [[ivfSearch]] afterwards touches only `nprobe` buckets.
     */
   def ivfIndex(emb: DataFrame, nlist: Int, iters: Int): (DataFrame, DataFrame) = {
-    val centroids = broadcast(lloydCentroidsLocal(emb, nlist, iters))
-    // nearest centroid per vector (max cosine, tie -> lower id)
-    (centroids, assignToCentroids(emb, centroids))
+    val cents = lloydCentroidsLocalValues(emb, nlist, iters)
+    // nearest centroid per vector (max cosine, tie -> lower id) as a narrow
+    // literal projection — the centroid relation is still returned for
+    // storage ([[ivfStore]]) and probe scoring ([[ivfSearch]])
+    val assigned = emb.select(col("vec_id"),
+      nearestCentroidScored(cents).getField("cid").as("centroid_id"),
+      col("embedding"))
+    (broadcast(centroidsToDF(emb.sparkSession, cents)), assigned)
   }
 
   /** Search a prebuilt IVF index: score the probe against the centroid set,
@@ -369,10 +422,12 @@ object Similarity {
     * order-dependent float accumulation.
     */
   def kmeansClusterStats(emb: DataFrame, nlist: Int = 4, iters: Int = 2): DataFrame = {
-    val centroids = broadcast(lloydCentroidsLocal(emb, nlist, iters))
-    assignToCentroids(emb, centroids)
-      .join(centroids, "centroid_id")
-      .withColumn("csim", round(VecF.cosine(col("embedding"), col("cvec")), 6))
+    // the literal argmin already scores the chosen centroid, so the old
+    // assign + join-back-to-centroids + rescore collapses into one narrow
+    // projection (select twice so the argmin evaluates once per row)
+    val cents = lloydCentroidsLocalValues(emb, nlist, iters)
+    emb.select(nearestCentroidScored(cents).as("nc"))
+      .select(col("nc.cid").as("centroid_id"), (-col("nc.neg")).as("csim"))
       .groupBy(col("centroid_id"))
       .agg(
         count(lit(1)).as("n_vectors"),
@@ -436,11 +491,12 @@ object Similarity {
   def semanticDedup(emb: DataFrame, nlist: Int = 4, iters: Int = 4,
                     threshold: Double = 0.45,
                     checkpointDir: Option[String] = None): DataFrame = {
-    val centroids = broadcast(lloydCentroidsLocal(emb, nlist, iters))
+    val cents = lloydCentroidsLocalValues(emb, nlist, iters)
     val assigned = Materialize.barrier(
-      assignToCentroids(PartitionUtil.spread(emb, "vec_id"), centroids)
-        .select(col("vec_id"), col("centroid_id"), col("embedding"),
-          VecF.norm(col("embedding")).as("nrm")),
+      PartitionUtil.spread(emb, "vec_id")
+        .select(col("vec_id"),
+          nearestCentroidScored(cents).getField("cid").as("centroid_id"),
+          col("embedding"), VecF.norm(col("embedding")).as("nrm")),
       checkpointDir)
     val a = assigned.select(col("centroid_id").as("cid"), col("vec_id").as("vec_a"),
       col("embedding").as("ea"), col("nrm").as("na"))

@@ -144,10 +144,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Window"), "no row_number window sort over the cross product")
   }
 
-  test("cluster stats: centroids broadcast, mean is a partial hash aggregate") {
+  test("cluster stats: literal-centroid narrow projection, partial hash aggregate") {
     val emb = Tables.table(spark, sf0001, "embeddings")
     val p = plan(Similarity.kmeansClusterStats(emb))
-    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"))
+    // assignment + rescoring is ONE narrow projection over the scan (the
+    // centroid set is driver-local metadata baked in as literals) — the old
+    // broadcast-join assign + join-back-to-centroids shape must not return
+    assert(!p.contains("Join"), s"cluster stats must not join:\n$p")
+    assert(p.contains("array_min"), "assignment must be the literal argmin projection")
     assert(p.contains("partial_sum"), "cluster mean must partial-aggregate map-side")
   }
 
