@@ -660,4 +660,94 @@ class ScaleToolsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       f"10x vectors grew dedup_semantic wall-time $ratio%.1fx " +
         f"(t1=${math.min(t1a, t1b)}%.2fs t2=${math.min(t2a, t2b)}%.2fs)")
   }
+
+  test("asof join survives 10x events: every probe matched exactly, flat job count") {
+    import graft.operators.AsOfJoin
+    // K keys; key k's build rows sit at times 1000j carrying payload j, its
+    // probes at 1000j + 500 — so the as-of (backward) match for every probe
+    // is the build row at 1000j and the matched payload must equal
+    // (pt - 500) / 1000 EXACTLY, for all n probes. The sort-based union +
+    // running-last form has a FIXED stage structure (tag, union, one
+    // shuffle+sort per side, window): job count must not grow with volume,
+    // and wall growth is n log n — nowhere near a range-BNLJ blowup.
+    val K = 50
+    def fixture(n: Int) = {
+      val build = spark.range(n).select(
+        (col("id") % K).as("k"), ((col("id") / K) * 1000).as("bt"),
+        (col("id") / K).as("payload"))
+      val probe = spark.range(n).select(
+        (col("id") % K).as("k"), ((col("id") / K) * 1000 + 500).as("pt"))
+      (probe, build)
+    }
+    def run(n: Int): (Long, Long, Int, Double) = {
+      var rows = 0L
+      var exact = 0L
+      val t0 = System.nanoTime()
+      val jobs = countJobs(s"asof10x-$n-${System.nanoTime()}") {
+        val (probe, build) = fixture(n)
+        val out = AsOfJoin.asOf(probe, build, "k", "pt", "bt")
+        rows = out.count()
+        exact = out.filter(col("payload") === (col("pt") - 500) / 1000).count()
+      }
+      (rows, exact, jobs, (System.nanoTime() - t0) / 1e9)
+    }
+    run(20000) // warm plan shapes/codegen
+    val (r1, e1, j1, t1a) = run(20000)
+    val (_, _, _, t1b) = run(20000)
+    val (r2, e2, j2, t2a) = run(200000)
+    val (_, _, _, t2b) = run(200000)
+    assert(r1 == 20000 && e1 == 20000, s"1x matched $e1/$r1 of 20000 probes exactly")
+    assert(r2 == 200000 && e2 == 200000, s"10x matched $e2/$r2 of 200000 probes exactly")
+    assert(j2 <= j1 + 4,
+      s"10x events grew the asof job count $j1 -> $j2 — a data-dependent job structure crept in")
+    val ratio = math.min(t2a, t2b) / math.min(t1a, t1b)
+    assert(ratio <= 30.0,
+      f"10x events grew asof wall-time $ratio%.1fx " +
+        f"(t1=${math.min(t1a, t1b)}%.2fs t2=${math.min(t2a, t2b)}%.2fs)")
+  }
+
+  test("doc_pack survives 10x chunks: full coverage, zero overflow, flat job count") {
+    import graft.operators.Packing
+    // hash-varied chunk lengths 1..200 against a 512 budget: next-fit must
+    // place EVERY chunk exactly once (coverage = n), never overflow a bin,
+    // and stay within 1.5x of the bin-count lower bound plus one trailing
+    // bin per shard — at BOTH scales. The sharded walk is one repartition +
+    // per-partition sort + streaming mapPartitions with O(1) state, so the
+    // job structure must not grow with volume.
+    def fixture(n: Int) = spark.range(n).select(
+      (col("id") / 4).as("doc_id"), (col("id") % 4).cast("int").as("chunk_idx"),
+      (pmod(xxhash64(col("id")), lit(200)) + 1).cast("int").as("n_tokens"))
+    def run(n: Int): (Long, Long, Long, Long, Int, Double) = {
+      var rows = 0L; var overflow = 0L; var bins = 0L; var tokens = 0L
+      val t0 = System.nanoTime()
+      val jobs = countJobs(s"pack10x-$n-${System.nanoTime()}") {
+        val p = Packing.packChunks(spark, fixture(n), budget = 512, numShards = 8)
+        rows = p.count()
+        val perBin = p.groupBy("shard", "bin")
+          .agg(sum("n_tokens").as("fill")).cache()
+        overflow = perBin.filter(col("fill") > 512).count()
+        bins = perBin.count()
+        tokens = perBin.agg(sum("fill")).collect()(0).getLong(0)
+        perBin.unpersist()
+      }
+      (rows, overflow, bins, tokens, jobs, (System.nanoTime() - t0) / 1e9)
+    }
+    run(20000) // warm plan shapes/codegen
+    val (r1, o1, b1, tok1, j1, t1a) = run(20000)
+    val (_, _, _, _, _, t1b) = run(20000)
+    val (r2, o2, b2, tok2, j2, t2a) = run(200000)
+    val (_, _, _, _, _, t2b) = run(200000)
+    assert(r1 == 20000 && o1 == 0, s"1x covered $r1/20000 chunks, $o1 overflowing bins")
+    assert(r2 == 200000 && o2 == 0, s"10x covered $r2/200000 chunks, $o2 overflowing bins")
+    // packing efficiency holds at scale: next-fit stays within 1.5x of the
+    // token-mass lower bound (+1 trailing bin per shard)
+    assert(b1 <= (tok1 / 512 + 1) * 3 / 2 + 8, s"1x packed into $b1 bins for $tok1 tokens")
+    assert(b2 <= (tok2 / 512 + 1) * 3 / 2 + 8, s"10x packed into $b2 bins for $tok2 tokens")
+    assert(j2 <= j1 + 4,
+      s"10x chunks grew the doc_pack job count $j1 -> $j2 — a data-dependent job structure crept in")
+    val ratio = math.min(t2a, t2b) / math.min(t1a, t1b)
+    assert(ratio <= 30.0,
+      f"10x chunks grew doc_pack wall-time $ratio%.1fx " +
+        f"(t1=${math.min(t1a, t1b)}%.2fs t2=${math.min(t2a, t2b)}%.2fs)")
+  }
 }
