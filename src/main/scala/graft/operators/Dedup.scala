@@ -52,8 +52,8 @@ object Dedup {
     * small frames (benchmark holdouts) or remnant re-derivation — the
     * full-corpus indexes hash to longs before any exchange.
     */
-  private def shingleTextPositional(df0: DataFrame, idCol: String, textCol: String,
-                                    k: Int): DataFrame =
+  private[graft] def shingleTextPositional(df0: DataFrame, idCol: String, textCol: String,
+                                           k: Int): DataFrame =
     // posexplode over the RETAINED token array + element_at(pos + i) instead
     // of the earlier lead() windows: the concat/hash path stays in whole-stage
     // codegen exactly like the window formulation (HOF transform() lambdas

@@ -1157,4 +1157,37 @@ class OperatorSpec extends SparkSpec {
     assert(e.getMessage.contains("re-chunk") ||
       Option(e.getCause).exists(_.getMessage.contains("re-chunk")))
   }
+
+  test("positional shingles match the plain sliding-window reference model") {
+    // the element_at tokenizer underpins 10+ shingle consumers — pin it to
+    // the obvious Scala model: lowercase whitespace tokens, empties removed,
+    // every k-window with its 0-based start position. Cases cover mixed
+    // case, runs of spaces (empties collapse BEFORE positions are assigned),
+    // docs shorter than / exactly k, repeated tokens, and a pseudo-random
+    // corpus wide enough to exercise many window offsets.
+    val rng = new scala.util.Random(42)
+    val docs = Seq(
+      "",                       // no tokens
+      "one",                    // shorter than k
+      "a b c",                  // exactly k
+      "A  b   C d",             // case + space runs
+      "x x x x x",              // repeated tokens
+      "tail gap ") ++           // trailing space
+      (0 until 20).map(_ => (0 until (1 + rng.nextInt(30)))
+        .map(_ => s"w${rng.nextInt(8)}").mkString(" "))
+    val k = 3
+    def ref(text: String): Seq[(Int, String)] = {
+      val toks = text.toLowerCase.split(" ").filterNot(_.isEmpty).toSeq
+      toks.sliding(k).zipWithIndex
+        .collect { case (w, i) if w.size == k => (i, w.mkString(" ")) }.toSeq
+    }
+    val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = Dedup.shingleTextPositional(df, "doc_id", "text", k)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(x => (x._2, x._3)).toSeq).toMap
+    docs.zipWithIndex.foreach { case (text, i) =>
+      assert(got.getOrElse(i.toLong, Seq.empty) == ref(text),
+        s"doc $i (${text.take(40)}): got ${got.getOrElse(i.toLong, Seq.empty)}, want ${ref(text)}")
+    }
+  }
 }
