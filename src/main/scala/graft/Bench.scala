@@ -20,7 +20,18 @@ object Bench {
   def trailerLine(total: Double, n: Int, failedJson: String, sfDir: String): String =
     s"""{"metric":"total_trailer","total":$total,"n":$n,"failed":$failedJson,"sf":"$sfDir"}"""
 
+  /** 1-minute load average, -1 when unreadable (non-Linux). Recorded into the
+    * bench artifact as provenance: the round-9 72-vs-43 s driver-vs-idle
+    * dispute took a manual re-run to adjudicate; with start/end loadavg in
+    * the artifact, a load-skewed refresh is self-documenting.
+    */
+  def loadavg1m: Double =
+    try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+      .split(" ")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
+    val loadStart = loadavg1m
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = Graft.defaultCpus
     val spark = SparkSession.builder()
@@ -95,10 +106,14 @@ object Bench {
     // every round). Persist the COMPLETE result as a committed artifact so
     // round-over-round per-query comparison never depends on log capture —
     // one query per line, sorted, trivially diffable.
+    val loadEnd = loadavg1m
     val pretty = results.map { case (k, v, _) => s"""    "$k": $v""" }
       .mkString("{\n  \"metric\": \"total\",\n  \"value\": " + total +
         ",\n  \"unit\": \"sec\",\n  \"sf\": \"" + sfDir +
-        "\",\n  \"failed\": " + failedJson + ",\n  \"queries\": {\n", ",\n", "\n  }\n}\n")
+        "\",\n  \"failed\": " + failedJson +
+        ",\n  \"loadavg_start\": " + loadStart +
+        ",\n  \"loadavg_end\": " + loadEnd +
+        ",\n  \"runs_per_query\": 2,\n  \"queries\": {\n", ",\n", "\n  }\n}\n")
     // anchor the artifact at the repo root (walk up to build.sbt), not cwd —
     // a Bench forked from a subdirectory must still update the committed file
     val repoRoot = Iterator.iterate(java.nio.file.Paths.get("").toAbsolutePath)(_.getParent)

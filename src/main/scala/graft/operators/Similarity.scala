@@ -102,7 +102,15 @@ object Similarity {
     require(nBits % bandBits == 0)
     val nChunks = nBits / bandBits
     val emb = PartitionUtil.spread(emb0, "vec_id")
-    val dim = 64 // fixture embedding dimensionality
+    // Embedding width read from the data itself (one single-row lookup — the
+    // same bounded-metadata class as a broadcast dim table). Assumes a
+    // rectangular corpus: every vector must share the first row's width, or
+    // the sign projections silently mis-project (standard ANN-index
+    // precondition; enforce upstream if the corpus is mixed-width).
+    val dim = embeddingDim(emb0)
+    if (dim == 0) // empty corpus (or empty vectors): no pairs, correct schema
+      return emb0.limit(0).select(col("vec_id").as("vec_a"),
+        col("vec_id").as("vec_b"), lit(0.0).as("sim"))
     val signVecs = (0 until nBits).map(i => (0 until dim).map(d => hyperplaneSign(i, d)))
 
     val bits = (0 until nBits).map { i =>
@@ -133,6 +141,14 @@ object Similarity {
       .filter(col("sim") >= threshold)
       .select("vec_a", "vec_b", "sim")
   }
+
+  /** Embedding dimensionality observed in the data: the first row's array
+    * width, 0 for an empty corpus. One `LIMIT 1` job — index metadata, not a
+    * data-volume scan.
+    */
+  private def embeddingDim(emb: DataFrame): Int =
+    emb.select(size(col("embedding")).as("d")).head(1)
+      .headOption.map(_.getInt(0)).getOrElse(0)
 
   /** Symmetric int8 quantization of the embedding column — the standard
     * 4× memory compression for ANN indexes at scale. Per vector:
@@ -264,6 +280,57 @@ object Similarity {
     }: _*))
   }
 
+  /** Above this nlist, centroid assignment switches from the literal-argmin
+    * projection to the broadcast-join form: an `array_min` over nlist literal
+    * structs is a single expression tree whose codegen size grows with nlist,
+    * and SemDeDup-scale indexes (nlist ∝ n, ~100 k clusters for 5 B vectors)
+    * would blow the JVM method-size limit long before that. A few hundred
+    * literals is comfortably inside codegen limits; past it the broadcast
+    * join (one broadcast of nlist rows + a per-vector aggregate) is the
+    * shape that scales.
+    */
+  private[graft] val literalAssignMaxNlist = 256
+
+  /** Nearest-centroid assignment carrying the winning score: returns
+    * `(vec_id, embedding, centroid_id, csim)` for every input vector, with
+    * identical semantics on both paths (max cosine rounded to 6, ties to the
+    * LOWEST centroid id). Auto-switches on [[literalAssignMaxNlist]]:
+    *
+    *  - small nlist → [[nearestCentroidScored]] literal projection (narrow,
+    *    no exchange, the measured winner at fixture scale);
+    *  - wide nlist → broadcast join + per-vector `max_by` aggregate (the
+    *    100 TB shape: codegen size is independent of nlist). This path
+    *    groups by `vec_id`, so it also deduplicates — inputs must be unique
+    *    by `vec_id` for the two paths to agree (asserted in the suite).
+    *
+    * An EMPTY centroid set (empty input corpus) short-circuits to an empty
+    * frame of the same schema — public entry points built on this
+    * ([[ivfIndex]], [[semanticDedup]], [[kmeansClusterStats]]) therefore
+    * return empty results on empty input instead of throwing.
+    */
+  private[graft] def assignScored(emb: DataFrame,
+                                  cents: Seq[(Long, Array[Double])],
+                                  litMax: Int = literalAssignMaxNlist): DataFrame =
+    if (cents.isEmpty)
+      emb.limit(0).select(col("vec_id"), col("embedding"),
+        lit(null).cast("long").as("centroid_id"), lit(null).cast("double").as("csim"))
+    else if (cents.size <= litMax)
+      // select twice so the argmin struct evaluates once per row
+      emb.select(col("vec_id"), col("embedding"),
+          nearestCentroidScored(cents).as("nc"))
+        .select(col("vec_id"), col("embedding"),
+          col("nc.cid").as("centroid_id"), (-col("nc.neg")).as("csim"))
+    else
+      emb.crossJoin(broadcast(centroidsToDF(emb.sparkSession, cents)))
+        .withColumn("c", round(VecF.cosine(col("embedding"), col("cvec")), 6))
+        .groupBy(col("vec_id"))
+        .agg(
+          first(col("embedding")).as("embedding"),
+          max_by(col("centroid_id"), struct(col("c"), -col("centroid_id")))
+            .as("centroid_id"),
+          max(col("c")).as("csim"))
+        .select(col("vec_id"), col("embedding"), col("centroid_id"), col("csim"))
+
   /** Lloyd centroids as driver-local VALUES: one collect of the full
     * iters-deep [[lloydCentroids]] plan.
     *
@@ -335,15 +402,20 @@ object Similarity {
     * probes should persist the assignment (with an eager barrier) — the
     * Lloyd passes and the corpus assignment are the expensive part; each
     * [[ivfSearch]] afterwards touches only `nprobe` buckets.
+    *
+    * Input must be unique by `vec_id` (the usual corpus invariant): below
+    * [[literalAssignMaxNlist]] the assignment is a narrow projection that
+    * would pass duplicates through 1:1, above it a per-vector aggregate
+    * that would collapse them — keep ids unique so both paths agree.
     */
   def ivfIndex(emb: DataFrame, nlist: Int, iters: Int): (DataFrame, DataFrame) = {
     val cents = lloydCentroidsLocalValues(emb, nlist, iters)
-    // nearest centroid per vector (max cosine, tie -> lower id) as a narrow
-    // literal projection — the centroid relation is still returned for
-    // storage ([[ivfStore]]) and probe scoring ([[ivfSearch]])
-    val assigned = emb.select(col("vec_id"),
-      nearestCentroidScored(cents).getField("cid").as("centroid_id"),
-      col("embedding"))
+    // nearest centroid per vector (max cosine, tie -> lower id); narrow
+    // literal projection below the nlist cap, broadcast join above — the
+    // centroid relation is still returned for storage ([[ivfStore]]) and
+    // probe scoring ([[ivfSearch]])
+    val assigned = assignScored(emb, cents)
+      .select(col("vec_id"), col("centroid_id"), col("embedding"))
     (broadcast(centroidsToDF(emb.sparkSession, cents)), assigned)
   }
 
@@ -422,12 +494,12 @@ object Similarity {
     * order-dependent float accumulation.
     */
   def kmeansClusterStats(emb: DataFrame, nlist: Int = 4, iters: Int = 2): DataFrame = {
-    // the literal argmin already scores the chosen centroid, so the old
-    // assign + join-back-to-centroids + rescore collapses into one narrow
-    // projection (select twice so the argmin evaluates once per row)
+    // the scored assignment already carries the chosen centroid's cosine, so
+    // the old assign + join-back-to-centroids + rescore collapses into the
+    // assignment pass itself (narrow projection below the nlist cap)
     val cents = lloydCentroidsLocalValues(emb, nlist, iters)
-    emb.select(nearestCentroidScored(cents).as("nc"))
-      .select(col("nc.cid").as("centroid_id"), (-col("nc.neg")).as("csim"))
+    assignScored(emb, cents)
+      .select(col("centroid_id"), col("csim"))
       .groupBy(col("centroid_id"))
       .agg(
         count(lit(1)).as("n_vectors"),
@@ -487,15 +559,19 @@ object Similarity {
     * and the survivor anti-join), so it is materialized once behind a
     * [[Materialize.barrier]] — `checkpointDir` switches it to the
     * executor-loss-safe reliable mode like every other dedup barrier.
+    *
+    * Assignment auto-switches at [[literalAssignMaxNlist]] from the literal
+    * argmin projection to the broadcast join, so SemDeDup-scale `nlist ∝ n`
+    * sizing (the paper's ~100 k clusters) never hits codegen expression
+    * limits. Input must be unique by `vec_id` (see [[ivfIndex]]).
     */
   def semanticDedup(emb: DataFrame, nlist: Int = 4, iters: Int = 4,
                     threshold: Double = 0.45,
                     checkpointDir: Option[String] = None): DataFrame = {
     val cents = lloydCentroidsLocalValues(emb, nlist, iters)
     val assigned = Materialize.barrier(
-      PartitionUtil.spread(emb, "vec_id")
-        .select(col("vec_id"),
-          nearestCentroidScored(cents).getField("cid").as("centroid_id"),
+      assignScored(PartitionUtil.spread(emb, "vec_id"), cents)
+        .select(col("vec_id"), col("centroid_id"),
           col("embedding"), VecF.norm(col("embedding")).as("nrm")),
       checkpointDir)
     val a = assigned.select(col("centroid_id").as("cid"), col("vec_id").as("vec_a"),

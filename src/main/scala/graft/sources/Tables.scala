@@ -28,6 +28,15 @@ object Tables {
     * and nanos are floor-truncated exactly like DuckDB's TIMESTAMP_NS cast).
     */
   private def events(spark: SparkSession, dir: String): DataFrame = {
+    // The NTZ->TIMESTAMP cast below is value-preserving ONLY under a UTC
+    // session timezone (every in-repo session builder pins it). A caller's
+    // own non-UTC session would silently shift timestamps relative to the
+    // DuckDB oracle's view of the file — fail loudly instead.
+    val tz = spark.conf.get("spark.sql.session.timeZone",
+      java.util.TimeZone.getDefault.getID)
+    require(tz == "UTC",
+      s"Tables.events requires spark.sql.session.timeZone=UTC (got '$tz'): " +
+        "the events.ts NTZ cast is only value-preserving under UTC")
     // Scope the legacy conf to this load: save and restore around the read so
     // later parquet reads in the same session don't silently inherit
     // nanos-as-long semantics. The conf is a no-op for micros fixtures.

@@ -82,6 +82,22 @@ class BookkeepingSpec extends AnyFunSuite {
         "re-run graft.Bench and quote the artifact")
   }
 
+  test("bench artifacts carry load provenance (loadavg + run count)") {
+    // round-9's 72-vs-43 s driver-vs-idle bench dispute took a manual re-run
+    // to adjudicate. graft.Bench and tools/bench_variance.py now stamp the
+    // 1-min loadavg (start/end) and the measured-run count into both
+    // artifacts so a load-skewed refresh is self-documenting — keep them.
+    val times = Files.readString(Paths.get("BENCH_TIMES.json"))
+    for (k <- Seq("loadavg_start", "loadavg_end", "runs_per_query"))
+      assert(times.contains("\"" + k + "\""),
+        s"BENCH_TIMES.json missing provenance field $k — re-run graft.Bench " +
+          "(or tools/bench_variance.py over fresh runs)")
+    val variance = Files.readString(Paths.get("BENCH_VARIANCE.json"))
+    for (k <- Seq("loadavg_start", "loadavg_end", "runs_per_query"))
+      assert(variance.contains("\"" + k + "\""),
+        s"BENCH_VARIANCE.json missing provenance field $k — re-run tools/bench_variance.py")
+  }
+
   test("BENCH_TIMES.json records no failed queries") {
     // a -1 sentinel means a query crashed during the bench run; committing
     // such an artifact would undercount the total and hide the failure
@@ -143,7 +159,8 @@ class BookkeepingSpec extends AnyFunSuite {
     assert(Files.exists(path), "BENCH_TIMES.json missing — run `runMain graft.Bench`")
     val json = Files.readString(path)
     val timed = "\"([A-Za-z0-9_]+)\": *-?[0-9.]+".r
-      .findAllMatchIn(json).map(_.group(1)).toSet -- Set("value")
+      .findAllMatchIn(json).map(_.group(1)).toSet --
+      Set("value", "loadavg_start", "loadavg_end", "runs_per_query")
     val declared = SparkEntry.queries.keySet
     assert((declared -- timed).isEmpty,
       s"queries missing from BENCH_TIMES.json: ${declared -- timed} — re-run graft.Bench")

@@ -750,4 +750,302 @@ class ScaleToolsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       f"10x chunks grew doc_pack wall-time $ratio%.1fx " +
         f"(t1=${math.min(t1a, t1b)}%.2fs t2=${math.min(t2a, t2b)}%.2fs)")
   }
+
+  // hash-uniform double in [-1, 1] — shared fixture scaffolding for the
+  // embedding gates below
+  private def uh(cols: Column*): Column =
+    pmod(xxhash64(cols: _*), lit(2001)).cast("double") / 1000.0 - 1.0
+
+  test("centroid assignment: broadcast-join path matches the literal-argmin path exactly") {
+    import graft.operators.Similarity
+    // the round-9 verdict's nlist-cap fix: above literalAssignMaxNlist the
+    // assignment switches from the literal argmin projection to a broadcast
+    // join. The two paths must agree row-for-row — same winning centroid
+    // (max cosine rounded to 6, ties to the LOWEST id) and same score — or
+    // the switch silently changes results at SemDeDup scale.
+    val emb = spark.range(500).select(
+      col("id").as("vec_id"),
+      array((0 until 64).map(d => uh(lit("ap"), col("id"), lit(d))): _*)
+        .as("embedding")).localCheckpoint()
+    val cents = Similarity.lloydCentroidsLocalValues(emb, nlist = 20, iters = 2)
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "centroid_id", "csim").orderBy("vec_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val lit20 = snap(Similarity.assignScored(emb, cents)) // 20 <= cap: literal
+    val bcast = snap(Similarity.assignScored(emb, cents, litMax = 0)) // forced join
+    assert(lit20.size == 500)
+    assert(lit20 == bcast,
+      s"literal vs broadcast assignment diverge: ${lit20.zip(bcast).find(p => p._1 != p._2)}")
+    // ADVICE round-9: empty input (=> empty centroid set) short-circuits to
+    // an empty frame instead of throwing from the public entry points
+    val empty = emb.limit(0)
+    assert(Similarity.semanticDedup(empty, nlist = 4, iters = 0).count() == 0)
+    assert(Similarity.kmeansClusterStats(empty, nlist = 4, iters = 0).count() == 0)
+  }
+
+  test("dedup_semantic at SemDeDup nlist ∝ n sizing survives 10x: wide-nlist broadcast path") {
+    import graft.operators.Similarity
+    // The paper's sizing (nlist ∝ n, ~100k clusters for 5B vectors) puts
+    // nlist far past the literal-argmin codegen cap: this gate pins the
+    // broadcast-join assignment path at nlist = n/4 (300 -> 3000 centroids,
+    // both >literalAssignMaxNlist). Planted groups of 4 IDENTICAL vectors
+    // (group g = ids {g, g+n/4, g+2n/4, g+3n/4}); with iters=0 the seedless
+    // init (ids < n/4) yields exactly one centroid per group, every member's
+    // cosine to its own centroid is exactly 1.0 (any foreign centroid needs
+    // an 8-sigma hash fluke to tie at 6 decimals), so exactly the lowest id
+    // of each group must survive at BOTH scales.
+    assert(1200 / 4 > Similarity.literalAssignMaxNlist,
+      "fixture nlist no longer exercises the broadcast path — resize it")
+    def fixture(n: Int) = spark.range(n).select(
+      col("id").as("vec_id"),
+      array((0 until 64).map { d =>
+        uh(lit("wn"), pmod(col("id"), lit(n / 4)), lit(d))
+      }: _*).as("embedding"))
+    def run(n: Int): (Long, Long, Int, Double) = {
+      val emb = fixture(n).localCheckpoint()
+      var survivors = 0L
+      var canonical = 0L
+      val t0 = System.nanoTime()
+      val jobs = countJobs(s"semwide-$n-${System.nanoTime()}") {
+        val kept = Similarity.semanticDedup(
+          emb, nlist = n / 4, iters = 0, threshold = 0.8)
+        survivors = kept.count()
+        canonical = kept.filter(col("vec_id") < n / 4).count()
+      }
+      (survivors, canonical, jobs, (System.nanoTime() - t0) / 1e9)
+    }
+    run(1200) // warm plan shapes/codegen
+    val (s1, c1, j1, t1a) = run(1200)
+    val (_, _, _, t1b) = run(1200)
+    val (s2, c2, j2, t2a) = run(12000)
+    val (_, _, _, t2b) = run(12000)
+    assert(s1 == 300 && c1 == 300, s"1x kept $s1 survivors / $c1 canonical (expect 300/300)")
+    assert(s2 == 3000 && c2 == 3000, s"10x kept $s2 survivors / $c2 canonical (expect 3000/3000)")
+    assert(j2 <= j1 + 4,
+      s"10x vectors grew the wide-nlist job count $j1 -> $j2 — a data-dependent job structure crept in")
+    val ratio = math.min(t2a, t2b) / math.min(t1a, t1b)
+    assert(ratio <= 30.0,
+      f"10x vectors grew wide-nlist dedup_semantic wall-time $ratio%.1fx " +
+        f"(t1=${math.min(t1a, t1b)}%.2fs t2=${math.min(t2a, t2b)}%.2fs)")
+  }
+
+  test("hyperplane LSH derives the embedding width from the data: 32-dim planted pairs recovered") {
+    import graft.operators.Similarity
+    // round-9 verdict: dim was hardcoded to the 64-wide fixture; a 32-dim
+    // corpus would have silently projected against truncated sign vectors.
+    // 100 planted near-identical pairs (ids 2i/2i+1, odd member = base plus
+    // 5% hash noise, cos ~0.997) among nothing else: the LSH path must
+    // recover EXACTLY the planted pairs — recall via banding on the real
+    // width, precision via the exact-cosine verify.
+    val n = 200
+    val emb = spark.range(n).select(
+      col("id").as("vec_id"),
+      array((0 until 32).map { d =>
+        uh(lit("b32"), (col("id") / 2).cast("long"), lit(d)) +
+          when(col("id") % 2 === 1, uh(lit("n32"), col("id"), lit(d)) * 0.05)
+            .otherwise(0.0)
+      }: _*).as("embedding")).localCheckpoint()
+    val pairs = Similarity.embeddingLshPairs(emb, threshold = 0.8, nBits = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (0 until n / 2).map(i => (2L * i, 2L * i + 1)).toSet
+    assert(pairs == planted,
+      s"32-dim LSH recovered ${pairs.size} pairs, expected the ${planted.size} planted: " +
+        s"missing=${(planted -- pairs).take(5)} extra=${(pairs -- planted).take(5)}")
+    // quantize path on the same non-64 width: fused expression == reference
+    val fused = Similarity.quantizeInt8(emb).collect().toSeq
+    val ref = Similarity.quantizeInt8Reference(emb).collect().toSeq
+    assert(fused == ref, "32-dim quantize: fused expression diverges from reference")
+    // empty corpus: width is underivable — must yield an empty pair set, not throw
+    assert(Similarity.embeddingLshPairs(emb.limit(0), threshold = 0.8).count() == 0)
+  }
+
+  test("dedup_minhash_lsh standalone survives 10x docs: exact planted recovery, flat job count") {
+    import graft.operators.Dedup
+    // the shipped dedup_minhash_lsh entry runs minHashLshPairs ALONE (the
+    // dedup_apply gate covers the chained form): planted triplet clusters
+    // sharing a 30-token body (pairwise shingle Jaccard ~0.93) among 70%
+    // fully-unique singletons — exactly 3 pairs per planted cluster, found
+    // via band equi-join + exact-Jaccard verify, never doc x doc.
+    def fixture(nDocs: Int) = spark.range(nDocs).select(
+      col("id").as("doc_id"),
+      array_join(
+        when(col("id") % 10 < 3,
+          concat(
+            transform(sequence(lit(0), lit(29)),
+              j => concat_ws("_", lit("c"), (col("id") / 10).cast("long"), j)),
+            array(concat_ws("_", lit("u"), col("id")))))
+        .otherwise(
+          transform(sequence(lit(0), lit(30)),
+            j => concat_ws("_", lit("u"), col("id"), j))),
+        " ").as("text"))
+    def run(nDocs: Int): (Long, Int, Double) = {
+      var pairRows = 0L
+      val t0 = System.nanoTime()
+      val jobs = countJobs(s"mh10x-$nDocs-${System.nanoTime()}") {
+        pairRows = Dedup.minHashLshPairs(fixture(nDocs), "doc_id", "text",
+          k = 3, numPerm = 64, bands = 16, threshold = 0.5).count()
+      }
+      (pairRows, jobs, (System.nanoTime() - t0) / 1e9)
+    }
+    run(1000) // warm plan shapes/codegen
+    val (p1, j1, t1a) = run(1000)
+    val (_, _, t1b) = run(1000)
+    val (p2, j2, t2a) = run(10000)
+    val (_, _, t2b) = run(10000)
+    assert(p1 == 300, s"1x found $p1 pairs (expect 300)")
+    assert(p2 == 3000, s"10x found $p2 pairs (expect 3000)")
+    assert(j2 <= j1 + 4,
+      s"10x docs grew the minhash job count $j1 -> $j2 — a data-dependent job structure crept in")
+    val ratio = math.min(t2a, t2b) / math.min(t1a, t1b)
+    assert(ratio <= 30.0,
+      f"10x docs grew minhash wall-time $ratio%.1fx " +
+        f"(t1=${math.min(t1a, t1b)}%.2fs t2=${math.min(t2a, t2b)}%.2fs)")
+  }
+
+  test("knn_join survives 10x corpus: exact planted neighbors, flat job count") {
+    import graft.operators.Similarity
+    // the bounded-buffer claim behind knn_join AND grouped_topk (both ride
+    // TopKAggregator): 8 probes, each with 5 planted exact copies in the
+    // corpus (ids 5p..5p+4, cosine exactly 1.0); the rest is hash noise that
+    // cannot tie 1.0 at 6 decimals. Top-5 per probe must be exactly the
+    // planted ids at BOTH scales, with the probe batch broadcast and the
+    // corpus streaming through one narrow pass + the bounded-buffer agg —
+    // job structure must not grow with corpus volume.
+    val nProbes = 8
+    def fixture(n: Int) = spark.range(n).select(
+      col("id").as("vec_id"),
+      array((0 until 64).map { d =>
+        when(col("id") < nProbes * 5,
+          uh(lit("kp"), (col("id") / 5).cast("long"), lit(d)))
+          .otherwise(uh(lit("kr"), col("id"), lit(d)))
+      }: _*).as("embedding"))
+    val probes = spark.range(nProbes).select(
+      (col("id") + 1000000).as("vec_id"),
+      array((0 until 64).map(d => uh(lit("kp"), col("id"), lit(d))): _*)
+        .as("embedding")).localCheckpoint()
+    def run(n: Int): (Seq[(Long, Long, Double)], Int, Double) = {
+      val emb = fixture(n).localCheckpoint()
+      var out: Seq[(Long, Long, Double)] = Nil
+      val t0 = System.nanoTime()
+      val jobs = countJobs(s"knn10x-$n-${System.nanoTime()}") {
+        out = Similarity.knnJoin(emb, probes, k = 5)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3))).toSeq
+      }
+      (out, jobs, (System.nanoTime() - t0) / 1e9)
+    }
+    def check(out: Seq[(Long, Long, Double)], scale: String): Unit = {
+      assert(out.size == nProbes * 5, s"$scale returned ${out.size} rows (expect ${nProbes * 5})")
+      assert(out.forall(_._3 == 1.0), s"$scale top-5 contains a non-exact match")
+      val byProbe = out.groupBy(_._1).map { case (p, rs) => p -> rs.map(_._2).toSet }
+      val expected = (0 until nProbes)
+        .map(p => (p + 1000000L) -> (5L * p until 5L * p + 5).toSet).toMap
+      assert(byProbe == expected, s"$scale neighbor sets diverge from planted")
+    }
+    run(20000) // warm plan shapes/codegen
+    val (o1, j1, t1a) = run(20000)
+    val (_, _, t1b) = run(20000)
+    val (o2, j2, t2a) = run(200000)
+    val (_, _, t2b) = run(200000)
+    check(o1, "1x"); check(o2, "10x")
+    assert(j2 <= j1 + 4,
+      s"10x corpus grew the knn_join job count $j1 -> $j2 — a data-dependent job structure crept in")
+    val ratio = math.min(t2a, t2b) / math.min(t1a, t1b)
+    assert(ratio <= 30.0,
+      f"10x corpus grew knn_join wall-time $ratio%.1fx " +
+        f"(t1=${math.min(t1a, t1b)}%.2fs t2=${math.min(t2a, t2b)}%.2fs)")
+  }
+
+  test("text_tfidf survives 10x docs: hot-term fan-out stays linear, flat job count") {
+    import graft.operators.TextAnalysis
+    // tf-idf's scale risk is the df-join fan-out on hot terms (a term in
+    // EVERY doc). Fixture: 3 corpus-wide hot terms (idf = log(1) = 0) plus
+    // 10 unique terms per doc (df=1, idf=log n): the top-3 per doc must be
+    // unique terms scoring exactly round(log n, 6), rows = 3n at both
+    // scales. The join output stays one row per (doc, term) — linear — and
+    // the per-doc window sees <= 13 rows, so job structure and wall growth
+    // must stay flat.
+    def fixture(n: Int) = spark.range(n).select(
+      col("id").as("doc_id"),
+      concat_ws(" ",
+        lit("hot1"), lit("hot2"), lit("hot3"),
+        concat_ws(" ", transform(sequence(lit(0), lit(9)),
+          j => concat_ws("_", lit("u"), col("id"), j)))).as("text"))
+    def run(n: Int): (Long, Long, Int, Double) = {
+      var rows = 0L
+      var exact = 0L
+      val t0 = System.nanoTime()
+      val jobs = countJobs(s"tfidf10x-$n-${System.nanoTime()}") {
+        val top = TextAnalysis.tfidfTopTerms(fixture(n), k = 3)
+        rows = top.count()
+        exact = top.filter(
+          col("tfidf") === math.rint(math.log(n.toDouble) * 1e6) / 1e6 &&
+            col("term").startsWith("u_")).count()
+      }
+      (rows, exact, jobs, (System.nanoTime() - t0) / 1e9)
+    }
+    run(2000) // warm plan shapes/codegen
+    val (r1, e1, j1, t1a) = run(2000)
+    val (_, _, _, t1b) = run(2000)
+    val (r2, e2, j2, t2a) = run(20000)
+    val (_, _, _, t2b) = run(20000)
+    assert(r1 == 6000 && e1 == 6000, s"1x top-3 rows $r1, exact-scored $e1 (expect 6000/6000)")
+    assert(r2 == 60000 && e2 == 60000, s"10x top-3 rows $r2, exact-scored $e2 (expect 60000/60000)")
+    assert(j2 <= j1 + 4,
+      s"10x docs grew the tfidf job count $j1 -> $j2 — a data-dependent job structure crept in")
+    val ratio = math.min(t2a, t2b) / math.min(t1a, t1b)
+    assert(ratio <= 30.0,
+      f"10x docs grew tfidf wall-time $ratio%.1fx " +
+        f"(t1=${math.min(t1a, t1b)}%.2fs t2=${math.min(t2a, t2b)}%.2fs)")
+  }
+
+  test("ivfAppend survives 10x batch: volume-independent jobs, append == fresh assignment") {
+    import graft.operators.Similarity
+    // index maintenance must not re-touch the corpus: appending a batch is
+    // one broadcast of the STORED centroids + one narrow assignment + a
+    // parquet append, whatever the batch size. Planted check: the appended
+    // rows must equal a fresh assignAll against the same stored centroids
+    // (the suite pins this at fixture scale; here at 10x the batch).
+    val base = spark.range(500).select(
+      col("id").as("vec_id"),
+      array((0 until 64).map(d => uh(lit("ib"), col("id"), lit(d))): _*)
+        .as("embedding")).localCheckpoint()
+    def batch(n: Int) = spark.range(n).select(
+      (col("id") + 1000000).as("vec_id"),
+      array((0 until 64).map(d => uh(lit("nb"), col("id"), lit(d))): _*)
+        .as("embedding")).localCheckpoint()
+    def run(n: Int): (Long, Int, Double) = {
+      val dir = java.nio.file.Files.createTempDirectory(s"ivf-append-$n").toString
+      Similarity.ivfStore(base, dir, nlist = 8, iters = 2)
+      val nv = batch(n)
+      val t0 = System.nanoTime()
+      val jobs = countJobs(s"ivfapp10x-$n-${System.nanoTime()}") {
+        Similarity.ivfAppend(spark, dir, nv)
+      }
+      val dt = (System.nanoTime() - t0) / 1e9
+      // appended rows == fresh assignment against the same stored centroids
+      val appended = spark.read.parquet(s"$dir/assigned")
+        .filter(col("vec_id") >= 1000000)
+        .select(col("vec_id"), col("centroid_id").as("got"))
+      val fresh = Similarity.assignAll(nv,
+          spark.read.parquet(s"$dir/centroids"))
+        .select(col("vec_id"), col("centroid_id").as("want"))
+      val diverged = appended.join(fresh, "vec_id")
+        .filter(col("got") =!= col("want")).count()
+      assert(diverged == 0, s"$diverged appended rows diverge from fresh assignment")
+      assert(appended.count() == n, s"appended ${appended.count()} of $n batch rows")
+      (n.toLong, jobs, dt)
+    }
+    run(2000) // warm plan shapes/codegen
+    val (_, j1, t1a) = run(2000)
+    val (_, _, t1b) = run(2000)
+    val (_, j2, t2a) = run(20000)
+    val (_, _, t2b) = run(20000)
+    assert(j2 <= j1 + 4,
+      s"10x batch grew the ivfAppend job count $j1 -> $j2 — a data-dependent job structure crept in")
+    val ratio = math.min(t2a, t2b) / math.min(t1a, t1b)
+    assert(ratio <= 30.0,
+      f"10x batch grew ivfAppend wall-time $ratio%.1fx " +
+        f"(t1=${math.min(t1a, t1b)}%.2fs t2=${math.min(t2a, t2b)}%.2fs)")
+  }
 }

@@ -44,6 +44,12 @@ out = {
     "unit": "sec",
     "runs": len(runs),
     "sf": runs[0]["sf"],
+    # load provenance: per-run 1-min loadavg at start/end as recorded by
+    # graft.Bench (round-9's 72-vs-43s driver-vs-idle dispute needed a manual
+    # re-run to adjudicate; with loadavg in the artifact it is self-evident)
+    "loadavg_start": [r.get("loadavg_start") for r in runs],
+    "loadavg_end": [r.get("loadavg_end") for r in runs],
+    "runs_per_query": sum(r.get("runs_per_query") or 2 for r in runs),
     "total": stats([r["value"] for r in runs]),
     "queries": {q: stats([r["queries"][q] for r in runs]) for q in sorted(names)},
 }
@@ -62,7 +68,13 @@ times_path = os.path.join(root, "BENCH_TIMES.json")
 with open(times_path, "w") as f:
     f.write('{\n  "metric": "total",\n  "value": ' + str(total_min) +
             ',\n  "unit": "sec",\n  "sf": "' + runs[0]["sf"] +
-            '",\n  "failed": [],\n  "queries": {\n' + lines + "\n  }\n}\n")
+            '",\n  "failed": [],\n  "loadavg_start": ' +
+            json.dumps([r.get("loadavg_start") for r in runs]) +
+            ',\n  "loadavg_end": ' +
+            json.dumps([r.get("loadavg_end") for r in runs]) +
+            ',\n  "runs_per_query": ' +
+            str(sum(r.get("runs_per_query") or 2 for r in runs)) +
+            ',\n  "queries": {\n' + lines + "\n  }\n}\n")
 print(f"wrote {times_path}: min-of-{len(runs)} total {total_min} s")
 noisy = sorted(out["queries"].items(),
                key=lambda kv: -kv[1]["stddev"])[:8]
