@@ -23,6 +23,126 @@ object ExtensionOracleSql {
        |        i -> array_to_string(list_slice(toks, i, i + ${k - 1}), ' '))
        | ELSE [] END""".stripMargin
 
+  /** Shared CTE chain for the fuzzy-decontamination pair: mutated holdout
+    * (~10% of token values rewritten, hash-selected), per-side shingle-hash
+    * sets, MinHash signatures (64 perms), 32×2 banding, bipartite candidate
+    * join, exact-Jaccard verification. Ends with CTE `j(doc_id, hold_id,
+    * jaccard)` — consumers filter on the threshold.
+    */
+  private val fuzzyContaminationCtes: String =
+    s"""WITH ho AS (
+       |  SELECT doc_id AS hold_id,
+       |    array_to_string(list_transform($toksOf,
+       |      t -> CASE WHEN ${h60("t")} % 10 = 0 THEN 'xqz' ELSE t END), ' ') AS text
+       |  FROM documents WHERE doc_id % 97 = 0),
+       |tt AS (SELECT doc_id, $toksOf AS toks FROM documents),
+       |ht AS (SELECT hold_id, $toksOf AS toks FROM ho),
+       |tsh AS (SELECT doc_id, ${shinglesOf(3)} AS sh FROM tt),
+       |hsh AS (SELECT hold_id, ${shinglesOf(3)} AS sh FROM ht),
+       |ths AS (SELECT doc_id, list_distinct(list_transform(sh, s -> ${h60("s")})) AS hs
+       |        FROM tsh WHERE len(sh) > 0),
+       |hhs AS (SELECT hold_id, list_distinct(list_transform(sh, s -> ${h60("s")})) AS hs
+       |        FROM hsh WHERE len(sh) > 0),
+       |tex AS (SELECT doc_id, unnest(hs) % 2147483647 AS hm FROM ths),
+       |hex AS (SELECT hold_id, unnest(hs) % 2147483647 AS hm FROM hhs),
+       |perms AS (SELECT unnest(range(0, 64)) AS i),
+       |tmins AS (
+       |  SELECT doc_id, i,
+       |    MIN((CAST(1 + 7919 * i AS BIGINT) * hm + (104729 * i) % 2147483647) % 2147483647) AS m
+       |  FROM tex CROSS JOIN perms GROUP BY doc_id, i),
+       |hmins AS (
+       |  SELECT hold_id, i,
+       |    MIN((CAST(1 + 7919 * i AS BIGINT) * hm + (104729 * i) % 2147483647) % 2147483647) AS m
+       |  FROM hex CROSS JOIN perms GROUP BY hold_id, i),
+       |tbands AS (
+       |  SELECT doc_id, i // 2 AS band_id, string_agg(CAST(m AS VARCHAR), '_' ORDER BY i) AS sig
+       |  FROM tmins GROUP BY doc_id, i // 2),
+       |hbands AS (
+       |  SELECT hold_id, i // 2 AS band_id, string_agg(CAST(m AS VARCHAR), '_' ORDER BY i) AS sig
+       |  FROM hmins GROUP BY hold_id, i // 2),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id, b.hold_id
+       |  FROM tbands a JOIN hbands b ON a.band_id = b.band_id AND a.sig = b.sig),
+       |j AS (
+       |  SELECT cand.doc_id, cand.hold_id,
+       |    round(CAST(len(list_intersect(ta.hs, hb.hs)) AS DOUBLE) /
+       |          (len(ta.hs) + len(hb.hs) - len(list_intersect(ta.hs, hb.hs))), 6) AS jaccard
+       |  FROM cand
+       |  JOIN ths ta ON ta.doc_id = cand.doc_id
+       |  JOIN hhs hb ON hb.hold_id = cand.hold_id)""".stripMargin
+
+  /** Shared CTE chain for the semantic-decontamination pair: perturbed
+    * holdout (every 41st vector, one vec_id-selected dimension zeroed),
+    * 16-bit hyperplane signatures per side, bipartite 4×4-bit chunk join,
+    * exact-cosine verification. Ends with CTE `j(vec_id, hold_id, sim)` —
+    * consumers filter on the threshold.
+    */
+  private lazy val semanticContaminationCtes: String =
+    s"""WITH ho AS (
+       |  SELECT vec_id AS hold_id,
+       |    list_concat(list_concat(
+       |      list_slice(embedding, 1, k - 1),
+       |      [CAST(0.0 AS FLOAT)]),
+       |      list_slice(embedding, k + 1, len(embedding))) AS embedding
+       |  FROM (SELECT vec_id, embedding,
+       |          CAST(vec_id % len(embedding) AS INT) + 1 AS k
+       |        FROM embeddings WHERE vec_id % 41 = 0)),
+       |v AS (
+       |  SELECT vec_id, embedding,
+       |    ${(0 until 4).map(c => (4 * c until 4 * c + 4).map(bitExpr).mkString("(", " + ", s") AS chunk$c")).mkString(",\n    ")},
+       |    ${nrm("embedding")} AS nrm
+       |  FROM embeddings),
+       |hv AS (
+       |  SELECT hold_id, embedding,
+       |    ${(0 until 4).map(c => (4 * c until 4 * c + 4).map(bitExpr).mkString("(", " + ", s") AS chunk$c")).mkString(",\n    ")},
+       |    ${nrm("embedding")} AS nrm
+       |  FROM ho),
+       |ch AS (
+       |  SELECT vec_id, c AS chunk_id,
+       |    CASE c WHEN 0 THEN chunk0 WHEN 1 THEN chunk1 WHEN 2 THEN chunk2 ELSE chunk3 END AS chunk_val
+       |  FROM v CROSS JOIN (SELECT unnest(range(0, 4)) AS c)),
+       |hch AS (
+       |  SELECT hold_id, c AS chunk_id,
+       |    CASE c WHEN 0 THEN chunk0 WHEN 1 THEN chunk1 WHEN 2 THEN chunk2 ELSE chunk3 END AS chunk_val
+       |  FROM hv CROSS JOIN (SELECT unnest(range(0, 4)) AS c)),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id, b.hold_id
+       |  FROM ch a JOIN hch b ON a.chunk_id = b.chunk_id AND a.chunk_val = b.chunk_val),
+       |j AS (
+       |  SELECT cand.vec_id, cand.hold_id,
+       |    round(${dot("va.embedding", "vb.embedding")} / (va.nrm * vb.nrm), 6) AS sim
+       |  FROM cand JOIN v va ON va.vec_id = cand.vec_id
+       |            JOIN hv vb ON vb.hold_id = cand.hold_id)""".stripMargin
+
+  /** The chained BPE merge-round CTEs (in lock-step with
+    * graft.operators.TextAnalysis.bpeTrain): word-type table, per-round
+    * adjacent-pair counts, top-pair pick, greedy left-to-right merge via
+    * list_reduce's first-element-seeded fold.
+    */
+  private def bpeCtes(nMerges: Int): String = {
+    val w0 =
+      s"""w0 AS (
+         |  SELECT word, cnt, list_transform(range(1, len(word) + 1), i -> word[i:i]) AS syms
+         |  FROM (SELECT t AS word, COUNT(*) AS cnt
+         |        FROM (SELECT unnest($toksOf) AS t FROM documents) GROUP BY t))""".stripMargin
+    val rounds = (1 to nMerges).map { r =>
+      s"""p$r AS (
+         |  SELECT syms[i] AS sym_a, syms[i + 1] AS sym_b, SUM(cnt) AS freq
+         |  FROM w${r - 1}, unnest(range(1, len(syms))) AS u(i)
+         |  GROUP BY syms[i], syms[i + 1]),
+         |t$r AS (SELECT sym_a, sym_b, freq FROM p$r
+         |        ORDER BY freq DESC, sym_a, sym_b LIMIT 1),
+         |w$r AS (
+         |  SELECT word, cnt, string_split(list_reduce(syms, (acc, x) -> CASE
+         |      WHEN (acc = t.sym_a OR right(acc, len(t.sym_a) + 1) = ' ' || t.sym_a)
+         |           AND x = t.sym_b
+         |      THEN left(acc, len(acc) - len(t.sym_a)) || t.sym_a || t.sym_b
+         |      ELSE acc || ' ' || x END), ' ') AS syms
+         |  FROM w${r - 1} CROSS JOIN t$r t)""".stripMargin
+    }
+    (w0 +: rounds).mkString("WITH ", ",\n", "")
+  }
+
   private def dot(a: String, b: String) =
     s"list_sum(list_transform(range(1, len($a) + 1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
   private def nrm(a: String) = s"sqrt(${dot(a, a)})"
@@ -280,6 +400,169 @@ object ExtensionOracleSql {
          |dropped AS (SELECT doc_id FROM runs WHERE max_run + 12 >= 20)
          |SELECT d.doc_id, d.source FROM documents d
          |WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // FUZZY decontamination: MinHash-LSH between the corpus and a holdout
+    // whose token VALUES are ~10% rewritten (hash-selected, so both engines
+    // mutate identically) — paraphrase-style contamination that breaks the
+    // verbatim 13-gram runs but keeps most of the 3-shingle set. Bipartite
+    // banding (64 perms, 32 bands of 2 rows), exact-Jaccard verified, in
+    // lock-step with graft.operators.Dedup.fuzzyContamination.
+    "decontaminate_fuzzy" ->
+      s"""$fuzzyContaminationCtes
+         |SELECT doc_id, hold_id, jaccard FROM j WHERE jaccard >= 0.4
+         |ORDER BY doc_id, hold_id""".stripMargin,
+
+    // end-to-end fuzzy decontamination: flagged docs anti-joined out
+    "decontaminate_fuzzy_apply" ->
+      s"""$fuzzyContaminationCtes
+         |SELECT d.doc_id, d.source FROM documents d
+         |WHERE d.doc_id NOT IN (SELECT DISTINCT doc_id FROM j WHERE jaccard >= 0.4)
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // Lee-et-al span REWRITE: string-verified verbatim runs >= 20 tokens
+    // shared with a lower-id doc are CUT from the higher-id copy; text is
+    // rebuilt from surviving tokens (all docs pass through the same
+    // tokenize-rejoin normalization) — in lock-step with
+    // graft.operators.Dedup.substringTrimApply
+    "dedup_substring_trim" ->
+      s"""WITH t AS (SELECT doc_id, $toksOf AS toks FROM documents),
+         |s AS (SELECT doc_id, ${shinglesOf(13)} AS sh FROM t),
+         |ex0 AS (SELECT doc_id, generate_subscripts(sh, 1) - 1 AS pos, unnest(sh) AS g
+         |        FROM s WHERE len(sh) > 0),
+         |ex AS (SELECT doc_id, pos, g, ${h60("g")} AS h FROM ex0),
+         |dfc AS (SELECT h FROM (
+         |          SELECT h, COUNT(DISTINCT doc_id) AS df FROM ex GROUP BY h)
+         |        WHERE df >= 2 AND df <= 50),
+         |idx AS (SELECT ex.doc_id, ex.pos, ex.g, ex.h FROM ex JOIN dfc USING (h)),
+         |m AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |        a.pos AS pa, b.pos AS pb
+         |      FROM idx a JOIN idx b
+         |        ON a.h = b.h AND a.g = b.g AND a.doc_id < b.doc_id),
+         |r AS (SELECT doc_b, doc_a, pb, pa - pb AS diag,
+         |        pb - row_number() OVER (PARTITION BY doc_b, doc_a, pa - pb ORDER BY pb) AS grp
+         |      FROM m),
+         |runs AS (SELECT doc_b, MIN(pb) AS strt, COUNT(*) + 12 AS len
+         |         FROM r GROUP BY doc_b, doc_a, diag, grp),
+         |spans AS (SELECT doc_b, strt, len FROM runs WHERE len >= 20),
+         |cover AS (SELECT DISTINCT doc_id, cut FROM (
+         |           SELECT doc_b AS doc_id, unnest(range(strt, strt + len)) AS cut
+         |           FROM spans)),
+         |tk AS (SELECT doc_id, generate_subscripts(toks, 1) - 1 AS pos, unnest(toks) AS tok
+         |       FROM t WHERE len(toks) > 0),
+         |kept AS (SELECT tk.doc_id, tk.pos, tk.tok
+         |         FROM tk LEFT JOIN cover c ON tk.doc_id = c.doc_id AND tk.pos = c.cut
+         |         WHERE c.doc_id IS NULL),
+         |reb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS new_text,
+         |          COUNT(*) AS n_kept
+         |        FROM kept GROUP BY doc_id),
+         |tot AS (SELECT doc_id, len(toks) AS n_toks FROM t)
+         |SELECT tot.doc_id,
+         |  COALESCE(reb.new_text, '') AS text,
+         |  CAST(tot.n_toks - COALESCE(reb.n_kept, 0) AS BIGINT) AS n_removed
+         |FROM tot LEFT JOIN reb USING (doc_id)
+         |ORDER BY tot.doc_id""".stripMargin,
+
+    // embedding-space contamination: bipartite hyperplane-LSH between the
+    // corpus and a perturbed holdout (one vec_id-selected dimension zeroed),
+    // exact-cosine verified >= 0.9 — in lock-step with
+    // graft.operators.Similarity.semanticContamination
+    "decontaminate_semantic" ->
+      s"""$semanticContaminationCtes
+         |SELECT vec_id, hold_id, sim FROM j WHERE sim >= 0.9
+         |ORDER BY vec_id, hold_id""".stripMargin,
+
+    // end-to-end semantic decontamination: flagged vectors anti-joined out
+    "decontaminate_semantic_apply" ->
+      s"""$semanticContaminationCtes
+         |SELECT e.vec_id, e.label FROM embeddings e
+         |WHERE e.vec_id NOT IN (SELECT DISTINCT vec_id FROM j WHERE sim >= 0.9)
+         |ORDER BY e.vec_id""".stripMargin,
+
+    // BPE merge training (Sennrich et al. 2016): 10 merge rounds over the
+    // word-type table, greedy left-to-right application per round — in
+    // lock-step with graft.operators.TextAnalysis.bpeTrain
+    "vocab_bpe" ->
+      s"""${bpeCtes(10)}
+         |SELECT CAST(merge_rank AS BIGINT) AS merge_rank, sym_a, sym_b,
+         |  CAST(freq AS BIGINT) AS freq
+         |FROM (
+         |  ${(1 to 10).map(r =>
+             s"SELECT $r AS merge_rank, sym_a, sym_b, freq FROM t$r").mkString("\n  UNION ALL ")})
+         |ORDER BY merge_rank""".stripMargin,
+
+    // BPE corpus encoding: every token joins the trained type table (docs
+    // with zero tokens are absent by the inner-join semantics) — in
+    // lock-step with graft.operators.TextAnalysis.bpeEncode
+    "vocab_bpe_encode" ->
+      s"""${bpeCtes(10)},
+         |tok AS (SELECT doc_id, unnest($toksOf) AS t FROM documents)
+         |SELECT tok.doc_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_words,
+         |  CAST(SUM(len(w.syms)) AS BIGINT) AS n_symbols,
+         |  CAST(CASE WHEN SUM(len(w.word)) > 0
+         |    THEN floor(CAST(SUM(len(w.syms)) * 1000 AS DOUBLE) /
+         |               CAST(SUM(len(w.word)) AS DOUBLE))
+         |    ELSE 0 END AS BIGINT) AS symbols_per_1000_chars
+         |FROM tok JOIN w10 w ON tok.t = w.word
+         |GROUP BY tok.doc_id
+         |ORDER BY tok.doc_id""".stripMargin,
+
+    // end-to-end quality gate: Gopher structure rules AND composite score
+    // >= 0.2 AND stopword-profile language-ID agreement with the declared
+    // lang ('und' abstains -> kept) — in lock-step with
+    // graft.operators.TextAnalysis.qualityFilterApply
+    "corpus_quality_apply" ->
+      s"""WITH gm AS (
+         |  SELECT doc_id, n_chars,
+         |    len($toksOf) AS n_words,
+         |    COALESCE(list_sum(list_transform($toksOf, t -> len(t))), 0) AS sum_len,
+         |    len(string_split(text, chr(10))) AS n_lines,
+         |    len(regexp_extract_all(text, '(^|\\n)[-*] ')) AS n_bullet,
+         |    len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha
+         |  FROM documents),
+         |gr AS (
+         |  SELECT doc_id, n_words,
+         |    CASE WHEN n_words > 0
+         |      THEN round(CAST(sum_len AS DOUBLE) / CAST(n_words AS DOUBLE), 6) ELSE 0.0 END AS mean_word_len,
+         |    CASE WHEN n_chars > 0
+         |      THEN round(CAST(n_alpha AS DOUBLE) / CAST(n_chars AS DOUBLE), 6) ELSE 0.0 END AS alpha_ratio,
+         |    round(CAST(n_bullet AS DOUBLE) / CAST(n_lines AS DOUBLE), 6) AS bullet_ratio
+         |  FROM gm),
+         |gpass AS (
+         |  SELECT doc_id FROM gr
+         |  WHERE n_words >= 5 AND n_words <= 100000 AND mean_word_len >= 2.0
+         |    AND mean_word_len <= 12.0 AND bullet_ratio <= 0.9 AND alpha_ratio >= 0.6),
+         |qs AS (
+         |  SELECT doc_id, CAST(len($toksOf) AS INT) AS n_tokens,
+         |    len(list_filter($toksOf, x -> list_contains(
+         |      ['the','a','and','of','to','in','is','for','on','with'], x))) AS n_stop
+         |  FROM documents),
+         |qpass AS (
+         |  SELECT doc_id FROM qs WHERE n_tokens > 0 AND round(
+         |    least(CAST(n_tokens AS DOUBLE) / 200.0, 1.0) *
+         |    (1.0 - least(CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE), 0.5)), 6) >= 0.2),
+         |prof(lang, word) AS (VALUES
+         |  ('en','the'),('en','a'),('en','and'),('en','of'),('en','to'),('en','in'),('en','is'),('en','for'),('en','on'),('en','with'),
+         |  ('de','der'),('de','die'),('de','das'),('de','und'),('de','ist'),('de','nicht'),('de','mit'),('de','ein'),('de','zu'),('de','von'),
+         |  ('fr','le'),('fr','la'),('fr','les'),('fr','et'),('fr','des'),('fr','un'),('fr','une'),('fr','du'),('fr','est'),('fr','dans'),
+         |  ('es','el'),('es','los'),('es','las'),('es','de'),('es','y'),('es','en'),('es','que'),('es','un'),('es','es'),('es','por'),
+         |  ('zh','的'),('zh','是'),('zh','在'),('zh','了'),('zh','和'),('zh','有'),('zh','我'),('zh','不'),('zh','人'),('zh','这')),
+         |ltoks AS (SELECT doc_id, unnest($toksOf) AS t FROM documents),
+         |lscores AS (
+         |  SELECT doc_id, lang, COUNT(*) AS score
+         |  FROM ltoks JOIN prof ON t = word GROUP BY doc_id, lang),
+         |lbest AS (
+         |  SELECT doc_id, lang AS pred_lang FROM lscores
+         |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) = 1),
+         |lok AS (
+         |  SELECT d.doc_id FROM documents d LEFT JOIN lbest b ON d.doc_id = b.doc_id
+         |  WHERE b.pred_lang IS NULL OR b.pred_lang = d.lang)
+         |SELECT d.doc_id, d.lang, d.source, d.n_chars
+         |FROM documents d
+         |JOIN gpass ON d.doc_id = gpass.doc_id
+         |JOIN qpass ON d.doc_id = qpass.doc_id
+         |JOIN lok ON d.doc_id = lok.doc_id
          |ORDER BY d.doc_id""".stripMargin,
 
     "vocab_encode" ->

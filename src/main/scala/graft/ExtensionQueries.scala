@@ -53,6 +53,51 @@ object ExtensionQueries {
     },
     "dedup_exact_substring" -> ((s, dir) =>
       Dedup.exactSubstringPairs(docs(s, dir), "doc_id", "text", n = 13, maxDf = 50)),
+    "dedup_substring_trim" -> ((s, dir) =>
+      // Lee-et-al span REWRITE: every string-verified verbatim run of >= 20
+      // tokens shared with a lower-id doc is CUT from the higher-id copy;
+      // text is rebuilt from the surviving tokens (untrimmed docs pass
+      // through the same tokenize-rejoin normalization)
+      Dedup.substringTrimApply(docs(s, dir), "doc_id", "text",
+        n = 13, minSpan = 20, maxDf = 50)),
+    "decontaminate_semantic" -> { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      // embedding-space contamination: every 41st vector reappears as a
+      // holdout item with ONE dimension zeroed (selected by vec_id, so both
+      // engines mutate identically) — a "paraphrase" that keeps cosine near
+      // 1 while sharing no exact value pattern; flag train vectors with
+      // verified cosine >= 0.9 against any holdout item
+      val e = emb(s, dir)
+      val d = size(col("embedding"))
+      val k = (col("vec_id") % d.cast("long")).cast("int") + 1 // 1-based dim
+      val holdout = e.filter(col("vec_id") % 41 === 0)
+        .select(col("vec_id"),
+          concat(
+            slice(col("embedding"), lit(1), k - 1),
+            array(lit(0.0f)),
+            slice(col("embedding"), k + 1, d - k)).as("embedding"))
+      Similarity.semanticContamination(e, holdout, threshold = 0.9)
+    },
+    "decontaminate_semantic_apply" -> { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      // end-to-end: flagged vectors anti-joined out of the corpus
+      val e = emb(s, dir)
+      val d = size(col("embedding"))
+      val k = (col("vec_id") % d.cast("long")).cast("int") + 1
+      val holdout = e.filter(col("vec_id") % 41 === 0)
+        .select(col("vec_id"),
+          concat(
+            slice(col("embedding"), lit(1), k - 1),
+            array(lit(0.0f)),
+            slice(col("embedding"), k + 1, d - k)).as("embedding"))
+      Similarity.applySemanticDecontamination(e, holdout, threshold = 0.9)
+        .select(col("vec_id"), col("label"))
+        .orderBy("vec_id")
+    },
+    "vocab_bpe" -> ((s, dir) =>
+      TextAnalysis.bpeTrain(docs(s, dir), nMerges = 10)),
+    "vocab_bpe_encode" -> ((s, dir) =>
+      TextAnalysis.bpeEncode(docs(s, dir), nMerges = 10)),
     "decontaminate_exact" -> { (s, dir) =>
       import org.apache.spark.sql.functions._
       // a benchmark that QUOTES training text (the realistic contamination
@@ -92,6 +137,42 @@ object ExtensionQueries {
         .select(col("doc_id"), col("source"))
         .orderBy("doc_id")
     },
+    "decontaminate_fuzzy" -> { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      // paraphrase-style contamination (the mode exact rules MISS): every
+      // 97th doc reappears as a holdout item with ~10% of its token VALUES
+      // rewritten — tokens are selected by their own md5-derived hash, so
+      // both engines mutate identically with no positional lambda. Edits
+      // break the verbatim 13-gram runs decontaminate_exact needs, but
+      // most of the 3-shingle set survives, which is exactly what the
+      // MinHash Jaccard measures.
+      val d = docs(s, dir)
+      val toks = graft.functions.Text.tokens(col("text"))
+      val mutated = transform(toks,
+        t => when(graft.functions.Hashing.hash60(t) % 10 === 0, lit("xqz")).otherwise(t))
+      val holdout = d.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id"), array_join(mutated, " ").as("text"))
+      Dedup.fuzzyContamination(d, holdout, "doc_id", "text",
+        k = 3, numPerm = 64, bands = 32, threshold = 0.4)
+    },
+    "decontaminate_fuzzy_apply" -> { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      // end-to-end fuzzy decontamination: same mutated holdout, flagged
+      // docs anti-joined out of the corpus — the near-dup sibling of
+      // decontaminate_apply (sub-threshold overlap survives)
+      val d = docs(s, dir)
+      val toks = graft.functions.Text.tokens(col("text"))
+      val mutated = transform(toks,
+        t => when(graft.functions.Hashing.hash60(t) % 10 === 0, lit("xqz")).otherwise(t))
+      val holdout = d.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id"), array_join(mutated, " ").as("text"))
+      Dedup.applyFuzzyDecontamination(d, holdout, "doc_id", "text",
+          k = 3, numPerm = 64, bands = 32, threshold = 0.4)
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")
+    },
+    "corpus_quality_apply" -> ((s, dir) =>
+      TextAnalysis.qualityFilterApply(s, docs(s, dir))),
     "vocab_encode" -> ((s, dir) =>
       TextAnalysis.vocabEncode(docs(s, dir), vocabSize = 256)),
     "sample_temperature" -> ((s, dir) =>

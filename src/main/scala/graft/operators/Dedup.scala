@@ -303,45 +303,7 @@ object Dedup {
     // materialization job for nothing — the heaviest constant cost in the
     // round-7 bench profile of this operator.
     def run(pos: DataFrame): DataFrame = {
-      val dfStats = pos.select(col("doc_id"), col("h")).distinct()
-        .groupBy("h").agg(count(lit(1)).as("df"))
-      // df BETWEEN 2 AND maxDf: above the cap is boilerplate (O(d²) pairs,
-      // no signal), and df = 1 hashes can never produce a pair — at any
-      // scale MOST n-grams are unique, so dropping them shrinks the
-      // self-join exchange by the unique-n-gram mass of the corpus (the
-      // round-7 formulation joined on df <= maxDf and shuffled every
-      // singleton position through the candidate join for nothing)
-      val shared = dfStats.filter(col("df") >= 2 && col("df") <= maxDf).select("h")
-      val idx = pos.join(shared, "h")
-      // remnant ids straight from the df stats (docs holding any n-gram
-      // that at least one OTHER doc also holds, below the cap): a superset
-      // of the docs in candidate pairs, derivable from the persisted index
-      // without waiting on the self-join — so the whole verify pipeline
-      // stays ONE materialization
-      val remnant = idx.select(col("doc_id").as("__rid")).distinct()
-      val textIdx = shingleTextPositional(
-        df.join(broadcast(remnant), col(idCol) === col("__rid")).drop("__rid"),
-        idCol, textCol, n)
-      // (textIdx is evaluated once per verify side inside the same job —
-      // re-tokenizing the tiny remnant twice measures cheaper than an extra
-      // materialization barrier)
-      // no distinct on the candidate quadruples: a position holds exactly
-      // ONE n-gram hash, so each (doc_a, doc_b, pa, pb) row is unique by
-      // construction — the round-7 distinct bought an AQE re-plan boundary,
-      // but with the df >= 2 index filter the join input is already the
-      // shared-n-gram remnant and the extra exchange measures as pure cost;
-      // exact-text verification re-derives n-gram strings for remnant docs
-      // only and requires string equality
-      val matched0 = idx.as("a").join(idx.as("b"),
-          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          col("a.pos").as("pa"), col("b.pos").as("pb"))
-        .join(textIdx.select(col("doc_id").as("doc_a"), col("pos").as("pa"),
-          col("g").as("ga")), Seq("doc_a", "pa"))
-        .join(textIdx.select(col("doc_id").as("doc_b"), col("pos").as("pb"),
-          col("g").as("gb")), Seq("doc_b", "pb"))
-        .filter(col("ga") === col("gb"))
-        .select("doc_a", "doc_b", "pa", "pb")
+      val matched0 = verifiedSubstringMatches(df, pos, idCol, textCol, n, maxDf)
       // materialized once: feeds the span aggregation AND the distinct
       // a-position count
       val matched =
@@ -388,6 +350,149 @@ object Dedup {
         try run(pos) finally pos.unpersist(blocking = false)
       }
     out.orderBy("doc_a", "doc_b")
+  }
+
+  /** STRING-VERIFIED shared-n-gram position quadruples — the common core of
+    * [[exactSubstringPairs]] and [[substringTrimApply]]. From a positional
+    * n-gram-hash index `pos` (doc_id, pos, h): df-cap the index
+    * (2 ≤ df ≤ maxDf — singleton hashes can never pair, above the cap is
+    * boilerplate), self-join on the hash with doc_a < doc_b, then verify
+    * every candidate by EXACT n-gram string equality re-derived over the
+    * remnant docs only. Returns (doc_a, doc_b, pa, pb), unique by
+    * construction (one n-gram per position — no distinct needed).
+    */
+  private def verifiedSubstringMatches(df: DataFrame, pos: DataFrame,
+                                       idCol: String, textCol: String,
+                                       n: Int, maxDf: Int): DataFrame = {
+    val dfStats = pos.select(col("doc_id"), col("h")).distinct()
+      .groupBy("h").agg(count(lit(1)).as("df"))
+    // df BETWEEN 2 AND maxDf: above the cap is boilerplate (O(d²) pairs,
+    // no signal), and df = 1 hashes can never produce a pair — at any
+    // scale MOST n-grams are unique, so dropping them shrinks the
+    // self-join exchange by the unique-n-gram mass of the corpus (the
+    // round-7 formulation joined on df <= maxDf and shuffled every
+    // singleton position through the candidate join for nothing)
+    val shared = dfStats.filter(col("df") >= 2 && col("df") <= maxDf).select("h")
+    val idx = pos.join(shared, "h")
+    // remnant ids straight from the df stats (docs holding any n-gram
+    // that at least one OTHER doc also holds, below the cap): a superset
+    // of the docs in candidate pairs, derivable from the persisted index
+    // without waiting on the self-join — so the whole verify pipeline
+    // stays ONE materialization
+    val remnant = idx.select(col("doc_id").as("__rid")).distinct()
+    val textIdx = shingleTextPositional(
+      df.join(broadcast(remnant), col(idCol) === col("__rid")).drop("__rid"),
+      idCol, textCol, n)
+    // (textIdx is evaluated once per verify side inside the same job —
+    // re-tokenizing the tiny remnant twice measures cheaper than an extra
+    // materialization barrier)
+    // no distinct on the candidate quadruples: a position holds exactly
+    // ONE n-gram hash, so each (doc_a, doc_b, pa, pb) row is unique by
+    // construction — the round-7 distinct bought an AQE re-plan boundary,
+    // but with the df >= 2 index filter the join input is already the
+    // shared-n-gram remnant and the extra exchange measures as pure cost;
+    // exact-text verification re-derives n-gram strings for remnant docs
+    // only and requires string equality
+    idx.as("a").join(idx.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.pos").as("pa"), col("b.pos").as("pb"))
+      .join(textIdx.select(col("doc_id").as("doc_a"), col("pos").as("pa"),
+        col("g").as("ga")), Seq("doc_a", "pa"))
+      .join(textIdx.select(col("doc_id").as("doc_b"), col("pos").as("pb"),
+        col("g").as("gb")), Seq("doc_b", "pb"))
+      .filter(col("ga") === col("gb"))
+      .select("doc_a", "doc_b", "pa", "pb")
+  }
+
+  /** SPAN-LEVEL dedup application — the rewrite step of Lee et al.'s
+    * "Deduplicating Training Data Makes Language Models Better" (the
+    * pipeline's actual fix: CUT the duplicated substring, keep the rest,
+    * rather than dropping whole documents like [[applyDecontamination]]).
+    * For every verbatim token run of at least `minSpan` tokens shared with
+    * a LOWER-id document (string-verified, same df-capped positional index
+    * and lockstep-diagonal stitching as [[exactSubstringPairs]]), the
+    * HIGHER-id copy's covered token positions are removed and its text is
+    * rebuilt from the surviving tokens in original order; the lowest-id
+    * occurrence keeps its text — exactly one canonical copy of every long
+    * span survives the corpus. Output for EVERY input document:
+    * (doc_id, text = space-joined surviving lowercase tokens, n_removed).
+    * Untrimmed documents pass through the same tokenize-rejoin
+    * normalization so the output column is uniformly defined.
+    *
+    * Scale shape: everything up to the span runs is [[exactSubstringPairs]]
+    * (one materialization, df-capped fan-out); covered positions explode
+    * only from qualifying runs (bounded by the duplicated-span mass, not the
+    * corpus); the token-level rebuild runs over TRIMMED docs only (the
+    * trimmed-id set is broadcast), and the untouched rest of the corpus is a
+    * narrow codegen projection — the corpus is never shuffled at all, only
+    * the trimmed remnant aggregates by doc.
+    */
+  def substringTrimApply(df: DataFrame, idCol: String, textCol: String,
+                         n: Int = 13, minSpan: Int = 20, maxDf: Int = 50,
+                         hashFn: Column => Column = Hashing.hash60,
+                         materialize: Boolean = true,
+                         checkpointDir: Option[String] = None): DataFrame = {
+    def run(pos: DataFrame): DataFrame = {
+      val matched0 = verifiedSubstringMatches(df, pos, idCol, textCol, n, maxDf)
+      val matched =
+        if (materialize) Materialize.barrier(matched0, checkpointDir) else matched0
+      // islands over pb per (doc_b, doc_a, diag): same lockstep-diagonal
+      // stitching as exactSubstringPairs, but anchored on the HIGHER-id side
+      // whose positions get cut. repartition on doc_b up front — the window
+      // and groupBy keys extend it, so they add local sorts, never exchanges.
+      val w1 = Window.partitionBy("doc_b", "doc_a", "diag").orderBy("pb")
+      val runs = matched.withColumn("diag", col("pa") - col("pb"))
+        .repartition(col("doc_b"))
+        .withColumn("grp", col("pb") - row_number().over(w1))
+        .groupBy(col("doc_b"), col("doc_a"), col("diag"), col("grp"))
+        .agg(min(col("pb")).as("strt"),
+          (count(lit(1)) + lit(n - 1).cast("long")).as("len"))
+        .filter(col("len") >= minSpan)
+      // covered token positions in the higher-id doc (distinct: overlapping
+      // spans from different partners cut each position once)
+      val cover = runs.select(col("doc_b").as("doc_id"),
+          explode(sequence(col("strt").cast("long"),
+            col("strt").cast("long") + col("len") - 1)).as("cut"))
+        .distinct()
+      val trimmedIds = cover.select(col("doc_id")).distinct()
+      // token-level rebuild over trimmed docs ONLY — the id set is tiny
+      // (bounded by docs holding a ≥ minSpan duplicated run), so it
+      // broadcasts and the corpus-side scan stays a narrow projection
+      val coverK = cover.select(col("doc_id").as("__cdoc"), col("cut"))
+      val trimmedToks = df
+        .join(broadcast(trimmedIds.select(col("doc_id").as("__tid"))),
+          col(idCol) === col("__tid"))
+        .select(col(idCol).as("doc_id"),
+          posexplode(Text.tokens(col(textCol))).as(Seq("pos", "t")))
+        .join(coverK, col("doc_id") === col("__cdoc") &&
+          col("pos").cast("long") === col("cut"), "left_anti")
+      val rebuilt = trimmedToks
+        .groupBy(col("doc_id"))
+        .agg(
+          concat_ws(" ", transform(array_sort(collect_list(struct(col("pos"), col("t")))),
+            x => x.getField("t"))).as("__kept_text"),
+          count(lit(1)).as("__n_kept"))
+      val base = df.select(col(idCol).as("doc_id"),
+        Text.tokens(col(textCol)).as("__toks"))
+      base
+        .join(broadcast(trimmedIds.withColumn("__trimmed", lit(true))), Seq("doc_id"), "left")
+        .join(rebuilt, Seq("doc_id"), "left")
+        .select(
+          col("doc_id"),
+          when(col("__trimmed").isNotNull, coalesce(col("__kept_text"), lit("")))
+            .otherwise(concat_ws(" ", col("__toks"))).as("text"),
+          when(col("__trimmed").isNotNull,
+            size(col("__toks")).cast("long") - coalesce(col("__n_kept"), lit(0L)))
+            .otherwise(lit(0L)).as("n_removed"))
+        .orderBy("doc_id")
+    }
+    if (!materialize) run(shingleHashesPositional(df, idCol, textCol, n, hashFn))
+    else {
+      val pos = shingleHashesPositional(df, idCol, textCol, n, hashFn).persist()
+      pos.count() // barrier: df-cap pass + both self-join sides share it
+      try run(pos) finally pos.unpersist(blocking = false)
+    }
   }
 
   /** Exact n-gram (word k-shingle) Jaccard near-dup pairs via an inverted
@@ -554,6 +659,112 @@ object Dedup {
       .filter(col("longest_span") >= minSpanTokens)
       .select(col("doc_id").as("__drop_id"))
     train.join(flagged, col(idCol) === col("__drop_id"), "left_anti")
+  }
+
+  /** FUZZY benchmark decontamination — the MinHash sibling of
+    * [[contaminationReport]] (exact shared-shingle flag) and
+    * [[exactSubstringContamination]] (verbatim-span geometry): flags
+    * training documents whose word-shingle-set Jaccard against ANY holdout
+    * item reaches `threshold`, catching paraphrased or partially rewritten
+    * benchmark text where token edits break every 13-gram run but leave
+    * most of the shingle set intact (the near-dup contamination mode the
+    * exact rules miss).
+    *
+    * Scale shape: signatures build per side with the imperative MinHash
+    * aggregate; candidates come from a BIPARTITE equi-join on
+    * (band_id, sig) — train never self-joins, so fan-out is bounded by
+    * true near-matches, never doc×doc. The holdout (a benchmark set —
+    * thousands of rows against billions of docs) is broadcast on both the
+    * candidate and verify joins, so the corpus is never shuffled at all.
+    * Candidates are verified with EXACT Jaccard over the two shingle-hash
+    * sets: banding false positives never reach the output (recall is the
+    * banding curve — bands=32/rows=2 by default, >99.6% at J=0.4).
+    *
+    * Returns (doc_id, hold_id, jaccard), one row per flagged
+    * train×holdout pair above threshold.
+    */
+  def fuzzyContamination(train: DataFrame, holdout: DataFrame,
+                         idCol: String, textCol: String,
+                         k: Int = 3, numPerm: Int = 64, bands: Int = 32,
+                         threshold: Double = 0.4,
+                         hashFn: Column => Column = Hashing.hash60,
+                         materialize: Boolean = true,
+                         checkpointDir: Option[String] = None): DataFrame =
+    withShingleIndex(shingleHashesExploded(train, idCol, textCol, k, hashFn),
+        materialize, checkpointDir) { exT =>
+      withShingleIndex(shingleHashesExploded(holdout, idCol, textCol, k, hashFn),
+          materialize, checkpointDir) { exH =>
+        val shH = shingleSets(exH)
+          .select(col("doc_id").as("hold_id"), col("hs").as("hsb"), col("sz").as("szb"))
+        val cand = bandedSignatures(exT, numPerm, bands).as("a")
+          .join(broadcast(bandedSignatures(exH, numPerm, bands).as("b")),
+            col("a.band_id") === col("b.band_id") && col("a.sig") === col("b.sig"))
+          .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("hold_id"))
+          .distinct()
+        cand
+          .join(shingleSets(exT)
+            .select(col("doc_id"), col("hs").as("hsa"), col("sz").as("sza")), "doc_id")
+          .join(broadcast(shH), "hold_id")
+          .withColumn("common", size(array_intersect(col("hsa"), col("hsb"))))
+          .withColumn("jaccard", round(
+            col("common").cast("double") /
+              (col("sza") + col("szb") - col("common")).cast("double"), 6))
+          .filter(col("jaccard") >= threshold)
+          .select("doc_id", "hold_id", "jaccard")
+      }
+    }.orderBy("doc_id", "hold_id")
+
+  /** End-to-end FUZZY decontamination application: drop every training
+    * document [[fuzzyContamination]] flags against the holdout, return the
+    * surviving corpus — the near-dup sibling of [[applyDecontamination]]
+    * (which only catches verbatim spans). Same anti-join shape as
+    * [[applyDedup]]: the flag list is tiny, the corpus is only ever
+    * shuffled on the id equi-join.
+    */
+  def applyFuzzyDecontamination(train: DataFrame, holdout: DataFrame,
+                                idCol: String, textCol: String,
+                                k: Int = 3, numPerm: Int = 64, bands: Int = 32,
+                                threshold: Double = 0.4,
+                                hashFn: Column => Column = Hashing.hash60): DataFrame = {
+    val flagged = fuzzyContamination(train, holdout, idCol, textCol,
+        k, numPerm, bands, threshold, hashFn)
+      .select(col("doc_id").as("__drop_id")).distinct()
+    train.join(flagged, col(idCol) === col("__drop_id"), "left_anti")
+  }
+
+  /** Cross-SOURCE leakage matrix — the dataset-curation report that tells a
+    * mixture planner which corpus sources duplicate each other (scraped
+    * mirrors, re-crawls, shared upstream dumps). For every source pair
+    * (source_a < source_b): the number of distinct cross-source doc pairs
+    * sharing at least one df-capped word-k-shingle hash, plus how many
+    * distinct docs on each side are touched.
+    *
+    * Scale shape: the corpus collapses to the distinct (doc, shingle-hash)
+    * index once; the df cap (2 ≤ df ≤ maxDf) prunes boilerplate shingles
+    * BEFORE the pair fan-out exactly like [[ngramJaccardCappedPairs]], so
+    * candidate mass is bounded by genuinely-shared rare shingles, never
+    * doc × doc; source labels ride along via one doc-keyed equi-join. The
+    * output is source-pair-sized — a handful of rows at any corpus scale.
+    */
+  def sourceOverlap(docs: DataFrame, idCol: String, textCol: String,
+                    srcCol: String, k: Int = 3, maxDf: Int = 50,
+                    hashFn: Column => Column = Hashing.hash60): DataFrame = {
+    val ex = shingleHashesExploded(docs, idCol, textCol, k, hashFn)
+    val src = docs.select(col(idCol).as("doc_id"), col(srcCol).as("src"))
+    val dfStats = ex.groupBy("h").agg(count(lit(1)).as("df"))
+    val shared = dfStats.filter(col("df") >= 2 && col("df") <= maxDf).select("h")
+    val idx = ex.join(shared, "h").join(src, "doc_id")
+    idx.as("a").join(idx.as("b"),
+        col("a.h") === col("b.h") && col("a.src") < col("b.src"))
+      .select(col("a.src").as("source_a"), col("b.src").as("source_b"),
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+      .groupBy("source_a", "source_b")
+      .agg(
+        count(lit(1)).as("n_cross_pairs"),
+        countDistinct(col("doc_a")).as("n_docs_a"),
+        countDistinct(col("doc_b")).as("n_docs_b"))
+      .orderBy("source_a", "source_b")
   }
 
   /** The shingle index for a document frame (see [[shingleHashesExploded]]). */

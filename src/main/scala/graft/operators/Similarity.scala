@@ -142,6 +142,80 @@ object Similarity {
       .select("vec_a", "vec_b", "sim")
   }
 
+  /** SEMANTIC benchmark decontamination — the embedding-space sibling of
+    * [[graft.operators.Dedup.fuzzyContamination]] (shingle space) and
+    * [[graft.operators.Dedup.contaminationReport]] (exact shingles): flags
+    * training vectors whose cosine against ANY holdout/benchmark vector
+    * reaches `threshold`, catching contamination that survives arbitrary
+    * token-level rewording (a paraphrase embeds near its source even when
+    * not a single n-gram survives — the mode every text-space rule misses).
+    *
+    * Scale shape: both sides get `nBits` hyperplane sign bits (codegen dot
+    * against literal ±1 vectors, width read from the train data); candidates
+    * come from a BIPARTITE equi-join on (chunk_id, chunk_val) — train never
+    * self-joins, and the holdout (a benchmark set: thousands of rows against
+    * billions of vectors) is explicitly broadcast on the candidate AND
+    * verify joins, so the corpus is never shuffled at all. Candidates are
+    * verified with EXACT cosine: banding false positives never reach the
+    * output; recall is the hyperplane collision curve (at the cos ≥ 0.9 the
+    * default targets, ≥ 1 of four 4-bit chunks agrees with p ≈ 0.9995).
+    * Returns (vec_id, hold_id, sim), one row per flagged pair.
+    */
+  def semanticContamination(train: DataFrame, holdout: DataFrame,
+                            threshold: Double = 0.9, nBits: Int = 16,
+                            bandBits: Int = 4): DataFrame = {
+    require(nBits % bandBits == 0)
+    val nChunks = nBits / bandBits
+    val dim = embeddingDim(train)
+    if (dim == 0)
+      return train.limit(0).select(col("vec_id"),
+        col("vec_id").as("hold_id"), lit(0.0).as("sim"))
+    val signVecs = (0 until nBits).map(i => (0 until dim).map(d => hyperplaneSign(i, d)))
+    def sideBits(emb: DataFrame, id: String): (DataFrame, DataFrame) = {
+      val bits = (0 until nBits).map { i =>
+        (when(VecF.dot(col("embedding"), typedLit(signVecs(i))) > 0, 1).otherwise(0) *
+          (1 << (i % bandBits))).as(s"bit$i")
+      }
+      val withBits = emb.select(col("vec_id").as(id) +: col("embedding") +: bits: _*)
+      val chunkCols = (0 until nChunks).map { c =>
+        (bandBits * c until bandBits * c + bandBits).map(i => col(s"bit$i")).reduce(_ + _).as(s"chunk$c")
+      }
+      val withNorm = withBits.select(
+        (col(id) +: col("embedding") +: chunkCols) :+ VecF.norm(col("embedding")).as("nrm"): _*)
+      val chunked = withNorm.select(col(id),
+        posexplode(array((0 until nChunks).map(c => col(s"chunk$c")): _*)).as(Seq("chunk_id", "chunk_val")))
+      (chunked, withNorm.select(col(id), col("embedding"), col("nrm")))
+    }
+    val (trainChunks, trainSide) = sideBits(PartitionUtil.spread(train, "vec_id"), "vec_id")
+    val (holdChunks, holdSide) = sideBits(holdout, "hold_id")
+    val cand = trainChunks.as("a")
+      .join(broadcast(holdChunks.as("b")),
+        col("a.chunk_id") === col("b.chunk_id") && col("a.chunk_val") === col("b.chunk_val"))
+      .select(col("a.vec_id").as("vec_id"), col("b.hold_id").as("hold_id"))
+      .distinct()
+    cand
+      .join(trainSide.select(col("vec_id"), col("embedding").as("ea"), col("nrm").as("na")), "vec_id")
+      .join(broadcast(holdSide.select(col("hold_id"), col("embedding").as("eb"), col("nrm").as("nb"))), "hold_id")
+      .withColumn("sim", round(VecF.dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6))
+      .filter(col("sim") >= threshold)
+      .select("vec_id", "hold_id", "sim")
+      .orderBy("vec_id", "hold_id")
+  }
+
+  /** End-to-end SEMANTIC decontamination application: drop every training
+    * vector [[semanticContamination]] flags against the holdout, return the
+    * surviving corpus rows — same anti-join shape as
+    * [[graft.operators.Dedup.applyFuzzyDecontamination]]: the flag list is
+    * tiny and broadcasts, the corpus is only ever scanned, never shuffled.
+    */
+  def applySemanticDecontamination(train: DataFrame, holdout: DataFrame,
+                                   threshold: Double = 0.9, nBits: Int = 16,
+                                   bandBits: Int = 4): DataFrame = {
+    val flagged = semanticContamination(train, holdout, threshold, nBits, bandBits)
+      .select(col("vec_id").as("__drop_id")).distinct()
+    train.join(broadcast(flagged), col("vec_id") === col("__drop_id"), "left_anti")
+  }
+
   /** Embedding dimensionality observed in the data: the first row's array
     * width, 0 for an empty corpus. One `LIMIT 1` job — index metadata, not a
     * data-volume scan.

@@ -119,6 +119,34 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** End-to-end corpus QUALITY gate — the apply sibling of the metric
+    * queries ([[gopherRules]], [[qualityScore]], [[langId]]), the filter
+    * step a training pipeline actually ships: keep documents that pass the
+    * Gopher structure rules, score at least `minScore` on the composite
+    * quality heuristic, and whose stopword-profile language ID AGREES with
+    * the declared `lang` metadata. A doc with zero profile hits predicts
+    * 'und' — the heuristic abstains rather than vetoes, so it is kept.
+    *
+    * Shape at scale: the Gopher and composite-score predicates are narrow
+    * per-row projections (no exchange — they fuse into the scan); the only
+    * shuffling stage is [[langId]]'s profile-hit aggregation, and the final
+    * three-way join is keyed on the SAME doc id throughout, so the
+    * post-aggregation exchanges co-partition and reuse. Output is the
+    * surviving corpus metadata (doc_id, lang, source, n_chars).
+    */
+  def qualityFilterApply(spark: SparkSession, docs: DataFrame,
+                         minScore: Double = 0.2): DataFrame = {
+    val g = gopherRules(docs).select(col("doc_id"), col("quality_pass"))
+    val q = qualityScore(docs).select(col("doc_id"), col("quality_score"))
+    val l = langId(spark, docs).select(col("doc_id"), col("pred_lang"), col("actual_lang"))
+    docs.select("doc_id", "lang", "source", "n_chars")
+      .join(g, "doc_id").join(q, "doc_id").join(l, "doc_id")
+      .filter(col("quality_pass") && col("quality_score") >= minScore &&
+        (col("pred_lang") === lit("und") || col("pred_lang") === col("actual_lang")))
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
   /** Per-document top-k terms by tf-idf. Shape at scale: one explode + two
     * hash aggregations (tf per (doc, term); df per term — both partial/final
     * with map-side combine), a term-keyed join of tf with df (AQE broadcasts
@@ -208,6 +236,119 @@ object TextAnalysis {
         array_join(
           transform(sort_array(collect_list(struct(col("pos"), col("tid")))),
             x => x.getField("tid")), "|").as("ids"))
+      .orderBy("doc_id")
+  }
+
+  /** BPE merge training over the corpus — the tokenizer-training step of an
+    * LLM data pipeline (Sennrich et al. 2016). Words are split to character
+    * symbols; each round counts adjacent symbol pairs over the word-TYPE
+    * table weighted by word frequency, picks the most frequent pair
+    * (ties → lexicographically smallest), and applies the merge greedily
+    * left-to-right within every word. Returns the learned merge table
+    * `(merge_rank, sym_a, sym_b, freq)` — the trained artifact a tokenizer
+    * ships.
+    *
+    * Scale shape: the corpus is touched ONCE (tokenize + word-count
+    * aggregation with map-side combine); every merge round after that runs
+    * over the word-TYPE table — vocabulary-bounded, corpus-size-independent
+    * (the reason BPE training is feasible at 100 TB at all). Per round: one
+    * pair-count aggregation over types, a 1-row top-pair collect (bounded
+    * metadata, same class as a Lloyd centroid collect), and a
+    * localCheckpoint so the per-round plans stay shallow instead of nesting
+    * `nMerges` folds into one expression tree.
+    *
+    * The greedy merge is a left fold with a string accumulator (symbols are
+    * space-joined; symbols themselves never contain spaces), seeded with the
+    * first symbol — the exact semantics of DuckDB's `list_reduce`, which the
+    * oracle mirrors clause for clause: merge when the accumulator ends with
+    * symbol-boundary-delimited `sym_a` and the next symbol is `sym_b`; a
+    * just-merged symbol can't re-merge in the same round (its concatenated
+    * text no longer equals `sym_a`).
+    */
+  def bpeTrain(docs: DataFrame, nMerges: Int = 10): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    bpeTypeTable(docs, nMerges)._2.toDF("merge_rank", "sym_a", "sym_b", "freq")
+      .orderBy("merge_rank")
+  }
+
+  /** The trained BPE state: the final word-TYPE table `(w, cnt, syms)` and
+    * the merge list — shared core of [[bpeTrain]] (which ships the merges)
+    * and [[bpeEncode]] (which joins the corpus against the type table).
+    */
+  private def bpeTypeTable(docs: DataFrame, nMerges: Int)
+      : (DataFrame, Seq[(Long, String, String, Long)]) = {
+    def sq(s: String) = s.replace("'", "''")
+    // word-TYPE table: (w, cnt, syms) — everything downstream is vocab-bounded
+    var types = docs
+      .select(explode(Text.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .select(col("w"), col("cnt"),
+        expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))").as("syms"))
+    types = types.localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var r = 0
+    var done = false
+    while (r < nMerges && !done) {
+      // adjacent pairs, weighted by type frequency (0-based Spark indexing:
+      // elements (i-1, i) for i in 1..size-1)
+      val top = types
+        .filter(size(col("syms")) >= 2)
+        .select(col("cnt"), explode(
+          expr("transform(sequence(1, size(syms) - 1), i -> struct(syms[i-1] AS a, syms[i] AS b))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("cnt")).as("freq"))
+        .orderBy(col("freq").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val row = top.head
+        val (pa, pb, freq) = (row.getString(0), row.getString(1), row.getLong(2))
+        merges += ((r + 1L, pa, pb, freq))
+        val la = pa.length
+        val mergeFold =
+          s"""aggregate(slice(syms, 2, greatest(size(syms) - 1, 0)),
+             |  element_at(syms, 1),
+             |  (acc, x) -> CASE
+             |    WHEN (acc = '${sq(pa)}' OR right(acc, ${la + 1}) = ' ${sq(pa)}')
+             |         AND x = '${sq(pb)}'
+             |    THEN concat(left(acc, length(acc) - $la), '${sq(pa)}${sq(pb)}')
+             |    ELSE concat(acc, ' ', x) END)""".stripMargin
+        types = types
+          .select(col("w"), col("cnt"), split(expr(mergeFold), " ").as("syms"))
+          .localCheckpoint()
+        r += 1
+      }
+    }
+    (types, merges.toSeq)
+  }
+
+  /** Encode the corpus with the trained BPE merges — the apply sibling of
+    * [[bpeTrain]] and the per-document token accounting a mixture planner
+    * consumes. Every token joins the final word-TYPE table (an equi-join on
+    * the word; the type table is vocabulary-bounded, so AQE broadcasts it at
+    * any realistic corpus/vocab ratio), contributing its merged-symbol
+    * count. Output per document: word count, total BPE symbol count, and the
+    * floor-exact per-mille compression ratio (symbols per 1000 characters of
+    * tokenized text — the metric that decides whether a tokenizer is worth
+    * its vocabulary). Integer arithmetic throughout, cross-engine exact.
+    */
+  def bpeEncode(docs: DataFrame, nMerges: Int = 10): DataFrame = {
+    val (types, _) = bpeTypeTable(docs, nMerges)
+    val enc = types.select(col("w").as("t"),
+      size(col("syms")).cast("long").as("n_syms"),
+      length(col("w")).cast("long").as("n_chars_w"))
+    docs.select(col("doc_id"), explode(Text.tokens(col("text"))).as("t"))
+      .join(enc, "t")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(col("n_syms")).as("n_symbols"),
+        sum(col("n_chars_w")).as("n_word_chars"))
+      .select(col("doc_id"), col("n_words"), col("n_symbols"),
+        when(col("n_word_chars") > 0,
+          floor(col("n_symbols") * lit(1000L) / col("n_word_chars")))
+          .otherwise(lit(0L)).as("symbols_per_1000_chars"))
       .orderBy("doc_id")
   }
 

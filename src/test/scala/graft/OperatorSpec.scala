@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Hashing, Text}
-import graft.operators.{Dedup, LatestPerKey, Multimodal, SetAggregator}
+import graft.operators.{Dedup, LatestPerKey, Multimodal, SetAggregator, TextAnalysis}
 import graft.sources.Tables
 
 class OperatorSpec extends SparkSpec {
@@ -429,6 +429,191 @@ class OperatorSpec extends SparkSpec {
     val got = Dedup.contaminationReport(train, bench, "doc_id", "text", k = 5)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 1L)) // exactly one shared 5-shingle, doc 2 clean
+  }
+
+  test("fuzzyContamination: mutated near-copy flagged with verified Jaccard, unrelated doc clean") {
+    val a = "alpha bravo charlie delta echo foxtrot golf hotel india juliet " +
+      "kilo lima mike november oscar papa quebec romeo sierra tango " +
+      "uniform victor whiskey xray yankee zulu red green blue gold"
+    val train = Seq(
+      (1L, a),
+      (2L, "completely different words about cooking pasta sauce tomatoes " +
+        "basil garlic olive oil heat pan stir serve dinner guests table wine"))
+      .toDF("doc_id", "text")
+    // the holdout "paraphrases" doc 1: two token substitutions break the
+    // verbatim runs but leave most of the 3-shingle set intact
+    val holdout = Seq(
+      (100L, a.replace("echo", "exx").replace("tango", "txx")))
+      .toDF("doc_id", "text")
+    val got = Dedup.fuzzyContamination(train, holdout, "doc_id", "text",
+        k = 3, numPerm = 64, bands = 32, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(p => (p._1, p._2)).toSet == Set((1L, 100L)),
+      s"expected exactly the planted pair, got ${got.toSeq}")
+    assert(got.head._3 >= 0.4 && got.head._3 < 1.0,
+      s"verified Jaccard should be high but below 1 after mutation, got ${got.head._3}")
+  }
+
+  test("fuzzyContamination: sub-threshold overlap is verified away, not flagged") {
+    // shares a single 3-shingle with the holdout (banding may or may not
+    // collide — exact verification must keep it out either way)
+    val train = Seq(
+      (1L, "shared prefix here then totally divergent content follows with " +
+        "many unrelated tokens downstream of the common opening words"))
+      .toDF("doc_id", "text")
+    val holdout = Seq(
+      (100L, "shared prefix here but afterwards everything differs entirely " +
+        "across the remaining stretch of benchmark prompt material"))
+      .toDF("doc_id", "text")
+    assert(Dedup.fuzzyContamination(train, holdout, "doc_id", "text",
+      k = 3, numPerm = 64, bands = 32, threshold = 0.4).count() == 0)
+  }
+
+  test("applyFuzzyDecontamination: flagged doc dropped, sub-threshold docs survive") {
+    val a = "alpha bravo charlie delta echo foxtrot golf hotel india juliet " +
+      "kilo lima mike november oscar papa quebec romeo sierra tango"
+    val train = Seq(
+      (1L, a),
+      (2L, "completely different words about cooking pasta sauce tomatoes " +
+        "basil garlic olive oil heat pan stir serve dinner guests"))
+      .toDF("doc_id", "text")
+    val holdout = Seq((100L, a.replace("echo", "exx"))).toDF("doc_id", "text")
+    val survivors = Dedup.applyFuzzyDecontamination(train, holdout, "doc_id", "text",
+        k = 3, numPerm = 64, bands = 32, threshold = 0.4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(2L), s"doc 1 must drop, doc 2 must survive: $survivors")
+  }
+
+  test("substringTrimApply: >= minSpan verbatim run cut from the HIGHER-id copy only") {
+    // doc 1 is canonical; doc 2 quotes doc 1's 24-token span verbatim inside
+    // unique surrounding content; doc 3 shares only a 15-token run (< 20)
+    val span = (1 to 24).map(i => s"q$i").mkString(" ")
+    val shortSpan = (1 to 15).map(i => s"q$i").mkString(" ")
+    val train = Seq(
+      (1L, s"$span alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, s"intro unique words here $span outro trailing content tail"),
+      (3L, s"totally other opening text $shortSpan closing remarks end"))
+      .toDF("doc_id", "text")
+    val got = Dedup.substringTrimApply(train, "doc_id", "text",
+        n = 13, minSpan = 20, maxDf = 50)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val byId = got.map(t => t._1 -> t).toMap
+    // canonical copy untouched (normalized rejoin only)
+    assert(byId(1L)._3 == 0L && byId(1L)._2.startsWith("q1 q2"))
+    // higher-id copy: exactly the 24 quoted tokens removed, rest survives in order
+    assert(byId(2L)._3 == 24L, s"doc 2 should lose the 24-token span: ${byId(2L)}")
+    assert(byId(2L)._2 == "intro unique words here outro trailing content tail")
+    // sub-threshold overlap survives whole
+    assert(byId(3L)._3 == 0L && byId(3L)._2.contains("q1"))
+  }
+
+  test("substringTrimApply: overlapping spans from different partners cut each position once") {
+    // doc 3 quotes doc 1's tokens 0..23 AND doc 2's tokens which overlap the
+    // same region shifted by 4 — covered positions union, no double count
+    val a = (1 to 28).map(i => s"w$i").mkString(" ")
+    val train = Seq(
+      (1L, (1 to 24).map(i => s"w$i").mkString(" ")),
+      (2L, (5 to 28).map(i => s"w$i").mkString(" ")),
+      (3L, s"$a unique tail of document three here"))
+      .toDF("doc_id", "text")
+    val got = Dedup.substringTrimApply(train, "doc_id", "text",
+        n = 13, minSpan = 20, maxDf = 50)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val byId = got.map(t => t._1 -> t).toMap
+    // doc 3's w1..w28 region is fully covered by the union of both quotes
+    assert(byId(3L)._3 == 28L, s"doc 3 should lose all 28 covered tokens: ${byId(3L)}")
+    assert(byId(3L)._2 == "unique tail of document three here")
+    // doc 2 vs doc 1 share w5..w24 (20 tokens >= minSpan): doc 2 trims those
+    assert(byId(2L)._3 == 20L, s"doc 2 should lose the 20-token overlap: ${byId(2L)}")
+    assert(byId(1L)._3 == 0L)
+  }
+
+  test("semanticContamination: perturbed near-copy flagged, orthogonal vector clean") {
+    import graft.operators.Similarity
+    // 8-dim: vec 1 ~ holdout 100 (one dim zeroed, cosine ~ 0.997);
+    // vec 2 orthogonal to everything
+    val v1 = Array(1.0f, 2.0f, 3.0f, 4.0f, 0.3f, 1.5f, 2.5f, 0.7f)
+    val hold = v1.clone(); hold(4) = 0.0f
+    val v2 = Array(-4.0f, 3.0f, -2.0f, 1.0f, -1.0f, 0.5f, -0.5f, 2.0f)
+    val train = Seq((1L, v1.toSeq), (2L, v2.toSeq)).toDF("vec_id", "embedding")
+    val holdout = Seq((100L, hold.toSeq)).toDF("vec_id", "embedding")
+    val got = Similarity.semanticContamination(train, holdout, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got.map(t => (t._1, t._2)) == Seq((1L, 100L)),
+      s"expected exactly the planted pair, got $got")
+    assert(got.head._3 > 0.99 && got.head._3 < 1.0)
+    val survivors = Similarity.applySemanticDecontamination(train, holdout, threshold = 0.9)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(2L), s"vec 1 must drop, vec 2 must survive: $survivors")
+  }
+
+  test("bpeTrain: exact merge table on a hand-computed corpus, greedy no-overlap") {
+    // corpus: "ab ab ab aaa" -> types: ab(cnt 3), aaa(cnt 1)
+    // round 1 pairs: (a,b) 3; (a,a) 2 -> merge (a,b,3); ab -> "ab", aaa unchanged
+    // round 2 pairs: (a,a) 2 -> merge (a,a,2); aaa -> "aa a" (greedy: no overlap reuse)
+    // round 3 pairs: (aa,a) 1 -> merge (aa,a,1) -> all words single-symbol
+    val docs = Seq((1L, "ab ab ab aaa")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeTrain(docs, nMerges = 5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got == Seq((1L, "a", "b", 3L), (2L, "a", "a", 2L), (3L, "aa", "a", 1L)),
+      s"unexpected merge table: $got")
+  }
+
+  test("bpeEncode: symbol counts follow the learned merges exactly") {
+    val docs = Seq((1L, "ab ab ab aaa")).toDF("doc_id", "text")
+    // after 1 merge (a,b): ab -> 1 symbol, aaa -> 3 symbols
+    val one = TextAnalysis.bpeEncode(docs, nMerges = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(one == Seq((1L, 4L, 6L, 666L)), s"nMerges=1: $one") // floor(6000/9)
+    // after full training (3 merges fire): both words collapse to 1 symbol
+    val full = TextAnalysis.bpeEncode(docs, nMerges = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(full == Seq((1L, 4L, 4L, 444L)), s"nMerges=5: $full") // floor(4000/9)
+  }
+
+  test("bpeTrain: tie-break is lexicographic and merges chain across rounds") {
+    // "cd cd ce ce": round 1 pairs (c,d) 2 and (c,e) 2 tie -> (c,d) wins;
+    // round 2: (c,e) 2
+    val docs = Seq((1L, "cd cd ce ce")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeTrain(docs, nMerges = 2)
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got == Seq(("c", "d", 2L), ("c", "e", 2L)), s"got $got")
+  }
+
+  test("sourceOverlap: cross-source pairs counted once, same-source pairs excluded") {
+    val docs = Seq(
+      (1L, "s1", "alpha beta gamma delta epsilon"),
+      (5L, "s1", "alpha beta gamma other tail words"), // same trigram, source s1
+      (2L, "s2", "zz alpha beta gamma yy qq rr"),
+      (3L, "s2", "totally different content here words"),
+      (4L, "s3", "unrelated text again for three more"))
+      .toDF("doc_id", "source", "text")
+    val got = Dedup.sourceOverlap(docs, "doc_id", "text", "source", k = 3, maxDf = 50)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    // docs 1 and 5 (both s1) each share "alpha beta gamma" with doc 2 (s2):
+    // two cross pairs, two distinct a-side docs, one b-side doc. The s1-s1
+    // pair (1,5) is excluded; s3 shares nothing.
+    assert(got == Seq(("s1", "s2", 2L, 2L, 1L)), s"got $got")
+  }
+
+  test("qualityFilterApply: every gate vetoes independently, 'und' abstains") {
+    def doc(id: Long, text: String, lang: String) =
+      (id, text, lang, "src0", text.length.toLong)
+    val good = ("the cat sat quietly on the big mat today " * 8).trim
+    val undText = ("zorp blik quux flim glorp snib trundle vekt " * 8).trim
+    val german = ("der hund und die katze ist nicht mit der maus zu haus " * 7).trim
+    val docs = Seq(
+      doc(1L, good, "en"),                       // passes all three gates
+      doc(2L, "tiny text", "en"),                // Gopher: n_words < 5
+      doc(3L, "the cat sat on the mat today", "en"), // quality_score < 0.2
+      doc(4L, german, "en"),                     // lang-ID disagrees (de != en)
+      doc(5L, german, "de"),                     // lang-ID agrees -> kept
+      doc(6L, undText, "xx"))                    // no profile hits: 'und' abstains -> kept
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val kept = TextAnalysis.qualityFilterApply(spark, docs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 5L, 6L), s"expected {1,5,6}, got $kept")
   }
 
   test("ImageIoCodec: features read real pixels (PNG round-trip matches closed form)") {

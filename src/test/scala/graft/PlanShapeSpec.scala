@@ -112,6 +112,44 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), "train x holdout must be a broadcast hash join")
   }
 
+  test("fuzzy decontamination broadcasts the holdout on both joins, never doc x doc") {
+    val docs = Tables.table(spark, sf0001, "documents")
+    val p = plan(graft.operators.Dedup.fuzzyContamination(
+      docs,
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") % 97 === 0),
+      "doc_id", "text", k = 3, numPerm = 64, bands = 32, threshold = 0.4,
+      materialize = false))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "bipartite banding must stay an equi-join")
+    // the holdout (a benchmark set — tiny at any scale) is EXPLICITLY
+    // broadcast on the candidate join AND the Jaccard-verify join, so the
+    // corpus side is never shuffled for either
+    assert(p.contains("BroadcastExchange"), "holdout band/shingle sets must broadcast")
+    assert(p.contains("BroadcastHashJoin"), "corpus x holdout must be a broadcast hash join")
+  }
+
+  test("substring trim: no cartesian anywhere; trimmed-id set and cover rebuild broadcast") {
+    val p = plan(graft.operators.Dedup.substringTrimApply(
+      Tables.table(spark, sf0001, "documents"), "doc_id", "text",
+      n = 13, minSpan = 20, maxDf = 50, materialize = false))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "span trim must stay equi-join based end to end")
+    // the trimmed-id membership joins are explicit broadcasts — the corpus
+    // side is scanned, never shuffled, for the rebuild routing
+    assert(p.contains("BroadcastHashJoin"), "trimmed-id routing must broadcast")
+  }
+
+  test("semantic contamination: bipartite band join broadcasts the holdout, never vec x vec") {
+    val docs = Tables.table(spark, sf0001, "embeddings")
+    val p = plan(Similarity.semanticContamination(
+      docs, docs.filter(org.apache.spark.sql.functions.col("vec_id") % 41 === 0),
+      threshold = 0.9))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "bipartite banding must stay an equi-join")
+    assert(p.contains("BroadcastExchange"), "holdout chunks + vectors must broadcast")
+    assert(p.contains("BroadcastHashJoin"), "corpus x holdout must be a broadcast hash join")
+  }
+
   test("normalized dedup is one partial+final hash aggregate over hashes") {
     val p = plan(graft.operators.TextAnalysis.normalizedDedup(
       Tables.table(spark, sf0001, "documents")))

@@ -1048,4 +1048,197 @@ class ScaleToolsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       f"10x batch grew ivfAppend wall-time $ratio%.1fx " +
         f"(t1=${math.min(t1a, t1b)}%.2fs t2=${math.min(t2a, t2b)}%.2fs)")
   }
+
+  test("fuzzyContamination chain (cross-corpus MinHash -> anti-join) survives 10x docs") {
+    import graft.operators.Dedup
+    // deterministic corpus mirroring the shipped decontaminate_fuzzy
+    // composition: every doc carries 30 doc-unique tokens (zero overlap
+    // between docs); the holdout "paraphrases" every 100th doc with ONE
+    // token substituted — 25 of 28 shingles survive, Jaccard 25/31 ~ 0.81,
+    // far above the 0.4 threshold, while every other doc shares nothing.
+    // Exact-Jaccard verification makes precision exact, so the expected flag
+    // set is EXACTLY one pair per holdout item at both scales.
+    def corpus(nDocs: Int) = spark.range(nDocs).select(
+      col("id").as("doc_id"),
+      array_join(transform(sequence(lit(0), lit(29)),
+        j => concat_ws("_", lit("d"), col("id"), j)), " ").as("text"))
+    def holdout(nDocs: Int) = spark.range(nDocs / 100)
+      .select((col("id") * 100).as("src"))
+      .select(col("src").as("doc_id"),
+        array_join(transform(sequence(lit(0), lit(29)),
+          j => when(j === 15, lit("xqz"))
+            .otherwise(concat_ws("_", lit("d"), col("src"), j))), " ").as("text"))
+
+    def run(nDocs: Int): (Long, Long, Int, Double) = {
+      var flagged = 0L
+      var survivors = 0L
+      val t0 = System.nanoTime()
+      val jobs = countJobs(s"fuzzy10x-$nDocs-${System.nanoTime()}") {
+        val d = corpus(nDocs)
+        val h = holdout(nDocs)
+        flagged = Dedup.fuzzyContamination(d, h, "doc_id", "text",
+          k = 3, numPerm = 64, bands = 32, threshold = 0.4).count()
+        survivors = Dedup.applyFuzzyDecontamination(d, h, "doc_id", "text",
+          k = 3, numPerm = 64, bands = 32, threshold = 0.4).count()
+      }
+      (flagged, survivors, jobs, (System.nanoTime() - t0) / 1e9)
+    }
+
+    run(1000) // warm plan shapes/codegen so t1 isn't charged for compilation
+    val (f1, s1, j1, t1a) = run(1000)
+    val (_, _, _, t1b) = run(1000)
+    val (f2, s2, j2, t2a) = run(10000)
+    val (_, _, _, t2b) = run(10000)
+
+    // exactness at both scales: every planted paraphrase flags exactly its
+    // source (recall), nothing else (precision), and the apply drops exactly
+    // the flagged sources
+    assert(f1 == 10 && f2 == 100, s"flag counts $f1/$f2 (expect 10/100)")
+    assert(s1 == 990 && s2 == 9900, s"survivors $s1/$s2 (expect 990/9900)")
+    // structural gate: the bipartite band join + anti-join job structure is
+    // volume-independent
+    assert(j2 <= j1 + 4,
+      s"10x docs grew the fuzzyContamination job count $j1 -> $j2 — a data-dependent job structure crept in")
+    // wall gate (min-of-2, generous bound): signatures + bipartite banding
+    // grow linearly; a corpus x holdout scan would land near 100x
+    val ratio = math.min(t2a, t2b) / math.min(t1a, t1b)
+    assert(ratio <= 30.0,
+      f"10x docs grew fuzzyContamination wall-time $ratio%.1fx " +
+        f"(t1=${math.min(t1a, t1b)}%.2fs t2=${math.min(t2a, t2b)}%.2fs)")
+  }
+
+  test("substringTrimApply survives 10x docs: exact span cuts, flat job count") {
+    import graft.operators.Dedup
+    // every (id % 10 == 1) doc QUOTES the previous doc's 24-token prefix
+    // verbatim inside unique surrounding tokens; everything else is
+    // doc-unique — the expected trim set is exactly one 24-token cut per
+    // quoting doc (run of 12 matched 13-grams -> len 24 >= minSpan 20)
+    def corpus(nDocs: Int) = {
+      val own = array_join(transform(sequence(lit(0), lit(29)),
+        j => concat_ws("_", lit("d"), col("doc_id"), j)), " ")
+      val quote = concat(
+        concat_ws("_", lit("u"), col("doc_id"), lit("a")), lit(" "),
+        array_join(transform(sequence(lit(0), lit(23)),
+          j => concat_ws("_", lit("d"), col("doc_id") - 1, j)), " "),
+        lit(" "), concat_ws("_", lit("u"), col("doc_id"), lit("b")))
+      spark.range(nDocs).select(col("id").as("doc_id"))
+        .select(col("doc_id"),
+          when(col("doc_id") % 10 === 1, quote).otherwise(own).as("text"))
+    }
+    def run(nDocs: Int): (Long, Long, Int, Double) = {
+      var trimmed = 0L
+      var removed = 0L
+      val t0 = System.nanoTime()
+      val jobs = countJobs(s"trim10x-$nDocs-${System.nanoTime()}") {
+        val agg = Dedup.substringTrimApply(corpus(nDocs), "doc_id", "text",
+            n = 13, minSpan = 20, maxDf = 50)
+          .agg(sum(when(col("n_removed") > 0, 1L).otherwise(0L)).as("t"),
+            sum(col("n_removed")).as("r")).collect().head
+        trimmed = agg.getLong(0); removed = agg.getLong(1)
+      }
+      (trimmed, removed, jobs, (System.nanoTime() - t0) / 1e9)
+    }
+    run(1000) // warm plan shapes/codegen
+    val (tr1, rm1, j1, t1a) = run(1000)
+    val (_, _, _, t1b) = run(1000)
+    val (tr2, rm2, j2, t2a) = run(10000)
+    val (_, _, _, t2b) = run(10000)
+    // exactness at both scales: every quoting doc loses exactly its 24
+    // quoted tokens, nothing else is touched
+    assert(tr1 == 100 && rm1 == 2400, s"1x trim counts $tr1/$rm1 (expect 100/2400)")
+    assert(tr2 == 1000 && rm2 == 24000, s"10x trim counts $tr2/$rm2 (expect 1000/24000)")
+    assert(j2 <= j1 + 4,
+      s"10x docs grew the substringTrim job count $j1 -> $j2")
+    val ratio = math.min(t2a, t2b) / math.min(t1a, t1b)
+    assert(ratio <= 30.0,
+      f"10x docs grew substringTrim wall-time $ratio%.1fx " +
+        f"(t1=${math.min(t1a, t1b)}%.2fs t2=${math.min(t2a, t2b)}%.2fs)")
+  }
+
+  test("semanticContamination survives 10x vectors: planted recall, exact precision, flat jobs") {
+    import graft.operators.Similarity
+    // deterministic ±1 pseudo-random 64-dim vectors: pairwise cosines
+    // concentrate at 0 ± 0.125, so nothing random crosses the 0.9 threshold;
+    // every 100th vector reappears as a holdout item with dim 0 zeroed
+    // (cosine = sqrt(63/64) ~ 0.992 — planted contamination)
+    def vecs(n: Int) = spark.range(n).select(col("id").as("vec_id"),
+      expr("transform(sequence(0, 63), d -> CAST(CASE WHEN pmod(hash(id * 64 + d), 2) = 0 " +
+        "THEN 1.0 ELSE -1.0 END AS FLOAT))").as("embedding"))
+    def holdout(n: Int) = spark.range(n).filter(col("id") % 100 === 0)
+      .select(col("id").as("vec_id"),
+        expr("transform(sequence(0, 63), d -> CAST(CASE WHEN d = 0 THEN 0.0 " +
+          "WHEN pmod(hash(id * 64 + d), 2) = 0 THEN 1.0 ELSE -1.0 END AS FLOAT))").as("embedding"))
+    def run(n: Int): (Long, Long, Long, Int, Double) = {
+      var flagged = 0L
+      var cross = 0L
+      var survivors = 0L
+      val t0 = System.nanoTime()
+      val jobs = countJobs(s"sem10x-$n-${System.nanoTime()}") {
+        val f = Similarity.semanticContamination(vecs(n), holdout(n), threshold = 0.9)
+        val agg = f.agg(count(lit(1)).as("n"),
+          sum(when(col("vec_id") =!= col("hold_id"), 1L).otherwise(0L)).as("x"))
+          .collect().head
+        flagged = agg.getLong(0); cross = agg.getLong(1)
+        survivors = Similarity.applySemanticDecontamination(
+          vecs(n), holdout(n), threshold = 0.9).count()
+      }
+      (flagged, cross, survivors, jobs, (System.nanoTime() - t0) / 1e9)
+    }
+    run(2000)
+    val (f1, x1, s1, j1, t1a) = run(2000)
+    val (_, _, _, _, t1b) = run(2000)
+    val (f2, x2, s2, j2, t2a) = run(20000)
+    val (_, _, _, _, t2b) = run(20000)
+    // precision is EXACT by construction: a flagged pair with
+    // vec_id != hold_id would be a random cosine >= 0.9 (prob ~ 1e-13/pair)
+    assert(x1 == 0 && x2 == 0, s"non-planted pairs flagged: $x1/$x2")
+    // recall: hyperplane banding collides a 0.992-cosine pair with
+    // p ~ 0.9995; everything is deterministic, so these counts are stable
+    assert(f1 >= 19 && f1 <= 20, s"1x flagged $f1 of 20 planted")
+    assert(f2 >= 195 && f2 <= 200, s"10x flagged $f2 of 200 planted")
+    assert(s1 == 2000 - f1 && s2 == 20000 - f2,
+      s"apply must drop exactly the flagged set: $s1/$s2 vs ${2000 - f1}/${20000 - f2}")
+    assert(j2 <= j1 + 4,
+      s"10x vectors grew the semanticContamination job count $j1 -> $j2")
+    val ratio = math.min(t2a, t2b) / math.min(t1a, t1b)
+    assert(ratio <= 30.0,
+      f"10x vectors grew semanticContamination wall-time $ratio%.1fx " +
+        f"(t1=${math.min(t1a, t1b)}%.2fs t2=${math.min(t2a, t2b)}%.2fs)")
+  }
+
+  test("bpeTrain is volume-independent: 10x-replicated corpus learns the identical merge table") {
+    import graft.operators.TextAnalysis
+    // text depends only on id % 200, so a 10x corpus is the same word mass
+    // replicated — the TYPE table (and therefore every merge round) is
+    // IDENTICAL except frequencies scale by exactly 10
+    def corpus(rep: Int) = spark.range(200L * rep).select(col("id").as("doc_id"),
+      expr("array_join(transform(sequence(0, 19), j -> element_at(" +
+        "array('alpha','bravo','charlie','delta','echo','foxtrot','golf'," +
+        "'hotel','india','juliet','kilo','lima'), " +
+        "CAST(pmod(hash((id % 200) * 20 + j), 12) AS INT) + 1)), ' ')").as("text"))
+    def run(rep: Int): (Seq[(Long, String, String, Long)], Int, Double) = {
+      var table: Seq[(Long, String, String, Long)] = Nil
+      val t0 = System.nanoTime()
+      val jobs = countJobs(s"bpe10x-$rep-${System.nanoTime()}") {
+        table = TextAnalysis.bpeTrain(corpus(rep), nMerges = 6)
+          .collect().map(r =>
+            (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      }
+      (table, jobs, (System.nanoTime() - t0) / 1e9)
+    }
+    run(1)
+    val (m1, j1, t1a) = run(1)
+    val (_, _, t1b) = run(1)
+    val (m2, j2, t2a) = run(10)
+    val (_, _, t2b) = run(10)
+    assert(m1.size == 6 && m2.size == 6, s"expected 6 merges: ${m1.size}/${m2.size}")
+    assert(m2 == m1.map { case (r, a, b, f) => (r, a, b, f * 10) },
+      s"10x corpus changed the learned merges:\n 1x: $m1\n10x: $m2")
+    // merge rounds are a fixed count -> the job structure cannot grow with volume
+    assert(j2 <= j1 + 2, s"10x corpus grew the bpeTrain job count $j1 -> $j2")
+    val ratio = math.min(t2a, t2b) / math.min(t1a, t1b)
+    assert(ratio <= 30.0,
+      f"10x corpus grew bpeTrain wall-time $ratio%.1fx " +
+        f"(t1=${math.min(t1a, t1b)}%.2fs t2=${math.min(t2a, t2b)}%.2fs)")
+  }
 }
