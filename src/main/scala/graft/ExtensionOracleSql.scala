@@ -508,6 +508,45 @@ object ExtensionOracleSql {
          |GROUP BY tok.doc_id
          |ORDER BY tok.doc_id""".stripMargin,
 
+    // token-budget prefix truncation per source: deterministic hash order,
+    // running token sum, keep while cum <= budget — in lock-step with
+    // graft.operators.Sampling.tokenBudgetPerSource
+    "sample_token_budget" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source, len($toksOf) AS n_tokens,
+         |    ${h60("'tokbudget:' || CAST(doc_id AS VARCHAR)")} % ${1L << 50} AS h
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, source, n_tokens,
+         |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS cum_tokens
+         |  FROM t)
+         |SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  CAST(cum_tokens AS BIGINT) AS cum_tokens
+         |FROM c WHERE cum_tokens <= 800
+         |ORDER BY doc_id""".stripMargin,
+
+    // cross-source leakage matrix: distinct cross-source doc pairs sharing a
+    // df-capped 3-shingle hash, plus per-side touched-doc counts — in
+    // lock-step with graft.operators.Dedup.sourceOverlap
+    "source_overlap" ->
+      s"""WITH t AS (SELECT doc_id, source, $toksOf AS toks FROM documents),
+         |shl AS (SELECT doc_id, source, ${shinglesOf(3)} AS sh FROM t),
+         |ex AS (SELECT DISTINCT doc_id, source, ${h60("g")} AS h FROM (
+         |         SELECT doc_id, source, unnest(sh) AS g FROM shl WHERE len(sh) > 0)),
+         |dfc AS (SELECT h FROM ex GROUP BY h HAVING COUNT(*) BETWEEN 2 AND 50),
+         |idx AS (SELECT ex.doc_id, ex.source, ex.h FROM ex JOIN dfc USING (h)),
+         |pairs AS (
+         |  SELECT DISTINCT a.source AS source_a, b.source AS source_b,
+         |    a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM idx a JOIN idx b ON a.h = b.h AND a.source < b.source)
+         |SELECT source_a, source_b,
+         |  CAST(COUNT(*) AS BIGINT) AS n_cross_pairs,
+         |  CAST(COUNT(DISTINCT doc_a) AS BIGINT) AS n_docs_a,
+         |  CAST(COUNT(DISTINCT doc_b) AS BIGINT) AS n_docs_b
+         |FROM pairs GROUP BY source_a, source_b
+         |ORDER BY source_a, source_b""".stripMargin,
+
     // end-to-end quality gate: Gopher structure rules AND composite score
     // >= 0.2 AND stopword-profile language-ID agreement with the declared
     // lang ('und' abstains -> kept) — in lock-step with

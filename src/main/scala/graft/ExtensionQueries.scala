@@ -290,6 +290,12 @@ object ExtensionQueries {
         .select("doc_id", "split").orderBy("doc_id")),
     "sample_cap_per_group" -> ((s, dir) =>
       Sampling.capPerGroup(docs(s, dir), "doc_id", "source", maxPerGroup = 50)),
+    "sample_token_budget" -> ((s, dir) =>
+      Sampling.tokenBudgetPerSource(docs(s, dir), "doc_id", "source", "text",
+        budget = 800L)),
+    "source_overlap" -> ((s, dir) =>
+      Dedup.sourceOverlap(docs(s, dir), "doc_id", "text", "source",
+        k = 3, maxDf = 50)),
     "sample_mix" -> ((s, dir) =>
       Sampling.mixSources(docs(s, dir), "doc_id", "source",
         Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25))

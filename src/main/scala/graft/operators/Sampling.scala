@@ -122,6 +122,39 @@ object Sampling {
     * The hash is folded into 2^50 so its double image is exact (53-bit
     * mantissa) and the ordering matches the oracle's integer sort.
     */
+  /** TOKEN-budget corpus capping — the mixture-planner sibling of
+    * [[capPerGroup]] (which caps DOC counts): each source keeps the
+    * deterministic-hash-ordered PREFIX of its documents whose cumulative
+    * token count stays within `budget`. Prefix truncation is the rule a
+    * token-budgeted mixture actually ships: which docs survive depends only
+    * on their own hash order, so the kept set is reproducible and stable
+    * run-to-run (no RNG), and the budget binds on TOKENS — the unit training
+    * cost is measured in — not document counts.
+    *
+    * Shape at scale: a narrow codegen projection (token count + 50-bit hash
+    * image, exact in a double mantissa like [[capPerGroup]]'s) followed by
+    * ONE running-sum window partitioned by source — a single hash exchange
+    * on the source key, local sort, no second shuffle. The cumulative-sum
+    * filter is evaluated inside the window projection, so nothing
+    * post-window shuffles again.
+    */
+  def tokenBudgetPerSource(df: DataFrame, idCol: String, srcCol: String,
+                           textCol: String, budget: Long,
+                           salt: String = "tokbudget"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(srcCol)).orderBy(col("__h"), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.select(col(idCol), col(srcCol),
+        size(graft.functions.Text.tokens(col(textCol))).cast("long").as("n_tokens"),
+        pmod(Hashing.hash60(concat(lit(salt), lit(":"), col(idCol).cast("string"))),
+          lit(1L << 50)).as("__h"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budget)
+      .select(col(idCol), col(srcCol), col("n_tokens"), col("cum_tokens"))
+      .orderBy(idCol)
+  }
+
   def capPerGroup(df: DataFrame, keyCol: String, groupCol: String, maxPerGroup: Int,
                   salt: String = "quota"): DataFrame = {
     import df.sparkSession.implicits._

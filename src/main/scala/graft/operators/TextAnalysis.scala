@@ -278,7 +278,6 @@ object TextAnalysis {
     */
   private def bpeTypeTable(docs: DataFrame, nMerges: Int)
       : (DataFrame, Seq[(Long, String, String, Long)]) = {
-    def sq(s: String) = s.replace("'", "''")
     // word-TYPE table: (w, cnt, syms) — everything downstream is vocab-bounded
     var types = docs
       .select(explode(Text.tokens(col("text"))).as("w"))
@@ -305,22 +304,35 @@ object TextAnalysis {
         val row = top.head
         val (pa, pb, freq) = (row.getString(0), row.getString(1), row.getLong(2))
         merges += ((r + 1L, pa, pb, freq))
-        val la = pa.length
-        val mergeFold =
-          s"""aggregate(slice(syms, 2, greatest(size(syms) - 1, 0)),
-             |  element_at(syms, 1),
-             |  (acc, x) -> CASE
-             |    WHEN (acc = '${sq(pa)}' OR right(acc, ${la + 1}) = ' ${sq(pa)}')
-             |         AND x = '${sq(pb)}'
-             |    THEN concat(left(acc, length(acc) - $la), '${sq(pa)}${sq(pb)}')
-             |    ELSE concat(acc, ' ', x) END)""".stripMargin
         types = types
-          .select(col("w"), col("cnt"), split(expr(mergeFold), " ").as("syms"))
+          .select(col("w"), col("cnt"),
+            split(bpeMergeFold(pa, pb), " ").as("syms"))
           .localCheckpoint()
         r += 1
       }
     }
     (types, merges.toSeq)
+  }
+
+  /** The greedy left-to-right merge of pair (pa, pb) over the space-joined
+    * `syms` array, as a first-element-seeded string fold — the exact
+    * semantics of DuckDB's `list_reduce`, which the oracle mirrors clause
+    * for clause. A just-merged symbol cannot re-merge in the same pass (its
+    * concatenated text no longer equals `pa`), which is precisely standard
+    * BPE's non-overlapping greedy scan. Property-tested against a plain
+    * Scala reference fold in `OperatorSpec`.
+    */
+  private[graft] def bpeMergeFold(pa: String, pb: String): Column = {
+    def sq(s: String) = s.replace("'", "''")
+    val la = pa.length
+    expr(
+      s"""aggregate(slice(syms, 2, greatest(size(syms) - 1, 0)),
+         |  element_at(syms, 1),
+         |  (acc, x) -> CASE
+         |    WHEN (acc = '${sq(pa)}' OR right(acc, ${la + 1}) = ' ${sq(pa)}')
+         |         AND x = '${sq(pb)}'
+         |    THEN concat(left(acc, length(acc) - $la), '${sq(pa)}${sq(pb)}')
+         |    ELSE concat(acc, ' ', x) END)""".stripMargin)
   }
 
   /** Encode the corpus with the trained BPE merges — the apply sibling of

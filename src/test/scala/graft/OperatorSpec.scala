@@ -559,6 +559,32 @@ class OperatorSpec extends SparkSpec {
       s"unexpected merge table: $got")
   }
 
+  test("bpeMergeFold == reference greedy merge on 500 random symbol sequences") {
+    // the SQL fold (first-element-seeded, suffix-boundary-checked) must equal
+    // a plain Scala greedy left-to-right merge for ANY symbol sequence and
+    // pair — including multi-char symbols that are prefixes/suffixes of each
+    // other (the string-boundary hazard the right()/left() clauses guard)
+    val alphabet = Vector("a", "b", "ab", "ba", "aa")
+    val rnd = new scala.util.Random(42)
+    val seqs = (1 to 500).map(_ =>
+      (1 to (1 + rnd.nextInt(8))).map(_ => alphabet(rnd.nextInt(alphabet.size))).toList)
+    def ref(syms: List[String], pa: String, pb: String): List[String] =
+      syms.foldLeft(List.empty[String]) { (acc, x) =>
+        if (acc.nonEmpty && acc.last == pa && x == pb) acc.init :+ (pa + pb)
+        else acc :+ x
+      }
+    for ((pa, pb) <- Seq(("a", "b"), ("a", "a"), ("ab", "a"), ("b", "ab"), ("aa", "ba"))) {
+      val df = seqs.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "syms")
+      val got = df.select(col("id"), split(TextAnalysis.bpeMergeFold(pa, pb), " ").as("m"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+      for ((s, i) <- seqs.zipWithIndex) {
+        val expected = ref(s, pa, pb)
+        assert(got(i.toLong) == expected,
+          s"pair ($pa,$pb) on $s: got ${got(i.toLong)}, expected $expected")
+      }
+    }
+  }
+
   test("bpeEncode: symbol counts follow the learned merges exactly") {
     val docs = Seq((1L, "ab ab ab aaa")).toDF("doc_id", "text")
     // after 1 merge (a,b): ab -> 1 symbol, aaa -> 3 symbols
@@ -578,6 +604,30 @@ class OperatorSpec extends SparkSpec {
     val got = TextAnalysis.bpeTrain(docs, nMerges = 2)
       .collect().map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
     assert(got == Seq(("c", "d", 2L), ("c", "e", 2L)), s"got $got")
+  }
+
+  test("tokenBudgetPerSource: hash-ordered prefix kept per source, budget binds on tokens") {
+    import graft.operators.Sampling
+    // 3 docs per source, 10 tokens each, budget 20 -> exactly 2 kept per
+    // source (whichever two hash first), cum_tokens 10 then 20
+    def txt(tag: String) = (1 to 10).map(i => s"$tag$i").mkString(" ")
+    val docs = Seq(
+      (1L, "sA", txt("a")), (2L, "sA", txt("b")), (3L, "sA", txt("c")),
+      (4L, "sB", txt("d")), (5L, "sB", txt("e")), (6L, "sB", txt("f")))
+      .toDF("doc_id", "source", "text")
+    val got = Sampling.tokenBudgetPerSource(docs, "doc_id", "source", "text", budget = 20L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.length == 4, s"two docs per source expected: ${got.toSeq}")
+    val bySrc = got.groupBy(_._2)
+    for ((src, rows) <- bySrc) {
+      assert(rows.map(_._4).sorted.toSeq == Seq(10L, 20L),
+        s"$src cumulative sums: ${rows.toSeq}")
+      assert(rows.forall(_._3 == 10L))
+    }
+    // determinism: same input, same selection
+    val again = Sampling.tokenBudgetPerSource(docs, "doc_id", "source", "text", budget = 20L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(again.toSeq == got.toSeq)
   }
 
   test("sourceOverlap: cross-source pairs counted once, same-source pairs excluded") {

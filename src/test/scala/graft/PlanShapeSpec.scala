@@ -285,6 +285,29 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CollectLimit"), "no driver collection")
   }
 
+  test("sample_token_budget: one source-keyed exchange feeds both the window and the final sort") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val df = ExtensionQueries.all("sample_token_budget")(spark, sf0001)
+    val exec = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val shuffles = exec.collect { case s: ShuffleExchangeExec => s }
+    // one hash exchange on source for the running-sum window + the output
+    // ORDER BY's range exchange — nothing else may shuffle
+    assert(shuffles.size <= 2, s"at most two exchanges expected:\n$exec")
+    assert(shuffles.exists(_.outputPartitioning.toString.toLowerCase.contains("source")),
+      s"the window exchange must key on source:\n$exec")
+  }
+
+  test("source_overlap: df-capped index, equi-joins only, no cartesian") {
+    val p = plan(graft.operators.Dedup.sourceOverlap(
+      Tables.table(spark, sf0001, "documents"), "doc_id", "text", "source",
+      k = 3, maxDf = 50))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the source-pair fan-out must come from the shingle-hash equi-join")
+  }
+
   test("bloom prefilter: membership probe filters the fact BELOW the join") {
     import org.apache.spark.sql.execution.FilterExec
     import org.apache.spark.sql.execution.joins.BaseJoinExec

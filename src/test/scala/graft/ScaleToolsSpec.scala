@@ -1206,6 +1206,53 @@ class ScaleToolsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
         f"(t1=${math.min(t1a, t1b)}%.2fs t2=${math.min(t2a, t2b)}%.2fs)")
   }
 
+  test("sourceOverlap survives 10x docs: exact planted matrix, flat job count") {
+    import graft.operators.Dedup
+    // 4 sources by id % 4; every (id % 10 == 1) doc shares ONE trigram
+    // (x_j y_j z_j, keyed by the quoting doc) with doc id-1 — consecutive
+    // ids sit in different sources, so the planted matrix is exactly
+    // (s0,s1) and (s2,s3), alternating per decade
+    def corpus(nDocs: Int) = {
+      val base = array_join(transform(sequence(lit(0), lit(9)),
+        j => concat_ws("_", lit("d"), col("doc_id"), j)), " ")
+      def trip(k: Column) = concat_ws(" ",
+        concat(lit("x"), k), concat(lit("y"), k), concat(lit("z"), k))
+      spark.range(nDocs).select(col("id").as("doc_id"))
+        .select(col("doc_id"),
+          concat(lit("s"), col("doc_id") % 4).as("source"),
+          concat_ws(" ", base,
+            when(col("doc_id") % 10 === 1, trip(col("doc_id"))),
+            when(col("doc_id") % 10 === 0, trip(col("doc_id") + 1))).as("text"))
+    }
+    def run(nDocs: Int): (Seq[(String, String, Long, Long, Long)], Int, Double) = {
+      var rows: Seq[(String, String, Long, Long, Long)] = Nil
+      val t0 = System.nanoTime()
+      val jobs = countJobs(s"srcov10x-$nDocs-${System.nanoTime()}") {
+        rows = Dedup.sourceOverlap(corpus(nDocs), "doc_id", "text", "source",
+            k = 3, maxDf = 50)
+          .collect().map(r => (r.getString(0), r.getString(1),
+            r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+      }
+      (rows, jobs, (System.nanoTime() - t0) / 1e9)
+    }
+    run(1000)
+    val (m1, j1, t1a) = run(1000)
+    val (_, _, t1b) = run(1000)
+    val (m2, j2, t2a) = run(10000)
+    val (_, _, t2b) = run(10000)
+    // exact planted matrix at both scales: 100 quoting docs at 1x split
+    // evenly between the (s0,s1) and (s2,s3) decades
+    assert(m1 == Seq(("s0", "s1", 50L, 50L, 50L), ("s2", "s3", 50L, 50L, 50L)),
+      s"1x matrix: $m1")
+    assert(m2 == Seq(("s0", "s1", 500L, 500L, 500L), ("s2", "s3", 500L, 500L, 500L)),
+      s"10x matrix: $m2")
+    assert(j2 <= j1 + 4, s"10x docs grew the sourceOverlap job count $j1 -> $j2")
+    val ratio = math.min(t2a, t2b) / math.min(t1a, t1b)
+    assert(ratio <= 30.0,
+      f"10x docs grew sourceOverlap wall-time $ratio%.1fx " +
+        f"(t1=${math.min(t1a, t1b)}%.2fs t2=${math.min(t2a, t2b)}%.2fs)")
+  }
+
   test("bpeTrain is volume-independent: 10x-replicated corpus learns the identical merge table") {
     import graft.operators.TextAnalysis
     // text depends only on id % 200, so a 10x corpus is the same word mass
