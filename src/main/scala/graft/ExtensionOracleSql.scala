@@ -526,6 +526,23 @@ object ExtensionOracleSql {
          |FROM c WHERE cum_tokens <= 800
          |ORDER BY doc_id""".stripMargin,
 
+    // epoch up-sampling / repeat-factor mix: floor(w) copies + one more for
+    // a hash-selected frac(w) fraction; absent sources default to one copy —
+    // in lock-step with graft.operators.Sampling.upsampleMix
+    "sample_upsample" ->
+      s"""WITH w(source, whole, thr) AS (VALUES
+         |  ('src0', 2, 5000), ('src1', 0, 5000), ('src2', 3, 0), ('src3', 0, 0)),
+         |d AS (
+         |  SELECT doc_id, documents.source,
+         |    COALESCE(w.whole, 1) + CASE
+         |      WHEN ${h60("'epoch:' || CAST(doc_id AS VARCHAR)")} % 10000 < COALESCE(w.thr, 0)
+         |      THEN 1 ELSE 0 END AS n
+         |  FROM documents LEFT JOIN w ON documents.source = w.source)
+         |SELECT doc_id, source, CAST(copy_idx AS BIGINT) AS copy_idx FROM (
+         |  SELECT doc_id, source, unnest(range(1, n + 1)) AS copy_idx
+         |  FROM d WHERE n >= 1)
+         |ORDER BY doc_id, copy_idx""".stripMargin,
+
     // cross-source leakage matrix: distinct cross-source doc pairs sharing a
     // df-capped 3-shingle hash, plus per-side touched-doc counts — in
     // lock-step with graft.operators.Dedup.sourceOverlap

@@ -293,6 +293,11 @@ object ExtensionQueries {
     "sample_token_budget" -> ((s, dir) =>
       Sampling.tokenBudgetPerSource(docs(s, dir), "doc_id", "source", "text",
         budget = 800L)),
+    "sample_upsample" -> ((s, dir) =>
+      // epoch mix: 2.5 epochs of src0, half of src1, exactly 3x src2,
+      // src3 dropped, every other source exactly once
+      Sampling.upsampleMix(docs(s, dir), "doc_id", "source",
+        Map("src0" -> 2.5, "src1" -> 0.5, "src2" -> 3.0, "src3" -> 0.0))),
     "source_overlap" -> ((s, dir) =>
       Dedup.sourceOverlap(docs(s, dir), "doc_id", "text", "source",
         k = 3, maxDf = 50)),

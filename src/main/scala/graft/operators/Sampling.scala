@@ -49,6 +49,40 @@ object Sampling {
       .orderBy(idCol)
   }
 
+  /** EPOCH up-sampling / repeat-factor source mixing — the other half of
+    * corpus mixing that [[temperatureMix]]/[[mixSources]] (pure
+    * down-sampling) can't express: a source weighted w > 1 has every doc
+    * repeated floor(w) times plus one more for a deterministic hash-selected
+    * frac(w) fraction (so "2.5 epochs of src0" means every src0 doc appears
+    * 2 or 3 times and the source's total mass is exactly 2.5× in
+    * expectation); w < 1 down-samples the same way (0 or 1 copies); sources
+    * absent from `weights` default to exactly one copy. This is the
+    * standard rare-high-quality-source repetition knob (a 3-epoch Wikipedia
+    * against a 1-epoch web crawl). Fractions quantize to integer
+    * per-10000 thresholds so the boundary docs are exact cross-engine.
+    *
+    * Shape at scale: the weight table is a literal broadcast; copies come
+    * from exploding a per-row `sequence(1, n_copies)` — a narrow generator
+    * with output proportional to the target mix, no shuffle at all before
+    * the output ordering. Output: (doc_id, source, copy_idx 1..n).
+    */
+  def upsampleMix(df: DataFrame, idCol: String, srcCol: String,
+                  weights: Map[String, Double], salt: String = "epoch"): DataFrame = {
+    import df.sparkSession.implicits._
+    val wt = weights.toSeq.map { case (s, w) =>
+      require(w >= 0, s"negative weight for $s")
+      (s, math.floor(w).toLong, math.round((w - math.floor(w)) * 10000))
+    }.toDF(srcCol, "whole", "thr")
+    val n = (coalesce(col("whole"), lit(1L)) +
+      when(bucket(col(idCol), salt) < coalesce(col("thr"), lit(0L)), 1L).otherwise(0L))
+    df.join(broadcast(wt), Seq(srcCol), "left")
+      .select(col(idCol), col(srcCol),
+        explode(when(n >= 1, sequence(lit(1L), n))
+          .otherwise(array().cast("array<long>"))).as("copy_idx"))
+      .select(col(idCol), col(srcCol), col("copy_idx"))
+      .orderBy(idCol, "copy_idx")
+  }
+
   /** Deterministic global corpus shuffle: order the corpus by a seeded hash
     * of the key. Training pipelines need a REPRODUCIBLE shuffle between
     * packing and tokenization (so a rerun, a resume, or a different cluster

@@ -606,6 +606,36 @@ class OperatorSpec extends SparkSpec {
     assert(got == Seq(("c", "d", 2L), ("c", "e", 2L)), s"got $got")
   }
 
+  test("upsampleMix: floor/ceil copies by weight, zero drops, absent source keeps one") {
+    import graft.operators.Sampling
+    val docs = (1L to 40L).map(i =>
+      (i, s"s${i % 4}", s"text $i")).toDF("doc_id", "source", "text")
+    val got = Sampling.upsampleMix(docs, "doc_id", "source",
+        Map("s0" -> 2.5, "s1" -> 0.5, "s2" -> 3.0, "s3" -> 0.0))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byDoc = got.groupBy(_._1).view.mapValues(_.map(_._3).sorted.toSeq).toMap
+    for (i <- 1L to 40L) {
+      val copies = byDoc.getOrElse(i, Nil)
+      (i % 4) match {
+        case 0 => assert(copies == (1L to copies.length) &&
+          (copies.length == 2 || copies.length == 3), s"s0 doc $i: $copies")
+        case 1 => assert(copies.length <= 1, s"s1 doc $i: $copies")
+        case 2 => assert(copies == Seq(1L, 2L, 3L), s"s2 doc $i: $copies") // exact 3.0
+        case 3 => assert(copies.isEmpty, s"s3 doc $i must drop: $copies")
+      }
+    }
+    // a source absent from the weight map keeps exactly one copy
+    val one = Sampling.upsampleMix(docs, "doc_id", "source", Map("s0" -> 2.0))
+      .filter(col("source") =!= "s0").groupBy("doc_id").count()
+      .collect().map(_.getLong(1)).toSet
+    assert(one == Set(1L))
+    // determinism
+    val again = Sampling.upsampleMix(docs, "doc_id", "source",
+        Map("s0" -> 2.5, "s1" -> 0.5, "s2" -> 3.0, "s3" -> 0.0))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(again.toSeq == got.toSeq)
+  }
+
   test("tokenBudgetPerSource: hash-ordered prefix kept per source, budget binds on tokens") {
     import graft.operators.Sampling
     // 3 docs per source, 10 tokens each, budget 20 -> exactly 2 kept per
