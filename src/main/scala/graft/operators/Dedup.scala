@@ -739,21 +739,33 @@ object Dedup {
     * sharing at least one df-capped word-k-shingle hash, plus how many
     * distinct docs on each side are touched.
     *
-    * Scale shape: the corpus collapses to the distinct (doc, shingle-hash)
-    * index once; the df cap (2 ≤ df ≤ maxDf) prunes boilerplate shingles
-    * BEFORE the pair fan-out exactly like [[ngramJaccardCappedPairs]], so
-    * candidate mass is bounded by genuinely-shared rare shingles, never
-    * doc × doc; source labels ride along via one doc-keyed equi-join. The
-    * output is source-pair-sized — a handful of rows at any corpus scale.
+    * Scale shape: the corpus collapses to the distinct
+    * (doc, source, shingle-hash) index once — the source label is carried
+    * through the initial codegen projection, so no doc-keyed join against
+    * the corpus-sized doc→source map is ever needed (source is functionally
+    * dependent on the doc id, so the distinct's cardinality is unchanged);
+    * the df cap (2 ≤ df ≤ maxDf) prunes boilerplate shingles BEFORE the
+    * pair fan-out exactly like [[ngramJaccardCappedPairs]], so candidate
+    * mass is bounded by genuinely-shared rare shingles, never doc × doc.
+    * The output is source-pair-sized — a handful of rows at any corpus
+    * scale.
     */
   def sourceOverlap(docs: DataFrame, idCol: String, textCol: String,
                     srcCol: String, k: Int = 3, maxDf: Int = 50,
                     hashFn: Column => Column = Hashing.hash60): DataFrame = {
-    val ex = shingleHashesExploded(docs, idCol, textCol, k, hashFn)
-    val src = docs.select(col(idCol).as("doc_id"), col(srcCol).as("src"))
+    val ex = spread(docs, idCol)
+      .select(col(idCol).as("doc_id"), col(srcCol).as("src"),
+        Text.tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), col("src"), col("toks"),
+        posexplode(col("toks")).as(Seq("pos", "t")))
+      .filter(col("pos") <= size(col("toks")) - k)
+      .select(col("doc_id"), col("src"),
+        hashFn(concat_ws(" ", (0 until k).map(i =>
+          element_at(col("toks"), col("pos") + i + 1)): _*)).as("h"))
+      .distinct()
     val dfStats = ex.groupBy("h").agg(count(lit(1)).as("df"))
     val shared = dfStats.filter(col("df") >= 2 && col("df") <= maxDf).select("h")
-    val idx = ex.join(shared, "h").join(src, "doc_id")
+    val idx = ex.join(shared, "h")
     idx.as("a").join(idx.as("b"),
         col("a.h") === col("b.h") && col("a.src") < col("b.src"))
       .select(col("a.src").as("source_a"), col("b.src").as("source_b"),
