@@ -42,6 +42,33 @@ class ReliableCheckpointSpec extends SparkSpec {
       "reliable mode wrote no barrier files — it silently used localCheckpoint")
   }
 
+  test("substring trim: reliable mode matches default and trims the same spans") {
+    val dir = ckptDir("trim")
+    val default = rows(Dedup.substringTrimApply(docs, "doc_id", "text",
+      n = 13, minSpan = 20))
+    val reliable = rows(Dedup.substringTrimApply(docs, "doc_id", "text",
+      n = 13, minSpan = 20, checkpointDir = Some(dir)))
+    assert(reliable == default)
+    // the equality must not be vacuous: the fixture's planted near-dups
+    // produce real >= 20-token cuts
+    assert(default.exists(!_.endsWith("|0")),
+      "fixture produced no trimmed docs — the equality is vacuous")
+    assert(barrierDirs(dir).nonEmpty,
+      "reliable mode wrote no barrier files — it silently used localCheckpoint")
+  }
+
+  test("fuzzy contamination: reliable mode matches default") {
+    val holdout = docs.filter("doc_id % 40 = 0")
+    val dir = ckptDir("fuzzy")
+    val default = rows(Dedup.fuzzyContamination(docs, holdout, "doc_id", "text",
+      k = 3, numPerm = 64, bands = 32, threshold = 0.4))
+    val reliable = rows(Dedup.fuzzyContamination(docs, holdout, "doc_id", "text",
+      k = 3, numPerm = 64, bands = 32, threshold = 0.4, checkpointDir = Some(dir)))
+    assert(reliable == default)
+    assert(default.nonEmpty, "fixture produced no flagged pairs — the equality is vacuous")
+    assert(barrierDirs(dir).nonEmpty)
+  }
+
   test("decontamination: reliable applyDecontamination matches default") {
     // same holdout construction as the decontaminate_exact query: a few docs
     // act as the benchmark, the rest are the training corpus
