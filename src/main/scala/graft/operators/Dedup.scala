@@ -423,10 +423,11 @@ object Dedup {
     * Scale shape: everything up to the span runs is [[exactSubstringPairs]]
     * (one materialization, df-capped fan-out); covered positions explode
     * only from qualifying runs (bounded by the duplicated-span mass, not the
-    * corpus); the token-level rebuild runs over TRIMMED docs only (the
-    * trimmed-id set is broadcast), and the untouched rest of the corpus is a
-    * narrow codegen projection — the corpus is never shuffled at all, only
-    * the trimmed remnant aggregates by doc.
+    * corpus); the token-level rebuild runs over TRIMMED docs only. The
+    * trimmed-id joins carry NO broadcast hint — that set grows with the
+    * corpus's dup mass (multi-percent of all docs in real web crawls, per
+    * Lee et al.), so at billions of docs it must shuffle-join on its narrow
+    * long key; AQE still broadcasts it at runtime when it is actually small.
     */
   def substringTrimApply(df: DataFrame, idCol: String, textCol: String,
                          n: Int = 13, minSpan: Int = 20, maxDf: Int = 50,
@@ -456,12 +457,17 @@ object Dedup {
             col("strt").cast("long") + col("len") - 1)).as("cut"))
         .distinct()
       val trimmedIds = cover.select(col("doc_id")).distinct()
-      // token-level rebuild over trimmed docs ONLY — the id set is tiny
-      // (bounded by docs holding a ≥ minSpan duplicated run), so it
-      // broadcasts and the corpus-side scan stays a narrow projection
+      // token-level rebuild over trimmed docs ONLY. The trimmed-id set is
+      // NOT force-broadcast: it is bounded by the corpus's duplicated-span
+      // mass, which in a real web corpus is a few PERCENT of all docs
+      // (Lee et al. measure multi-percent verbatim-dup rates) — O(10^8) ids
+      // at 5 B docs, far past any broadcast limit. The join key is one
+      // narrow long, so a co-partitioned shuffle join is cheap, and AQE
+      // still picks broadcast at runtime whenever the set IS genuinely
+      // small (the common fixture-scale case).
       val coverK = cover.select(col("doc_id").as("__cdoc"), col("cut"))
       val trimmedToks = df
-        .join(broadcast(trimmedIds.select(col("doc_id").as("__tid"))),
+        .join(trimmedIds.select(col("doc_id").as("__tid")),
           col(idCol) === col("__tid"))
         .select(col(idCol).as("doc_id"),
           posexplode(Text.tokens(col(textCol))).as(Seq("pos", "t")))
@@ -476,7 +482,7 @@ object Dedup {
       val base = df.select(col(idCol).as("doc_id"),
         Text.tokens(col(textCol)).as("__toks"))
       base
-        .join(broadcast(trimmedIds.withColumn("__trimmed", lit(true))), Seq("doc_id"), "left")
+        .join(trimmedIds.withColumn("__trimmed", lit(true)), Seq("doc_id"), "left")
         .join(rebuilt, Seq("doc_id"), "left")
         .select(
           col("doc_id"),

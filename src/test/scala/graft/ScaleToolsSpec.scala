@@ -1155,6 +1155,70 @@ class ScaleToolsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
         f"(t1=${math.min(t1a, t1b)}%.2fs t2=${math.min(t2a, t2b)}%.2fs)")
   }
 
+  test("substringTrimApply dup-heavy: 1/3 of docs trimmed, no broadcast, flat job count") {
+    import graft.operators.Dedup
+    // DUP-HEAVY fixture (round-10 verdict ask): every (id % 3 == 1) doc —
+    // a full THIRD of the corpus — quotes the previous doc's 24-token
+    // prefix, so the trimmed-id set is corpus-sized, not dimension-sized.
+    // Auto-broadcast is disabled for the run: this exercises the
+    // co-partitioned shuffle-join path the operator must survive when the
+    // trimmed set is O(corpus) (a forced broadcast() hint here would have
+    // killed the driver at web-corpus dup rates).
+    def corpus(nDocs: Int) = {
+      val own = array_join(transform(sequence(lit(0), lit(29)),
+        j => concat_ws("_", lit("d"), col("doc_id"), j)), " ")
+      val quote = concat(
+        concat_ws("_", lit("u"), col("doc_id"), lit("a")), lit(" "),
+        array_join(transform(sequence(lit(0), lit(23)),
+          j => concat_ws("_", lit("d"), col("doc_id") - 1, j)), " "),
+        lit(" "), concat_ws("_", lit("u"), col("doc_id"), lit("b")))
+      spark.range(nDocs).select(col("id").as("doc_id"))
+        .select(col("doc_id"),
+          when(col("doc_id") % 3 === 1, quote).otherwise(own).as("text"))
+    }
+    def run(nDocs: Int): (Long, Long, Int, Double) = {
+      var trimmed = 0L
+      var removed = 0L
+      val t0 = System.nanoTime()
+      val jobs = countJobs(s"trimheavy-$nDocs-${System.nanoTime()}") {
+        val agg = Dedup.substringTrimApply(corpus(nDocs), "doc_id", "text",
+            n = 13, minSpan = 20, maxDf = 50)
+          .agg(sum(when(col("n_removed") > 0, 1L).otherwise(0L)).as("t"),
+            sum(col("n_removed")).as("r")).collect().head
+        trimmed = agg.getLong(0); removed = agg.getLong(1)
+      }
+      (trimmed, removed, jobs, (System.nanoTime() - t0) / 1e9)
+    }
+    val conf = spark.conf
+    val oldBc = conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    val oldAqeBc = conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      run(999) // warm plan shapes/codegen
+      val (tr1, rm1, j1, t1a) = run(999)
+      val (_, _, _, t1b) = run(999)
+      val (tr2, rm2, j2, t2a) = run(9990)
+      val (_, _, _, t2b) = run(9990)
+      // exactness at both scales: every third doc loses exactly its 24
+      // quoted tokens — the trimmed set is 1/3 of ALL docs
+      assert(tr1 == 333 && rm1 == 333 * 24, s"1x trim counts $tr1/$rm1 (expect 333/7992)")
+      assert(tr2 == 3330 && rm2 == 3330 * 24, s"10x trim counts $tr2/$rm2 (expect 3330/79920)")
+      assert(j2 <= j1 + 4,
+        s"10x dup-heavy docs grew the substringTrim job count $j1 -> $j2")
+      val ratio = math.min(t2a, t2b) / math.min(t1a, t1b)
+      assert(ratio <= 30.0,
+        f"10x dup-heavy docs grew substringTrim wall-time $ratio%.1fx " +
+          f"(t1=${math.min(t1a, t1b)}%.2fs t2=${math.min(t2a, t2b)}%.2fs)")
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", oldBc)
+      oldAqeBc match {
+        case Some(v) => conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None => conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+    }
+  }
+
   test("semanticContamination survives 10x vectors: planted recall, exact precision, flat jobs") {
     import graft.operators.Similarity
     // deterministic ±1 pseudo-random 64-dim vectors: pairwise cosines
@@ -1286,6 +1350,177 @@ class ScaleToolsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     val ratio = math.min(t2a, t2b) / math.min(t1a, t1b)
     assert(ratio <= 30.0,
       f"10x corpus grew bpeTrain wall-time $ratio%.1fx " +
+        f"(t1=${math.min(t1a, t1b)}%.2fs t2=${math.min(t2a, t2b)}%.2fs)")
+  }
+
+  test("tokenBudgetPerSource survives 10x docs: single-window equivalence, hot source spans tasks") {
+    import graft.operators.Sampling
+    import graft.functions.Hashing
+    import org.apache.spark.sql.expressions.Window
+    // ONE source owns the whole corpus — exactly the shape a token budget
+    // exists for, and exactly the shape the old Window.partitionBy(source)
+    // form funneled into a single task's sort (round-10 verdict fix)
+    def corpus(n: Int) = spark.range(n).select(col("id").as("doc_id"),
+      lit("web").as("source"),
+      expr("array_join(transform(sequence(0, 9), j -> concat('t', id, '_', j)), ' ')")
+        .as("text"))
+    def budget(n: Int): Long = 5L * n // 10 tokens/doc -> exactly n/2 docs kept
+    // semantics oracle: the straightforward single-window form
+    def reference(n: Int) = {
+      val w = Window.partitionBy(col("source")).orderBy(col("__h"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      corpus(n).select(col("doc_id"), col("source"),
+          size(graft.functions.Text.tokens(col("text"))).cast("long").as("n_tokens"),
+          pmod(Hashing.hash60(concat(lit("tokbudget:"), col("doc_id").cast("string"))),
+            lit(1L << 50)).as("__h"))
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .filter(col("cum_tokens") <= budget(n))
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
+    }
+    // exact row-level equivalence to the single-window semantics, both scales
+    for (n <- Seq(2000, 20000)) {
+      val got = Sampling.tokenBudgetPerSource(corpus(n), "doc_id", "source", "text", budget(n))
+      assert(got.count() == n / 2, s"n=$n: expected ${n / 2} kept docs")
+      assert(got.exceptAll(reference(n)).count() == 0 &&
+        reference(n).exceptAll(got).count() == 0,
+        s"n=$n: bucketed result diverged from the single-window reference")
+    }
+    // the hot source must SPREAD: with AQE's small-partition coalescing off
+    // (test scale makes every partition tiny), the heaviest shuffle-read
+    // stage — the (source, bucket) running-sum window — must land on >1 task
+    val byStage = scala.collection.concurrent.TrieMap[
+      Int, scala.collection.mutable.ArrayBuffer[Long]]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null && m.shuffleReadMetrics.recordsRead > 0)
+          byStage.getOrElseUpdate(t.stageId,
+            scala.collection.mutable.ArrayBuffer()) += m.shuffleReadMetrics.recordsRead
+      }
+    }
+    val conf = spark.conf
+    val oldCoalesce = conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      Sampling.tokenBudgetPerSource(corpus(20000), "doc_id", "source", "text",
+        budget(20000)).count()
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (byStage.isEmpty && System.nanoTime() < deadline) Thread.sleep(100)
+      var last = -1; var same = 0
+      while (same < 3) {
+        Thread.sleep(100)
+        val c = byStage.values.map(_.size).sum
+        if (c == last) same += 1 else { same = 0; last = c }
+      }
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", oldCoalesce)
+    }
+    assert(byStage.nonEmpty, "no shuffle-read metrics captured")
+    val heaviest = byStage.values.maxBy(_.sum)
+    assert(heaviest.size >= 3,
+      s"the hot source's window stage ran on ${heaviest.size} task(s) — " +
+        "one-task-per-source crept back in")
+    // flat job structure + linear wall
+    def run(n: Int): (Int, Double) = {
+      val t0 = System.nanoTime()
+      val jobs = countJobs(s"tokbud10x-$n-${System.nanoTime()}") {
+        Sampling.tokenBudgetPerSource(corpus(n), "doc_id", "source", "text",
+          budget(n)).count()
+      }
+      (jobs, (System.nanoTime() - t0) / 1e9)
+    }
+    run(2000)
+    val (j1, t1a) = run(2000); val (_, t1b) = run(2000)
+    val (j2, t2a) = run(20000); val (_, t2b) = run(20000)
+    assert(j2 <= j1 + 4, s"10x docs grew the tokenBudget job count $j1 -> $j2")
+    val ratio = math.min(t2a, t2b) / math.min(t1a, t1b)
+    assert(ratio <= 30.0,
+      f"10x docs grew tokenBudget wall-time $ratio%.1fx " +
+        f"(t1=${math.min(t1a, t1b)}%.2fs t2=${math.min(t2a, t2b)}%.2fs)")
+  }
+
+  test("upsampleMix survives 10x docs: exact copy-counts per weight class, flat job count") {
+    import graft.operators.Sampling
+    // 4 sources by id % 4: s0 upsampled 2.5x, s1 kept 1x, s2 dropped (0x),
+    // s3 absent from the weight map -> default one copy
+    def corpus(n: Int) = spark.range(n).select(col("id").as("doc_id"),
+      concat(lit("s"), col("id") % 4).as("source"))
+    def run(n: Int): (Map[String, (Long, Long)], Seq[Long], Int, Double) = {
+      var bySrc = Map.empty[String, (Long, Long)]
+      var s0range: Seq[Long] = Nil
+      val t0 = System.nanoTime()
+      val jobs = countJobs(s"upsample10x-$n-${System.nanoTime()}") {
+        val out = Sampling.upsampleMix(corpus(n), "doc_id", "source",
+          Map("s0" -> 2.5, "s1" -> 1.0, "s2" -> 0.0))
+        bySrc = out.groupBy("source")
+          .agg(count(lit(1)).as("rows"), countDistinct(col("doc_id")).as("docs"))
+          .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+        s0range = out.filter(col("source") === "s0").groupBy("doc_id")
+          .agg(max(col("copy_idx")).as("c"))
+          .agg(min(col("c")), max(col("c"))).collect()
+          .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSeq
+      }
+      (bySrc, s0range, jobs, (System.nanoTime() - t0) / 1e9)
+    }
+    run(4000)
+    val (m1, r1, j1, t1a) = run(4000); val (_, _, _, t1b) = run(4000)
+    val (m2, r2, j2, t2a) = run(40000); val (_, _, _, t2b) = run(40000)
+    for ((m, n) <- Seq((m1, 4000L), (m2, 40000L))) {
+      val q = n / 4
+      assert(!m.contains("s2"), s"weight-0 source must vanish: $m")
+      assert(m("s1") == ((q, q)) && m("s3") == ((q, q)),
+        s"1x-weight sources must keep exactly one copy per doc: $m")
+      val (s0rows, s0docs) = m("s0")
+      assert(s0docs == q, s"every s0 doc must appear: $m")
+      // 2.5x in expectation, every doc 2 or 3 copies; the hash-selected
+      // fraction is deterministic, bound it at ±4% (~6 sigma of a fair coin)
+      assert(s0rows >= (q * 2.4).toLong && s0rows <= (q * 2.6).toLong,
+        s"s0 mass must be ~2.5x its doc count: $s0rows of $q docs")
+    }
+    assert(r1 == Seq(2L, 3L) && r2 == Seq(2L, 3L),
+      s"s0 per-doc copies must be exactly 2 or 3: $r1 / $r2")
+    assert(j2 <= j1 + 4, s"10x docs grew the upsampleMix job count $j1 -> $j2")
+    val ratio = math.min(t2a, t2b) / math.min(t1a, t1b)
+    assert(ratio <= 30.0,
+      f"10x docs grew upsampleMix wall-time $ratio%.1fx " +
+        f"(t1=${math.min(t1a, t1b)}%.2fs t2=${math.min(t2a, t2b)}%.2fs)")
+  }
+
+  test("qualityFilterApply survives 10x docs: exact survivor scaling, flat job count") {
+    import graft.operators.TextAnalysis
+    // every (id % 5 == 0) doc is one-word junk (fails Gopher minWords);
+    // everything else is a 100-token all-alpha doc with 8 English stopwords
+    // (passes Gopher + composite score + langId agreement) — survivors are
+    // exactly 4/5 of the corpus at any scale
+    def corpus(n: Int) = {
+      val good = concat(lit("the and of to in is for on "),
+        expr("array_join(transform(sequence(0, 91), j -> element_at(" +
+          "array('alpha','bravo','charlie','delta','echo','foxtrot','golf'," +
+          "'hotel','india','juliet','kilo','lima'), " +
+          "CAST(pmod(hash(j), 12) AS INT) + 1)), ' ')"))
+      spark.range(n).select(col("id").as("doc_id"),
+          when(col("id") % 5 === 0, lit("zz")).otherwise(good).as("text"),
+          lit("en").as("lang"), concat(lit("s"), col("id") % 3).as("source"))
+        .withColumn("n_chars", length(col("text")))
+    }
+    def run(n: Int): (Long, Int, Double) = {
+      var survivors = 0L
+      val t0 = System.nanoTime()
+      val jobs = countJobs(s"qual10x-$n-${System.nanoTime()}") {
+        survivors = TextAnalysis.qualityFilterApply(spark, corpus(n)).count()
+      }
+      (survivors, jobs, (System.nanoTime() - t0) / 1e9)
+    }
+    run(1000)
+    val (s1, j1, t1a) = run(1000); val (_, _, t1b) = run(1000)
+    val (s2, j2, t2a) = run(10000); val (_, _, t2b) = run(10000)
+    assert(s1 == 800 && s2 == 8000, s"survivors $s1/$s2 (expect 800/8000)")
+    assert(j2 <= j1 + 4, s"10x docs grew the qualityFilterApply job count $j1 -> $j2")
+    val ratio = math.min(t2a, t2b) / math.min(t1a, t1b)
+    assert(ratio <= 30.0,
+      f"10x docs grew qualityFilterApply wall-time $ratio%.1fx " +
         f"(t1=${math.min(t1a, t1b)}%.2fs t2=${math.min(t2a, t2b)}%.2fs)")
   }
 }
