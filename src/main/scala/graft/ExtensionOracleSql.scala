@@ -117,7 +117,12 @@ object ExtensionOracleSql {
   /** The chained BPE merge-round CTEs (in lock-step with
     * graft.operators.TextAnalysis.bpeTrain): word-type table, per-round
     * adjacent-pair counts, top-pair pick, greedy left-to-right merge via
-    * list_reduce's first-element-seeded fold.
+    * list_reduce's first-element-seeded fold. The merge join is a LEFT
+    * JOIN ON TRUE, not a CROSS JOIN: when a round's top-pair pick t\$r is
+    * EMPTY (the corpus supports fewer than nMerges merges), the NULL
+    * sym_a/sym_b make every merge condition false and w\$r passes through
+    * w\$(r-1) unchanged — exactly the Spark side's early-stop, which keeps
+    * encoding with the last non-empty type table.
     */
   private def bpeCtes(nMerges: Int): String = {
     val w0 =
@@ -138,10 +143,28 @@ object ExtensionOracleSql {
          |           AND x = t.sym_b
          |      THEN left(acc, len(acc) - len(t.sym_a)) || t.sym_a || t.sym_b
          |      ELSE acc || ' ' || x END), ' ') AS syms
-         |  FROM w${r - 1} CROSS JOIN t$r t)""".stripMargin
+         |  FROM w${r - 1} LEFT JOIN t$r t ON TRUE)""".stripMargin
     }
     (w0 +: rounds).mkString("WITH ", ",\n", "")
   }
+
+  /** BPE encode over the round-10 type table — shared verbatim by
+    * vocab_bpe_encode and vocab_bpe_encode_stored (the stored path must be
+    * bit-identical to the one-shot path).
+    */
+  private lazy val bpeEncodeSql: String =
+    s"""${bpeCtes(10)},
+       |tok AS (SELECT doc_id, unnest($toksOf) AS t FROM documents)
+       |SELECT tok.doc_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(len(w.syms)) AS BIGINT) AS n_symbols,
+       |  CAST(CASE WHEN SUM(len(w.word)) > 0
+       |    THEN floor(CAST(SUM(len(w.syms)) * 1000 AS DOUBLE) /
+       |               CAST(SUM(len(w.word)) AS DOUBLE))
+       |    ELSE 0 END AS BIGINT) AS symbols_per_1000_chars
+       |FROM tok JOIN w10 w ON tok.t = w.word
+       |GROUP BY tok.doc_id
+       |ORDER BY tok.doc_id""".stripMargin
 
   private def dot(a: String, b: String) =
     s"list_sum(list_transform(range(1, len($a) + 1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
@@ -494,19 +517,12 @@ object ExtensionOracleSql {
     // BPE corpus encoding: every token joins the trained type table (docs
     // with zero tokens are absent by the inner-join semantics) — in
     // lock-step with graft.operators.TextAnalysis.bpeEncode
-    "vocab_bpe_encode" ->
-      s"""${bpeCtes(10)},
-         |tok AS (SELECT doc_id, unnest($toksOf) AS t FROM documents)
-         |SELECT tok.doc_id,
-         |  CAST(COUNT(*) AS BIGINT) AS n_words,
-         |  CAST(SUM(len(w.syms)) AS BIGINT) AS n_symbols,
-         |  CAST(CASE WHEN SUM(len(w.word)) > 0
-         |    THEN floor(CAST(SUM(len(w.syms)) * 1000 AS DOUBLE) /
-         |               CAST(SUM(len(w.word)) AS DOUBLE))
-         |    ELSE 0 END AS BIGINT) AS symbols_per_1000_chars
-         |FROM tok JOIN w10 w ON tok.t = w.word
-         |GROUP BY tok.doc_id
-         |ORDER BY tok.doc_id""".stripMargin,
+    "vocab_bpe_encode" -> bpeEncodeSql,
+
+    // the stored-vocabulary encode must reproduce the one-shot encode
+    // EXACTLY (train-once/encode-many; lock-step with
+    // graft.operators.TextAnalysis.bpeEncodeStored) — same oracle
+    "vocab_bpe_encode_stored" -> bpeEncodeSql,
 
     // token-budget prefix truncation per source: deterministic hash order,
     // running token sum, keep while cum <= budget — in lock-step with

@@ -15,6 +15,19 @@ object ExtensionQueries {
   private def docs(s: SparkSession, dir: String) = Tables.table(s, dir, "documents")
   private def emb(s: SparkSession, dir: String) = Tables.table(s, dir, "embeddings")
 
+  /** Ordered LCG digest of a file tree (name-sorted, position-sensitive;
+    * mtime+size+name per node): keys the /tmp cache dirs of the stored-index
+    * queries so a regenerated fixture can never silently serve a stale
+    * store. XOR folding would be self-cancelling (two files swapping mtimes
+    * erase each other), hence the LCG chain.
+    */
+  private def treeFingerprint(f: java.io.File): Long = {
+    val self = f.lastModified * 1000003L + f.length * 31L + f.getName.hashCode
+    val children = Option(f.listFiles()).map(_.sortBy(_.getName)).getOrElse(Array.empty)
+    children.foldLeft(self)((acc, c) =>
+      acc * 6364136223846793005L + treeFingerprint(c) + 1442695040888963407L)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, dir) =>
       Dedup.exactCanonical(docs(s, dir), "doc_id", "text")),
@@ -98,6 +111,20 @@ object ExtensionQueries {
       TextAnalysis.bpeTrain(docs(s, dir), nMerges = 10)),
     "vocab_bpe_encode" -> ((s, dir) =>
       TextAnalysis.bpeEncode(docs(s, dir), nMerges = 10)),
+    "vocab_bpe_encode_stored" -> { (s, dir) =>
+      // steady-state encode against a STORED vocabulary (same nMerges as
+      // vocab_bpe_encode, so the same oracle applies): the tokenizer is
+      // trained once per fixture and reused — the encode plan contains only
+      // the token-type equi-join, none of the merge rounds. Same
+      // fingerprint-keyed /tmp cache scheme as simsearch_ivf_search, so a
+      // regenerated fixture or changed store layout never serves stale.
+      val srcFp = java.lang.Long.toHexString(
+        treeFingerprint(new java.io.File(s"$dir/documents.parquet")))
+      val storeDir = s"/tmp/graft_bpe_store_v1_${dir.replaceAll("[^A-Za-z0-9]", "_")}_$srcFp"
+      if (!new java.io.File(s"$storeDir/types/_SUCCESS").exists())
+        TextAnalysis.bpeStore(docs(s, dir), storeDir, nMerges = 10)
+      TextAnalysis.bpeEncodeStored(s, storeDir, docs(s, dir))
+    },
     "decontaminate_exact" -> { (s, dir) =>
       import org.apache.spark.sql.functions._
       // a benchmark that QUOTES training text (the realistic contamination
@@ -189,16 +216,8 @@ object ExtensionQueries {
       // embeds a fingerprint of the SOURCE data (mtime+size, recursive) and
       // an index-format version, so a regenerated fixture or a changed index
       // layout can never silently serve a stale index.
-      // ordered LCG digest (name-sorted, position-sensitive): XOR folding is
-      // self-cancelling — two files swapping mtimes, or equal contributions,
-      // erase each other and can serve a stale index
-      def fp(f: java.io.File): Long = {
-        val self = f.lastModified * 1000003L + f.length * 31L + f.getName.hashCode
-        val children = Option(f.listFiles()).map(_.sortBy(_.getName)).getOrElse(Array.empty)
-        children.foldLeft(self)((acc, c) =>
-          acc * 6364136223846793005L + fp(c) + 1442695040888963407L)
-      }
-      val srcFp = java.lang.Long.toHexString(fp(new java.io.File(s"$dir/embeddings.parquet")))
+      val srcFp = java.lang.Long.toHexString(
+        treeFingerprint(new java.io.File(s"$dir/embeddings.parquet")))
       val indexDir = s"/tmp/graft_ivf_index_v1_${dir.replaceAll("[^A-Za-z0-9]", "_")}_$srcFp"
       if (!new java.io.File(s"$indexDir/assigned/_SUCCESS").exists())
         Similarity.ivfStore(emb(s, dir), indexDir, nlist = 4, iters = 4)

@@ -345,8 +345,36 @@ object TextAnalysis {
     * tokenized text — the metric that decides whether a tokenizer is worth
     * its vocabulary). Integer arithmetic throughout, cross-engine exact.
     */
-  def bpeEncode(docs: DataFrame, nMerges: Int = 10): DataFrame = {
-    val (types, _) = bpeTypeTable(docs, nMerges)
+  def bpeEncode(docs: DataFrame, nMerges: Int = 10): DataFrame =
+    bpeEncodeTypes(docs, bpeTypeTable(docs, nMerges)._1)
+
+  /** Persist the trained BPE tokenizer — the train-once half of
+    * train-once/encode-many, mirroring [[Similarity.ivfStore]]'s
+    * build-once/search-many split: the merge list (the artifact a tokenizer
+    * ships) and the final word-TYPE table, both as parquet.
+    * [[bpeEncodeStored]] then encodes any corpus shard from the store,
+    * paying only the vocabulary equi-join — no merge rounds in its plan.
+    * Retraining is a scheduled job (vocabulary drift), not a per-encode
+    * cost.
+    */
+  def bpeStore(docs: DataFrame, dir: String, nMerges: Int = 10): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (types, merges) = bpeTypeTable(docs, nMerges)
+    merges.toDF("merge_rank", "sym_a", "sym_b", "freq")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/merges")
+    types.write.mode("overwrite").parquet(s"$dir/types")
+  }
+
+  /** Encode from a STORED vocabulary (see [[bpeStore]]): output is
+    * identical to [[bpeEncode]] with the same `nMerges` over the training
+    * corpus (suite-asserted), but the plan contains ONLY the token-type
+    * equi-join — the steady-state shape a pipeline runs every epoch/shard.
+    */
+  def bpeEncodeStored(spark: SparkSession, dir: String, docs: DataFrame): DataFrame =
+    bpeEncodeTypes(docs, spark.read.parquet(s"$dir/types"))
+
+  private def bpeEncodeTypes(docs: DataFrame, types: DataFrame): DataFrame = {
     val enc = types.select(col("w").as("t"),
       size(col("syms")).cast("long").as("n_syms"),
       length(col("w")).cast("long").as("n_chars_w"))

@@ -597,6 +597,32 @@ class OperatorSpec extends SparkSpec {
     assert(full == Seq((1L, 4L, 4L, 444L)), s"nMerges=5: $full") // floor(4000/9)
   }
 
+  test("bpeStore/bpeEncodeStored: stored encode == one-shot, plan has no training rounds") {
+    val d = Tables.table(spark, sf0001, "documents")
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpe").toString
+    TextAnalysis.bpeStore(d, dir, nMerges = 10)
+    // the persisted merge list IS bpeTrain's output
+    val merges = spark.read.parquet(s"$dir/merges").orderBy("merge_rank")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val trained = TextAnalysis.bpeTrain(d, nMerges = 10)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(merges == trained, "stored merge list must equal bpeTrain's")
+    // encode-from-store is bit-identical to the one-shot train+encode
+    val stored = TextAnalysis.bpeEncodeStored(spark, dir, d)
+    val oneShot = TextAnalysis.bpeEncode(d, nMerges = 10)
+    assert(stored.exceptAll(oneShot).count() == 0 &&
+      oneShot.exceptAll(stored).count() == 0,
+      "stored encode diverged from the one-shot encode")
+    // train-once/encode-many: the stored plan reads the parquet store and
+    // contains NONE of the checkpointed merge rounds (which surface as
+    // ExistingRDD scans in the one-shot plan)
+    val storedPlan = stored.queryExecution.executedPlan.toString
+    assert(!storedPlan.contains("Scan ExistingRDD"),
+      s"training rounds leaked into the stored-encode plan:\n$storedPlan")
+    assert(oneShot.queryExecution.executedPlan.toString.contains("Scan ExistingRDD"),
+      "sanity: the one-shot plan should carry the checkpointed type table")
+  }
+
   test("bpeTrain: tie-break is lexicographic and merges chain across rounds") {
     // "cd cd ce ce": round 1 pairs (c,d) 2 and (c,e) 2 tie -> (c,d) wins;
     // round 2: (c,e) 2
