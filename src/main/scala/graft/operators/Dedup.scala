@@ -118,6 +118,31 @@ object Dedup {
     }
   }
 
+  /** Two-index variant of [[withShingleIndex]] for bipartite consumers
+    * ([[fuzzyContamination]]): BOTH indexes persist for the bracket, but the
+    * result passes through [[Materialize.barrier]] exactly ONCE — nesting
+    * the one-index bracket would barrier the result twice (two
+    * localCheckpoints, or two parquet round-trips in reliable mode), pure
+    * duplicated cost.
+    */
+  private def withShingleIndexes(exAraw: DataFrame, exBraw: DataFrame,
+                                 materialize: Boolean,
+                                 checkpointDir: Option[String] = None)
+                                (build: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    if (!materialize) build(exAraw, exBraw)
+    else {
+      val exA = exAraw.persist()
+      val exB = exBraw.persist()
+      exA.count(); exB.count()
+      try Materialize.barrier(build(exA, exB), checkpointDir)
+      finally {
+        exA.unpersist(blocking = false)
+        exB.unpersist(blocking = false)
+        ()
+      }
+    }
+  }
+
   /** Benchmark decontamination: flag training documents that share at least
     * one word-k-shingle with any holdout/benchmark document — the standard
     * "is my training corpus contaminated with my eval set" sweep.
@@ -696,28 +721,26 @@ object Dedup {
                          hashFn: Column => Column = Hashing.hash60,
                          materialize: Boolean = true,
                          checkpointDir: Option[String] = None): DataFrame =
-    withShingleIndex(shingleHashesExploded(train, idCol, textCol, k, hashFn),
-        materialize, checkpointDir) { exT =>
-      withShingleIndex(shingleHashesExploded(holdout, idCol, textCol, k, hashFn),
-          materialize, checkpointDir) { exH =>
-        val shH = shingleSets(exH)
-          .select(col("doc_id").as("hold_id"), col("hs").as("hsb"), col("sz").as("szb"))
-        val cand = bandedSignatures(exT, numPerm, bands).as("a")
-          .join(broadcast(bandedSignatures(exH, numPerm, bands).as("b")),
-            col("a.band_id") === col("b.band_id") && col("a.sig") === col("b.sig"))
-          .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("hold_id"))
-          .distinct()
-        cand
-          .join(shingleSets(exT)
-            .select(col("doc_id"), col("hs").as("hsa"), col("sz").as("sza")), "doc_id")
-          .join(broadcast(shH), "hold_id")
-          .withColumn("common", size(array_intersect(col("hsa"), col("hsb"))))
-          .withColumn("jaccard", round(
-            col("common").cast("double") /
-              (col("sza") + col("szb") - col("common")).cast("double"), 6))
-          .filter(col("jaccard") >= threshold)
-          .select("doc_id", "hold_id", "jaccard")
-      }
+    withShingleIndexes(shingleHashesExploded(train, idCol, textCol, k, hashFn),
+        shingleHashesExploded(holdout, idCol, textCol, k, hashFn),
+        materialize, checkpointDir) { (exT, exH) =>
+      val shH = shingleSets(exH)
+        .select(col("doc_id").as("hold_id"), col("hs").as("hsb"), col("sz").as("szb"))
+      val cand = bandedSignatures(exT, numPerm, bands).as("a")
+        .join(broadcast(bandedSignatures(exH, numPerm, bands).as("b")),
+          col("a.band_id") === col("b.band_id") && col("a.sig") === col("b.sig"))
+        .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("hold_id"))
+        .distinct()
+      cand
+        .join(shingleSets(exT)
+          .select(col("doc_id"), col("hs").as("hsa"), col("sz").as("sza")), "doc_id")
+        .join(broadcast(shH), "hold_id")
+        .withColumn("common", size(array_intersect(col("hsa"), col("hsb"))))
+        .withColumn("jaccard", round(
+          col("common").cast("double") /
+            (col("sza") + col("szb") - col("common")).cast("double"), 6))
+        .filter(col("jaccard") >= threshold)
+        .select("doc_id", "hold_id", "jaccard")
     }.orderBy("doc_id", "hold_id")
 
   /** End-to-end FUZZY decontamination application: drop every training
@@ -755,10 +778,22 @@ object Dedup {
     * mass is bounded by genuinely-shared rare shingles, never doc × doc.
     * The output is source-pair-sized — a handful of rows at any corpus
     * scale.
+    *
+    * The distinct-doc counts are SKEW-SAFE by construction: a
+    * `countDistinct` grouped on (source_a, source_b) would route every
+    * flagged pair row of a hot source pair through that one grouping key —
+    * and a two-source corpus has exactly ONE key. Each count is instead a
+    * distinct on (pair, doc) — an exchange spread by the doc id — followed
+    * by a plain count whose map-side partial combine hands the pair-keyed
+    * exchange one row per pair per task. The flagged pair set feeds three
+    * aggregations, so it is materialized once (same bracket convention as
+    * [[minHashLshPairs]]).
     */
   def sourceOverlap(docs: DataFrame, idCol: String, textCol: String,
                     srcCol: String, k: Int = 3, maxDf: Int = 50,
-                    hashFn: Column => Column = Hashing.hash60): DataFrame = {
+                    hashFn: Column => Column = Hashing.hash60,
+                    materialize: Boolean = true,
+                    checkpointDir: Option[String] = None): DataFrame = {
     val ex = spread(docs, idCol)
       .select(col(idCol).as("doc_id"), col(srcCol).as("src"),
         Text.tokens(col(textCol)).as("toks"))
@@ -772,16 +807,20 @@ object Dedup {
     val dfStats = ex.groupBy("h").agg(count(lit(1)).as("df"))
     val shared = dfStats.filter(col("df") >= 2 && col("df") <= maxDf).select("h")
     val idx = ex.join(shared, "h")
-    idx.as("a").join(idx.as("b"),
+    val pairs0 = idx.as("a").join(idx.as("b"),
         col("a.h") === col("b.h") && col("a.src") < col("b.src"))
       .select(col("a.src").as("source_a"), col("b.src").as("source_b"),
         col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-      .groupBy("source_a", "source_b")
-      .agg(
-        count(lit(1)).as("n_cross_pairs"),
-        countDistinct(col("doc_a")).as("n_docs_a"),
-        countDistinct(col("doc_b")).as("n_docs_b"))
+    val pairs = if (materialize) Materialize.barrier(pairs0, checkpointDir) else pairs0
+    def docCount(docCol: String, outCol: String) =
+      pairs.select(col("source_a"), col("source_b"), col(docCol)).distinct()
+        .groupBy("source_a", "source_b").agg(count(lit(1)).as(outCol))
+    pairs.groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_cross_pairs"))
+      .join(docCount("doc_a", "n_docs_a"), Seq("source_a", "source_b"))
+      .join(docCount("doc_b", "n_docs_b"), Seq("source_a", "source_b"))
+      .select("source_a", "source_b", "n_cross_pairs", "n_docs_a", "n_docs_b")
       .orderBy("source_a", "source_b")
   }
 

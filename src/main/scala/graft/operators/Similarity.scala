@@ -219,10 +219,31 @@ object Similarity {
   /** Embedding dimensionality observed in the data: the first row's array
     * width, 0 for an empty corpus. One `LIMIT 1` job — index metadata, not a
     * data-volume scan.
+    *
+    * The hyperplane projections built from this width assume a RECTANGULAR
+    * corpus; a ragged one would silently mis-project (sign bits computed
+    * over a prefix/past-the-end of each vector). By default a second
+    * one-aggregate `min(size) = max(size)` check fails LOUDLY on ragged
+    * input. The check is a narrow column-pruned pass; on petabyte corpora
+    * already validated at ingest, disable it via
+    * `spark.graft.embedding.widthCheck=false`.
     */
-  private def embeddingDim(emb: DataFrame): Int =
-    emb.select(size(col("embedding")).as("d")).head(1)
+  private def embeddingDim(emb: DataFrame): Int = {
+    val first = emb.select(size(col("embedding")).as("d")).head(1)
       .headOption.map(_.getInt(0)).getOrElse(0)
+    val check = emb.sparkSession.conf
+      .get("spark.graft.embedding.widthCheck", "true").toBoolean
+    if (check && first > 0) {
+      val r = emb.agg(min(size(col("embedding"))).as("mn"),
+        max(size(col("embedding"))).as("mx")).head()
+      if (r.getInt(0) != r.getInt(1))
+        throw new IllegalArgumentException(
+          s"ragged embedding corpus: vector widths span ${r.getInt(0)}..${r.getInt(1)} — " +
+            "hyperplane projections would silently mis-project. Fix the corpus, or set " +
+            "spark.graft.embedding.widthCheck=false for corpora validated at ingest.")
+    }
+    first
+  }
 
   /** Symmetric int8 quantization of the embedding column — the standard
     * 4× memory compression for ANN indexes at scale. Per vector:

@@ -547,6 +547,29 @@ class OperatorSpec extends SparkSpec {
     assert(survivors == Set(2L), s"vec 1 must drop, vec 2 must survive: $survivors")
   }
 
+  test("hyperplane-LSH entry points fail loudly on a ragged embedding corpus") {
+    import graft.operators.Similarity
+    // widths 4 and 2: the first-row-derived hyperplanes would silently
+    // mis-project the short vector — the guard must throw instead
+    val ragged = Seq(
+      (0L, Array(1.0f, 2.0f, 3.0f, 4.0f)),
+      (1L, Array(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    val holdout = Seq((9L, Array(1.0f, 2.0f, 3.0f, 4.0f))).toDF("vec_id", "embedding")
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.embeddingLshPairs(ragged, threshold = 0.5)
+    }
+    assert(e1.getMessage.contains("ragged"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.semanticContamination(ragged, holdout)
+    }
+    assert(e2.getMessage.contains("ragged"), e2.getMessage)
+    // escape hatch for corpora validated at ingest: the guard (and only
+    // the guard) is skipped — plan construction proceeds
+    spark.conf.set("spark.graft.embedding.widthCheck", "false")
+    try Similarity.semanticContamination(ragged, holdout)
+    finally spark.conf.unset("spark.graft.embedding.widthCheck")
+  }
+
   test("bpeTrain: exact merge table on a hand-computed corpus, greedy no-overlap") {
     // corpus: "ab ab ab aaa" -> types: ab(cnt 3), aaa(cnt 1)
     // round 1 pairs: (a,b) 3; (a,a) 2 -> merge (a,b,3); ab -> "ab", aaa unchanged

@@ -308,9 +308,10 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("source_overlap: df-capped index, equi-joins only, no cartesian") {
+    // materialize = false so the pre-barrier join structure stays visible
     val p = plan(graft.operators.Dedup.sourceOverlap(
       Tables.table(spark, sf0001, "documents"), "doc_id", "text", "source",
-      k = 3, maxDf = 50))
+      k = 3, maxDf = 50, materialize = false))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "the source-pair fan-out must come from the shingle-hash equi-join")
   }

@@ -1315,6 +1315,37 @@ class ScaleToolsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(ratio <= 30.0,
       f"10x docs grew sourceOverlap wall-time $ratio%.1fx " +
         f"(t1=${math.min(t1a, t1b)}%.2fs t2=${math.min(t2a, t2b)}%.2fs)")
+    // TWO-source variant (round-10 verdict ask): every flagged pair lands on
+    // the single (s0, s1) matrix key — the worst case for any pair-keyed
+    // countDistinct. The skew-safe two-phase counts must stay exact and the
+    // job structure flat.
+    def corpus2(nDocs: Int) = {
+      val base = array_join(transform(sequence(lit(0), lit(9)),
+        j => concat_ws("_", lit("d"), col("doc_id"), j)), " ")
+      def trip(k: Column) = concat_ws(" ",
+        concat(lit("x"), k), concat(lit("y"), k), concat(lit("z"), k))
+      spark.range(nDocs).select(col("id").as("doc_id"))
+        .select(col("doc_id"),
+          concat(lit("s"), col("doc_id") % 2).as("source"),
+          concat_ws(" ", base,
+            when(col("doc_id") % 10 === 1, trip(col("doc_id"))),
+            when(col("doc_id") % 10 === 0, trip(col("doc_id") + 1))).as("text"))
+    }
+    def run2(nDocs: Int): (Seq[(String, String, Long, Long, Long)], Int) = {
+      var rows: Seq[(String, String, Long, Long, Long)] = Nil
+      val jobs = countJobs(s"srcov2-$nDocs-${System.nanoTime()}") {
+        rows = Dedup.sourceOverlap(corpus2(nDocs), "doc_id", "text", "source",
+            k = 3, maxDf = 50)
+          .collect().map(r => (r.getString(0), r.getString(1),
+            r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+      }
+      (rows, jobs)
+    }
+    val (p1, jj1) = run2(1000)
+    val (p2, jj2) = run2(10000)
+    assert(p1 == Seq(("s0", "s1", 100L, 100L, 100L)), s"2-source 1x matrix: $p1")
+    assert(p2 == Seq(("s0", "s1", 1000L, 1000L, 1000L)), s"2-source 10x matrix: $p2")
+    assert(jj2 <= jj1 + 4, s"10x 2-source docs grew the sourceOverlap job count $jj1 -> $jj2")
   }
 
   test("bpeTrain is volume-independent: 10x-replicated corpus learns the identical merge table") {
