@@ -148,6 +148,38 @@ object ExtensionOracleSql {
     (w0 +: rounds).mkString("WITH ", ",\n", "")
   }
 
+  /** The full-corpus MinHash-LSH pair pipeline (64 perms, 16 bands of 4),
+    * ending at CTE `j(doc_a, doc_b, jaccard)` with doc_a < doc_b — shared
+    * by dedup_minhash_lsh and dedup_incremental (which keeps only cross
+    * new×stored pairs). In lock-step with graft.operators.Dedup's
+    * bandedSignatures/shingleSets helpers.
+    */
+  private lazy val minhashPairsCtes: String =
+    s"""WITH t AS (SELECT doc_id, $toksOf AS toks FROM documents),
+       |shl AS (SELECT doc_id, ${shinglesOf(3)} AS sh FROM t),
+       |hs AS (SELECT doc_id, list_distinct(list_transform(sh, s -> ${h60("s")})) AS hs
+       |       FROM shl WHERE len(sh) > 0),
+       |ex AS (SELECT doc_id, unnest(hs) % 2147483647 AS hm FROM hs),
+       |perms AS (SELECT unnest(range(0, 64)) AS i),
+       |mins AS (
+       |  SELECT doc_id, i,
+       |    MIN((CAST(1 + 7919 * i AS BIGINT) * hm + (104729 * i) % 2147483647) % 2147483647) AS m
+       |  FROM ex CROSS JOIN perms GROUP BY doc_id, i),
+       |bands AS (
+       |  SELECT doc_id, i // 4 AS band_id, string_agg(CAST(m AS VARCHAR), '_' ORDER BY i) AS sig
+       |  FROM mins GROUP BY doc_id, i // 4),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_id = b.band_id AND a.sig = b.sig AND a.doc_id < b.doc_id),
+       |j AS (
+       |  SELECT doc_a, doc_b,
+       |    round(CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE) /
+       |          (len(ha.hs) + len(hb.hs) - len(list_intersect(ha.hs, hb.hs))), 6) AS jaccard
+       |  FROM cand
+       |  JOIN hs ha ON ha.doc_id = doc_a
+       |  JOIN hs hb ON hb.doc_id = doc_b)""".stripMargin
+
   /** BPE encode over the round-10 type table — shared verbatim by
     * vocab_bpe_encode and vocab_bpe_encode_stored (the stored path must be
     * bit-identical to the one-shot path).
@@ -701,32 +733,24 @@ object ExtensionOracleSql {
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "dedup_minhash_lsh" ->
-      s"""WITH t AS (SELECT doc_id, $toksOf AS toks FROM documents),
-         |shl AS (SELECT doc_id, ${shinglesOf(3)} AS sh FROM t),
-         |hs AS (SELECT doc_id, list_distinct(list_transform(sh, s -> ${h60("s")})) AS hs
-         |       FROM shl WHERE len(sh) > 0),
-         |ex AS (SELECT doc_id, unnest(hs) % 2147483647 AS hm FROM hs),
-         |perms AS (SELECT unnest(range(0, 64)) AS i),
-         |mins AS (
-         |  SELECT doc_id, i,
-         |    MIN((CAST(1 + 7919 * i AS BIGINT) * hm + (104729 * i) % 2147483647) % 2147483647) AS m
-         |  FROM ex CROSS JOIN perms GROUP BY doc_id, i),
-         |bands AS (
-         |  SELECT doc_id, i // 4 AS band_id, string_agg(CAST(m AS VARCHAR), '_' ORDER BY i) AS sig
-         |  FROM mins GROUP BY doc_id, i // 4),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b
-         |    ON a.band_id = b.band_id AND a.sig = b.sig AND a.doc_id < b.doc_id),
-         |j AS (
-         |  SELECT doc_a, doc_b,
-         |    round(CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE) /
-         |          (len(ha.hs) + len(hb.hs) - len(list_intersect(ha.hs, hb.hs))), 6) AS jaccard
-         |  FROM cand
-         |  JOIN hs ha ON ha.doc_id = doc_a
-         |  JOIN hs hb ON hb.doc_id = doc_b)
+      s"""$minhashPairsCtes
          |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // INCREMENTAL dedup against a stored index: the same minhash pipeline
+    // restricted to cross (new-batch × stored-corpus) pairs — a union-corpus
+    // pair with matching band signatures is flagged by the bipartite join
+    // iff exactly one side is a new-batch doc (doc_id % 10 = 0); same
+    // exact-Jaccard gate. In lock-step with
+    // graft.operators.Dedup.dedupIncremental over minhashIndexStore.
+    "dedup_incremental" ->
+      s"""$minhashPairsCtes
+         |SELECT CASE WHEN doc_a % 10 = 0 THEN doc_a ELSE doc_b END AS new_id,
+         |  CASE WHEN doc_a % 10 = 0 THEN doc_b ELSE doc_a END AS old_id,
+         |  jaccard
+         |FROM j
+         |WHERE jaccard >= 0.5 AND ((doc_a % 10 = 0) <> (doc_b % 10 = 0))
+         |ORDER BY new_id, old_id""".stripMargin,
 
     // end-to-end application of the MinHash-LSH pipeline above: collapse
     // pairs into components (recursive reachability), keep the minimum id

@@ -64,6 +64,22 @@ object ExtensionQueries {
         d.filter(col("doc_id") % 97 =!= 0), d.filter(col("doc_id") % 97 === 0),
         "doc_id", "text", k = 5)
     },
+    "dedup_incremental" -> { (s, dir) =>
+      import org.apache.spark.sql.functions.col
+      // growing-corpus dedup: the stored corpus (doc_id % 10 != 0) is
+      // indexed ONCE into a fingerprint-keyed /tmp store (same staleness
+      // scheme as simsearch_ivf_search); every 10th doc plays the new
+      // ingest batch, flagged against the store without re-signing history
+      val srcFp = java.lang.Long.toHexString(
+        treeFingerprint(new java.io.File(s"$dir/documents.parquet")))
+      val storeDir = s"/tmp/graft_mh_index_v1_${dir.replaceAll("[^A-Za-z0-9]", "_")}_$srcFp"
+      val d = docs(s, dir)
+      if (!new java.io.File(s"$storeDir/sets/_SUCCESS").exists())
+        Dedup.minhashIndexStore(d.filter(col("doc_id") % 10 =!= 0), storeDir,
+          "doc_id", "text", k = 3, numPerm = 64, bands = 16)
+      Dedup.dedupIncremental(s, storeDir, d.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", k = 3, numPerm = 64, bands = 16, threshold = 0.5)
+    },
     "dedup_exact_substring" -> ((s, dir) =>
       Dedup.exactSubstringPairs(docs(s, dir), "doc_id", "text", n = 13, maxDf = 50)),
     "dedup_substring_trim" -> ((s, dir) =>

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -647,6 +647,95 @@ object Dedup {
     }
     sigs.select(col("doc_id"),
       posexplode(array(bandCols: _*)).as(Seq("band_id", "sig")))
+  }
+
+  /** Persist the MinHash-LSH dedup index — the build-once half of
+    * INCREMENTAL dedup, mirroring [[Similarity.ivfStore]] and
+    * `TextAnalysis.bpeStore`: the banded signatures (the LSH candidate key)
+    * and the per-doc shingle-hash sets (the exact-verify side) as parquet.
+    * [[dedupIncremental]] then flags each NEW ingest batch against the
+    * store without ever re-scanning or re-signing the historical corpus —
+    * the shape a growing corpus actually needs (re-running full-corpus
+    * dedup per ingest batch is quadratic in corpus lifetime).
+    *
+    * The index layout (`dir/bands`, `dir/sets`) is SHARED with the
+    * streaming ingest loop ([[graft.streaming.IncrementalNearDup]]), which
+    * admits/rejects inside `foreachBatch` and extends the same store — a
+    * batch-built index seeds a streaming ingest and vice versa
+    * (interop-asserted in the suite). These batch entries serve scheduled
+    * pipelines and the REPORT shape (flagged pairs with their Jaccard)
+    * rather than admit/reject.
+    */
+  def minhashIndexStore(docs: DataFrame, dir: String, idCol: String, textCol: String,
+                        k: Int = 3, numPerm: Int = 64, bands: Int = 16,
+                        hashFn: Column => Column = Hashing.hash60): Unit =
+    writeMinhashIndex(docs, dir, idCol, textCol, k, numPerm, bands, hashFn, "overwrite")
+
+  /** Extend the stored index with an ingest batch (after flagging it):
+    * append its signatures and shingle sets — the maintenance half of the
+    * incremental loop, the mirror of [[Similarity.ivfAppend]].
+    */
+  def minhashIndexAppend(docs: DataFrame, dir: String, idCol: String, textCol: String,
+                         k: Int = 3, numPerm: Int = 64, bands: Int = 16,
+                         hashFn: Column => Column = Hashing.hash60): Unit =
+    writeMinhashIndex(docs, dir, idCol, textCol, k, numPerm, bands, hashFn, "append")
+
+  private def writeMinhashIndex(docs: DataFrame, dir: String, idCol: String,
+                                textCol: String, k: Int, numPerm: Int, bands: Int,
+                                hashFn: Column => Column, mode: String): Unit = {
+    val ex = shingleHashesExploded(docs, idCol, textCol, k, hashFn).persist()
+    ex.count() // signatures + sets share the index; compute it once
+    try {
+      bandedSignatures(ex, numPerm, bands).write.mode(mode).parquet(s"$dir/bands")
+      shingleSets(ex).write.mode(mode).parquet(s"$dir/sets")
+    } finally {
+      ex.unpersist(blocking = false)
+      ()
+    }
+  }
+
+  /** INCREMENTAL near-dup detection: flag documents of a NEW ingest batch
+    * whose word-shingle Jaccard against ANY document already in the stored
+    * corpus index (see [[minhashIndexStore]]) reaches `threshold`.
+    * Candidate generation and verification are identical to
+    * [[minHashLshPairs]] restricted to cross (new × stored) pairs — same
+    * signatures, same banding, same exact-Jaccard gate (suite-asserted
+    * against the union-corpus run).
+    *
+    * Scale shape: the stored index is READ, never rebuilt — parquet scans
+    * of (band_id, sig, doc_id) and (doc_id, hs, sz). The new batch (one
+    * ingest slice against the full history — small by nature) signs itself
+    * and broadcasts onto both the candidate and verify joins, so the
+    * historical index is only ever scanned, never shuffled. No barrier
+    * needed: the heavy side is already materialized on disk, and the new
+    * batch's double tokenization (signatures + sets) is batch-sized.
+    * Returns (new_id, old_id, jaccard), one row per flagged cross pair.
+    */
+  def dedupIncremental(spark: SparkSession, dir: String, newDocs: DataFrame,
+                       idCol: String, textCol: String,
+                       k: Int = 3, numPerm: Int = 64, bands: Int = 16,
+                       threshold: Double = 0.5,
+                       hashFn: Column => Column = Hashing.hash60): DataFrame = {
+    val storedBands = spark.read.parquet(s"$dir/bands")
+    val storedSets = spark.read.parquet(s"$dir/sets")
+    val exN = shingleHashesExploded(newDocs, idCol, textCol, k, hashFn)
+    val cand = storedBands.as("a")
+      .join(broadcast(bandedSignatures(exN, numPerm, bands).as("b")),
+        col("a.band_id") === col("b.band_id") && col("a.sig") === col("b.sig"))
+      .select(col("b.doc_id").as("new_id"), col("a.doc_id").as("old_id"))
+      .distinct()
+    cand
+      .join(storedSets.select(col("doc_id").as("old_id"),
+        col("hs").as("hsa"), col("sz").as("sza")), "old_id")
+      .join(broadcast(shingleSets(exN)
+        .select(col("doc_id").as("new_id"), col("hs").as("hsb"), col("sz").as("szb"))), "new_id")
+      .withColumn("common", size(array_intersect(col("hsa"), col("hsb"))))
+      .withColumn("jaccard", round(
+        col("common").cast("double") /
+          (col("sza") + col("szb") - col("common")).cast("double"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("new_id", "old_id", "jaccard")
+      .orderBy("new_id", "old_id")
   }
 
   /** End-to-end dedup APPLICATION — the step a training pipeline actually

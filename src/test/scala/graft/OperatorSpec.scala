@@ -547,6 +547,35 @@ class OperatorSpec extends SparkSpec {
     assert(survivors == Set(2L), s"vec 1 must drop, vec 2 must survive: $survivors")
   }
 
+  test("dedupIncremental: equals union-corpus cross pairs; append extends the store") {
+    val d = Tables.table(spark, sf0001, "documents")
+    val stored = d.filter(col("doc_id") % 10 =!= 0)
+    val batch = d.filter(col("doc_id") % 10 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-mh").toString
+    Dedup.minhashIndexStore(stored, dir, "doc_id", "text", k = 3, numPerm = 64, bands = 16)
+    val inc = Dedup.dedupIncremental(spark, dir, batch, "doc_id", "text",
+        k = 3, numPerm = 64, bands = 16, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // reference: the full union-corpus pair run restricted to cross pairs,
+    // re-keyed (new, old) — incremental must see exactly what a from-scratch
+    // rerun over history + batch would see
+    val union = Dedup.minHashLshPairs(d, "doc_id", "text", k = 3, numPerm = 64,
+        bands = 16, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a, b, _) => (a % 10 == 0) != (b % 10 == 0) }
+      .map { case (a, b, jac) => if (a % 10 == 0) (a, b, jac) else (b, a, jac) }.toSet
+    assert(inc == union, s"incremental=$inc union=$union")
+    assert(inc.nonEmpty, "fixture produced no cross pairs — the equality is vacuous")
+    // append the batch to the store: a re-flag of the same batch must now
+    // also collide with itself (jaccard 1.0) — every signed batch doc
+    val signable = batch.filter(size(Text.tokens(col("text"))) >= 3).count()
+    Dedup.minhashIndexAppend(batch, dir, "doc_id", "text", k = 3, numPerm = 64, bands = 16)
+    val self = Dedup.dedupIncremental(spark, dir, batch, "doc_id", "text",
+        k = 3, numPerm = 64, bands = 16, threshold = 0.5)
+      .filter(col("new_id") === col("old_id")).count()
+    assert(self == signable, s"appended store must self-match: $self of $signable")
+  }
+
   test("hyperplane-LSH entry points fail loudly on a ragged embedding corpus") {
     import graft.operators.Similarity
     // widths 4 and 2: the first-row-derived hyperplanes would silently
