@@ -1384,6 +1384,46 @@ class ScaleToolsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
         f"(t1=${math.min(t1a, t1b)}%.2fs t2=${math.min(t2a, t2b)}%.2fs)")
   }
 
+  test("dedupIncremental survives 10x stored corpus: exact planted recovery, flat job count") {
+    import graft.operators.Dedup
+    // stored corpus: n unique 10-token docs; ingest batch: 50 exact copies
+    // of evenly-strided stored docs under fresh ids. Flagging the CONSTANT
+    // batch against a 10x store must keep the job structure flat (the
+    // store is a parquet scan, not a rebuild) and recover exactly the 50
+    // planted (new, source) pairs at jaccard 1 — nothing else (distinct
+    // stored docs share no shingles, so the exact-Jaccard gate kills every
+    // banding collision).
+    def txt(idc: Column) = array_join(transform(sequence(lit(0), lit(9)),
+      j => concat_ws("_", lit("d"), idc, j)), " ")
+    def run(n: Int): (Set[(Long, Long, Double)], Int, Double) = {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-mhinc-$n").toString
+      val stored = spark.range(n).select(col("id").as("doc_id"), txt(col("id")).as("text"))
+      Dedup.minhashIndexStore(stored, dir, "doc_id", "text")
+      val stride = n / 50
+      val batch = spark.range(50).select((col("id") + 1000000L).as("doc_id"),
+        txt(col("id") * stride).as("text"))
+      var flagged = Set.empty[(Long, Long, Double)]
+      val t0 = System.nanoTime()
+      val jobs = countJobs(s"mhinc10x-$n-${System.nanoTime()}") {
+        flagged = Dedup.dedupIncremental(spark, dir, batch, "doc_id", "text")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      }
+      (flagged, jobs, (System.nanoTime() - t0) / 1e9)
+    }
+    run(2000)
+    val (f1, j1, t1a) = run(2000); val (_, _, t1b) = run(2000)
+    val (f2, j2, t2a) = run(20000); val (_, _, t2b) = run(20000)
+    def planted(n: Int) = (0 until 50).map(j =>
+      (1000000L + j, j.toLong * (n / 50), 1.0)).toSet
+    assert(f1 == planted(2000), s"1x flagged diverged: ${f1.diff(planted(2000))}")
+    assert(f2 == planted(20000), s"10x flagged diverged: ${f2.diff(planted(20000))}")
+    assert(j2 <= j1 + 4, s"10x store grew the dedupIncremental job count $j1 -> $j2")
+    val ratio = math.min(t2a, t2b) / math.min(t1a, t1b)
+    assert(ratio <= 30.0,
+      f"10x store grew dedupIncremental wall-time $ratio%.1fx " +
+        f"(t1=${math.min(t1a, t1b)}%.2fs t2=${math.min(t2a, t2b)}%.2fs)")
+  }
+
   test("tokenBudgetPerSource survives 10x docs: single-window equivalence, hot source spans tasks") {
     import graft.operators.Sampling
     import graft.functions.Hashing
