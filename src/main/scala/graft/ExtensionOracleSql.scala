@@ -752,6 +752,17 @@ object ExtensionOracleSql {
          |WHERE jaccard >= 0.5 AND ((doc_a % 10 = 0) <> (doc_b % 10 = 0))
          |ORDER BY new_id, old_id""".stripMargin,
 
+    // the admit step of incremental dedup: the new batch with flagged docs
+    // anti-joined out — in lock-step with
+    // graft.operators.Dedup.applyIncrementalDedup
+    "dedup_incremental_apply" ->
+      s"""$minhashPairsCtes
+         |SELECT d.doc_id, d.source FROM documents d
+         |WHERE d.doc_id % 10 = 0 AND d.doc_id NOT IN (
+         |  SELECT CASE WHEN doc_a % 10 = 0 THEN doc_a ELSE doc_b END FROM j
+         |  WHERE jaccard >= 0.5 AND ((doc_a % 10 = 0) <> (doc_b % 10 = 0)))
+         |ORDER BY d.doc_id""".stripMargin,
+
     // end-to-end application of the MinHash-LSH pipeline above: collapse
     // pairs into components (recursive reachability), keep the minimum id
     // per cluster, anti-join the rest out of the corpus

@@ -80,6 +80,22 @@ object ExtensionQueries {
       Dedup.dedupIncremental(s, storeDir, d.filter(col("doc_id") % 10 === 0),
         "doc_id", "text", k = 3, numPerm = 64, bands = 16, threshold = 0.5)
     },
+    "dedup_incremental_apply" -> { (s, dir) =>
+      import org.apache.spark.sql.functions.col
+      // the admit step: the same batch, with every doc flagged against the
+      // stored corpus anti-joined out — what an ingest pipeline appends
+      val srcFp = java.lang.Long.toHexString(
+        treeFingerprint(new java.io.File(s"$dir/documents.parquet")))
+      val storeDir = s"/tmp/graft_mh_index_v1_${dir.replaceAll("[^A-Za-z0-9]", "_")}_$srcFp"
+      val d = docs(s, dir)
+      if (!new java.io.File(s"$storeDir/sets/_SUCCESS").exists())
+        Dedup.minhashIndexStore(d.filter(col("doc_id") % 10 =!= 0), storeDir,
+          "doc_id", "text", k = 3, numPerm = 64, bands = 16)
+      Dedup.applyIncrementalDedup(s, storeDir, d.filter(col("doc_id") % 10 === 0),
+          "doc_id", "text", k = 3, numPerm = 64, bands = 16, threshold = 0.5)
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")
+    },
     "dedup_exact_substring" -> ((s, dir) =>
       Dedup.exactSubstringPairs(docs(s, dir), "doc_id", "text", n = 13, maxDf = 50)),
     "dedup_substring_trim" -> ((s, dir) =>

@@ -738,6 +738,26 @@ object Dedup {
       .orderBy("new_id", "old_id")
   }
 
+  /** End-to-end INCREMENTAL dedup application: drop every new-batch doc
+    * [[dedupIncremental]] flags against the stored corpus index, return the
+    * surviving batch — the admit step of the ingest loop as a batch
+    * operator. (The streaming loop, [[graft.streaming.IncrementalNearDup]],
+    * additionally self-dedups WITHIN the batch; at this API level that is
+    * [[minHashLshPairs]] over the batch composed with [[applyDedup]].)
+    * Same anti-join shape as [[applyFuzzyDecontamination]]: the flag list
+    * is batch-bounded and broadcasts, the batch is never shuffled.
+    */
+  def applyIncrementalDedup(spark: SparkSession, dir: String, newDocs: DataFrame,
+                            idCol: String, textCol: String,
+                            k: Int = 3, numPerm: Int = 64, bands: Int = 16,
+                            threshold: Double = 0.5,
+                            hashFn: Column => Column = Hashing.hash60): DataFrame = {
+    val flagged = dedupIncremental(spark, dir, newDocs, idCol, textCol,
+        k, numPerm, bands, threshold, hashFn)
+      .select(col("new_id").as("__drop_id")).distinct()
+    newDocs.join(broadcast(flagged), col(idCol) === col("__drop_id"), "left_anti")
+  }
+
   /** End-to-end dedup APPLICATION — the step a training pipeline actually
     * ships: collapse near-dup `pairs` (from any pair emitter in this file or
     * [[Similarity]]) into clusters via [[ConnectedComponents]] and return

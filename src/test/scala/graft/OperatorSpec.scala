@@ -547,6 +547,32 @@ class OperatorSpec extends SparkSpec {
     assert(survivors == Set(2L), s"vec 1 must drop, vec 2 must survive: $survivors")
   }
 
+  test("round-11 stored-index operators are safe on empty and trivial inputs") {
+    import graft.operators.{Dedup, TextAnalysis}
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val oneDoc = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    // empty stored corpus: the index persists as empty (schema-bearing)
+    // tables and flagging anything against it returns nothing
+    val dir1 = java.nio.file.Files.createTempDirectory("graft-mh-e1").toString
+    Dedup.minhashIndexStore(emptyDocs, dir1, "doc_id", "text")
+    assert(Dedup.dedupIncremental(spark, dir1, oneDoc, "doc_id", "text").count() == 0)
+    // empty ingest batch against a real store
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-mh-e2").toString
+    Dedup.minhashIndexStore(oneDoc, dir2, "doc_id", "text")
+    assert(Dedup.dedupIncremental(spark, dir2, emptyDocs, "doc_id", "text").count() == 0)
+    // BPE store on an empty corpus: zero merges, empty type table, and the
+    // stored encode of ANY corpus is empty (no vocabulary to join)
+    val dir3 = java.nio.file.Files.createTempDirectory("graft-bpe-e").toString
+    TextAnalysis.bpeStore(emptyDocs, dir3)
+    assert(spark.read.parquet(s"$dir3/merges").count() == 0)
+    assert(TextAnalysis.bpeEncodeStored(spark, dir3, oneDoc).count() == 0)
+    // empty input through the bucketed token budget keeps schema, no rows
+    val tb = graft.operators.Sampling.tokenBudgetPerSource(
+      emptyDocs.withColumn("source", lit("s")), "doc_id", "source", "text", 10L)
+    assert(tb.count() == 0 &&
+      tb.columns.toSeq == Seq("doc_id", "source", "n_tokens", "cum_tokens"))
+  }
+
   test("dedupIncremental: equals union-corpus cross pairs; append extends the store") {
     val d = Tables.table(spark, sf0001, "documents")
     val stored = d.filter(col("doc_id") % 10 =!= 0)
