@@ -764,6 +764,25 @@ class OperatorSpec extends SparkSpec {
     assert(again.toSeq == got.toSeq)
   }
 
+  test("tokenBudgetPerSource: bucketed result is invariant in nBuckets") {
+    import graft.operators.Sampling
+    // 3 sources, variable token counts; nBuckets swept across degenerate
+    // (1 = the old one-window-per-source semantics), non-power-of-two,
+    // default, and over-provisioned values — the kept set and cum_tokens
+    // must be bit-identical regardless of bucketing
+    val docs = spark.range(300).select(col("id").as("doc_id"),
+      concat(lit("s"), col("id") % 3).as("source"),
+      expr("array_join(transform(sequence(0, CAST(pmod(id, 7) AS INT)), " +
+        "j -> concat('t', id, '_', j)), ' ')").as("text"))
+    def run(nb: Int) = Sampling.tokenBudgetPerSource(docs, "doc_id", "source",
+        "text", budget = 200L, nBuckets = nb)
+      .collect().toSeq.map(_.toSeq)
+    val reference = run(1) // one bucket == the plain per-source running sum
+    assert(reference.nonEmpty)
+    for (nb <- Seq(3, 7, 64, 1000))
+      assert(run(nb) == reference, s"nBuckets=$nb diverged from the single-bucket semantics")
+  }
+
   test("sourceOverlap: cross-source pairs counted once, same-source pairs excluded") {
     val docs = Seq(
       (1L, "s1", "alpha beta gamma delta epsilon"),

@@ -316,6 +316,26 @@ class PlanShapeSpec extends SparkSpec {
       "the source-pair fan-out must come from the shingle-hash equi-join")
   }
 
+  test("dedup_incremental: history read from the parquet store, batch broadcast, no cartesian") {
+    val df = ExtensionQueries.all("dedup_incremental")(spark, sf0001)
+    val exec = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val p = exec.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"candidates must come from the (band_id, sig) equi-join:\n$p")
+    // the historical index must be a parquet scan — never a re-signing of
+    // the stored corpus (that is the whole point of the stored index)
+    assert(exec.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s }.nonEmpty,
+      s"stored index should surface as a parquet file scan:\n$p")
+    // the batch side rides broadcast joins: history is never shuffled
+    assert(exec.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b }.nonEmpty,
+      s"new-batch side must broadcast onto the stored index:\n$p")
+  }
+
   test("bloom prefilter: membership probe filters the fact BELOW the join") {
     import org.apache.spark.sql.execution.FilterExec
     import org.apache.spark.sql.execution.joins.BaseJoinExec
