@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** NULL-text robustness: real web corpora carry null text fields, and none
+  * of the pipeline entry points may crash on them. The per-operator
+  * semantics documented here are deliberate: a null doc contributes no
+  * shingles (dedup skips it), normalizes to an empty rewrite in the trim
+  * path, fails the Gopher gate (a corpus filter SHOULD drop it), and
+  * contributes no tokens to a budget.
+  */
+class NullTextSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("null text rows flow through the pipeline entry points without crashing") {
+    val good = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq((1L, good), (2L, null.asInstanceOf[String]), (3L, good))
+      .toDF("doc_id", "text")
+    val withChars = docs.withColumn("n_chars", length(col("text")))
+
+    // dedup: the null doc has no shingles — the (1, 3) exact pair is still found
+    val pairs = graft.operators.Dedup.minHashLshPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs == Seq((1L, 3L)))
+
+    // substring trim: null normalizes to an empty rewrite, nothing is cut
+    val trim = graft.operators.Dedup.substringTrimApply(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(trim == Seq((1L, good, 0L), (2L, "", 0L), (3L, good, 0L)))
+
+    // quality: the null doc FAILS the Gopher gate — exactly what a corpus
+    // filter should do with it
+    val gopher = graft.operators.TextAnalysis.gopherRules(withChars)
+      .select("doc_id", "quality_pass")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSeq
+    assert(gopher == Seq((1L, true), (2L, false), (3L, true)))
+
+    // token budget: the null doc contributes no tokens and is not selected
+    val tb = graft.operators.Sampling.tokenBudgetPerSource(
+        docs.withColumn("source", lit("s")), "doc_id", "source", "text", 100L)
+      .collect().map(_.getLong(0)).toSet
+    assert(tb == Set(1L, 3L))
+
+    // BPE training sees only the non-null word mass
+    assert(graft.operators.TextAnalysis.bpeTrain(docs, 3).count() == 3)
+  }
+}
