@@ -254,6 +254,90 @@ object ExtensionOracleSql {
        |  SELECT vec_id, centroid_id FROM asn
        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, centroid_id) = 1)""".stripMargin
 
+  /** Per-subspace PQ Lloyd chain (in lock-step with
+    * graft.operators.Similarity.pqCodebooks): sub-sliced vectors, seedless
+    * init from the k lowest vec_ids, `iters` assign/recompute rounds with
+    * the same integer-quantized exact means as [[lloydIterCte]].
+    */
+  private def pqSubCtes(s: Int, sub: Int, k: Int, iters: Int): String = {
+    val lo = s * sub + 1
+    val hi = (s + 1) * sub
+    // Norms are precomputed ONCE per vector (sn) and per centroid (the n2c
+    // column of each c CTE) instead of recomputed inside every cosine: the
+    // assign windows run over |corpus|×k rows and the inline-nrm form made
+    // the sf0.1 oracle pathological (3 list-lambda dots per row × 24 assign
+    // CTEs). dot/(sqrt(n2v)·sqrt(n2c)) is the IDENTICAL IEEE sequence to
+    // the cos() macro — same doubles, same round-6 — just evaluated once.
+    val head =
+      s"""se$s AS (SELECT vec_id, embedding[$lo:$hi] AS sv FROM embeddings),
+         |sn$s AS (SELECT vec_id, sv, ${dot("sv", "sv")} AS n2v FROM se$s)""".stripMargin
+    val init =
+      s"c${s}_0 AS (SELECT vec_id AS cid, sv AS cvec, n2v AS n2c FROM sn$s WHERE vec_id < $k)"
+    val rounds = (1 to iters).map { n =>
+      s"""a${s}_$n AS (
+         |  SELECT vec_id, sv, cid FROM (
+         |    SELECT e.vec_id, e.sv, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY round(${dot("e.sv", "c.cvec")} / (sqrt(e.n2v) * sqrt(c.n2c)), 6)
+         |          DESC, c.cid) AS rn
+         |    FROM sn$s e CROSS JOIN c${s}_${n - 1} c) WHERE rn = 1),
+         |c${s}_$n AS (
+         |  SELECT cid, cvec, ${dot("cvec", "cvec")} AS n2c FROM (
+         |    SELECT cid, list(cval ORDER BY idx) AS cvec FROM (
+         |      SELECT cid, idx, CAST(SUM(q) AS DOUBLE) / (1e9 * COUNT(*)) AS cval
+         |      FROM (SELECT cid, generate_subscripts(sv, 1) AS idx,
+         |              CAST(floor(CAST(unnest(sv) AS DOUBLE) * 1e9) AS BIGINT) AS q
+         |            FROM a${s}_$n)
+         |      GROUP BY cid, idx) GROUP BY cid))""".stripMargin
+    }
+    (head +: init +: rounds).mkString(",\n")
+  }
+
+  /** Final per-subspace PQ assignment with the dot/norm components the
+    * reconstruction cosine needs (graft.operators.Similarity.pqEncode).
+    */
+  private def pqEncCte(s: Int, iters: Int): String =
+    s"""enc$s AS (
+       |  SELECT vec_id, cid, d, n2c, n2x FROM (
+       |    SELECT e.vec_id, c.cid,
+       |      ${dot("e.sv", "c.cvec")} AS d,
+       |      c.n2c AS n2c,
+       |      e.n2v AS n2x,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY round(${dot("e.sv", "c.cvec")} / (sqrt(e.n2v) * sqrt(c.n2c)), 6)
+       |          DESC, c.cid) AS rn
+       |    FROM sn$s e CROSS JOIN c${s}_$iters c) WHERE rn = 1)""".stripMargin
+
+  /** Like [[pqEncCte]] but carrying the PROBE×sub-centroid dot for ADC
+    * search (graft.operators.Similarity.pqTopK). The probe's subspace slice
+    * is precomputed once in pr$s.
+    */
+  private def pqEncProbeCte(s: Int, sub: Int, iters: Int): String = {
+    val lo = s * sub + 1
+    val hi = (s + 1) * sub
+    s"""pr$s AS (SELECT pv[$lo:$hi] AS psv FROM probe),
+       |encp$s AS (
+       |  SELECT vec_id, dp, n2c FROM (
+       |    SELECT e.vec_id,
+       |      ${dot("p.psv", "c.cvec")} AS dp,
+       |      c.n2c AS n2c,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY round(${dot("e.sv", "c.cvec")} / (sqrt(e.n2v) * sqrt(c.n2c)), 6)
+       |          DESC, c.cid) AS rn
+       |    FROM sn$s e CROSS JOIN c${s}_$iters c CROSS JOIN pr$s p) WHERE rn = 1)""".stripMargin
+  }
+
+  // canonical PQ sizing (must match ExtensionQueries' simsearch_pq*): 8
+  // subspaces of 8 dims, 8 sub-centroids, 2 Lloyd rounds
+  private val pqM = 8
+  private val pqSub = 8
+  private val pqK = 8
+  private val pqIters = 2
+
+  private val pqAllSubCtes: String =
+    (0 until pqM).map(s => pqSubCtes(s, sub = pqSub, k = pqK, iters = pqIters))
+      .mkString(",\n")
+
   /** The IVF search result with the canonical build parameters — shared by
     * `simsearch_ivf` (build + search in one query) and `simsearch_ivf_search`
     * (search over the STORED index): both must produce this exact result.
@@ -274,7 +358,47 @@ object ExtensionOracleSql {
        |WHERE e.vec_id <> 0
        |ORDER BY sim DESC, e.vec_id LIMIT 5""".stripMargin
 
+  /** Product-Quantization encode report: per-subspace Lloyd codebooks,
+    * per-vector code + reconstruction cosine from the chosen sub-centroids'
+    * dot/norm components combined in the same fixed left-to-right tree as
+    * the Spark expression — in lock-step with
+    * graft.operators.Similarity.pqEncode. Shared verbatim by simsearch_pq
+    * and simsearch_pq_stored (the stored path must be bit-identical).
+    */
+  private lazy val simsearchPqSql: String =
+    s"""WITH $pqAllSubCtes,
+         |${(0 until pqM).map(s => pqEncCte(s, iters = pqIters)).mkString(",\n")}
+         |SELECT e0.vec_id,
+         |  ${(0 until pqM).map(s => s"CAST(e$s.cid AS VARCHAR)").mkString(" || '|' || ")} AS code,
+         |  round((${(0 until pqM).map(s => s"e$s.d").mkString(" + ")}) /
+         |        (sqrt(${(0 until pqM).map(s => s"e$s.n2x").mkString(" + ")}) *
+         |         sqrt(${(0 until pqM).map(s => s"e$s.n2c").mkString(" + ")})), 6) AS recon_cos
+         |FROM enc0 e0
+         |${(1 until pqM).map(s => s"JOIN enc$s e$s USING (vec_id)").mkString("\n")}
+         |ORDER BY e0.vec_id""".stripMargin
+
   val all: Map[String, String] = Map(
+    "simsearch_pq" -> simsearchPqSql,
+    "simsearch_pq_stored" -> simsearchPqSql,
+
+    // PQ asymmetric-distance (ADC) top-5: exact probe vs PQ-coded corpus,
+    // exact cosine riding along as the ADC-error report — in lock-step with
+    // graft.operators.Similarity.pqTopK
+    "simsearch_pq_topk" ->
+      s"""WITH $pqAllSubCtes,
+         |probe AS (SELECT embedding AS pv FROM embeddings WHERE vec_id = 0),
+         |${(0 until pqM).map(s => pqEncProbeCte(s, sub = pqSub, iters = pqIters)).mkString(",\n")}
+         |SELECT e.vec_id,
+         |  round((${(0 until pqM).map(s => s"p$s.dp").mkString(" + ")}) /
+         |        (sqrt(${dot("p.pv", "p.pv")}) *
+         |         sqrt(${(0 until pqM).map(s => s"p$s.n2c").mkString(" + ")})), 6) AS approx_sim,
+         |  round(${cos("e.embedding", "p.pv")}, 6) AS exact_sim
+         |FROM embeddings e
+         |${(0 until pqM).map(s => s"JOIN encp$s p$s ON p$s.vec_id = e.vec_id").mkString("\n")}
+         |CROSS JOIN probe p
+         |WHERE e.vec_id <> 0
+         |ORDER BY approx_sim DESC, e.vec_id LIMIT 5""".stripMargin,
+
     "simsearch_ivf" -> simsearchIvfSql,
     "simsearch_ivf_search" -> simsearchIvfSql,
 
@@ -573,6 +697,34 @@ object ExtensionOracleSql {
          |  CAST(cum_tokens AS BIGINT) AS cum_tokens
          |FROM c WHERE cum_tokens <= 800
          |ORDER BY doc_id""".stripMargin,
+
+    // mixture planning: per-source token inventory -> integer per-mille
+    // sampling rates against a 10k-token budget at 50/30/20 target weights —
+    // in lock-step with graft.operators.Sampling.mixPlan
+    "sample_mix_plan" ->
+      s"""WITH w(source, weight_permille) AS (VALUES
+         |  ('src0', 500), ('src1', 300), ('src2', 200)),
+         |inv AS (SELECT source, COUNT(*) AS n_docs, SUM(len($toksOf)) AS n_tokens
+         |        FROM documents GROUP BY source),
+         |p AS (SELECT inv.source, inv.n_docs, inv.n_tokens,
+         |        COALESCE(w.weight_permille, 0) AS weight_permille
+         |      FROM inv LEFT JOIN w ON inv.source = w.source),
+         |r AS (SELECT source, n_docs, n_tokens, weight_permille,
+         |        CAST(FLOOR(10000 * weight_permille / 1000) AS BIGINT) AS target_tokens
+         |      FROM p),
+         |q AS (SELECT *, CASE WHEN n_tokens > 0
+         |        THEN LEAST(1000, CAST(FLOOR(target_tokens * 1000 / n_tokens) AS BIGINT))
+         |        ELSE 0 END AS rate_permille
+         |      FROM r)
+         |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+         |  CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  CAST(weight_permille AS BIGINT) AS weight_permille,
+         |  target_tokens,
+         |  CAST(rate_permille AS BIGINT) AS rate_permille,
+         |  CAST(FLOOR(n_tokens * rate_permille / 1000) AS BIGINT) AS planned_tokens,
+         |  rate_permille = 1000 AND
+         |    CAST(FLOOR(n_tokens * rate_permille / 1000) AS BIGINT) < target_tokens AS capped
+         |FROM q ORDER BY source""".stripMargin,
 
     // epoch up-sampling / repeat-factor mix: floor(w) copies + one more for
     // a hash-selected frac(w) fraction; absent sources default to one copy —
@@ -1013,6 +1165,78 @@ object ExtensionOracleSql {
          |SELECT doc_id, COUNT(*) AS n_tokens,
          |  round(CAST(SUM(CAST(nll AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS mean_nll
          |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // per-doc Shannon entropy over the doc's OWN token counts: one log per
+    // distinct (doc, term), 6-dp-quantized, decimal-summed, reported as
+    // floor'd integer MICRO-bits (a final round-6 double would tie at
+    // quotients like k/8 where Java and DuckDB round semantics differ) —
+    // in lock-step with graft.operators.TextAnalysis.tokenEntropy
+    "text_entropy" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($toksOf) AS term FROM documents),
+         |pt AS (SELECT doc_id, term, COUNT(*) AS c FROM tok GROUP BY doc_id, term),
+         |st AS (SELECT doc_id, SUM(c) AS n_tokens, COUNT(*) AS n_types,
+         |         SUM(c * CAST(round(ln(c) / ln(2), 6) AS DECIMAL(18,6))) AS bits
+         |       FROM pt GROUP BY doc_id),
+         |e AS (SELECT doc_id, n_tokens, n_types,
+         |        CAST(FLOOR(CAST(CAST(
+         |            (CAST(round(ln(n_tokens) / ln(2), 6) AS DECIMAL(18,6))
+         |               * CAST(n_tokens AS BIGINT)
+         |             - bits) * 1000000 AS BIGINT) AS DOUBLE) / n_tokens) AS BIGINT)
+         |          AS entropy_ubits
+         |      FROM st WHERE n_tokens > 0)
+         |SELECT d.doc_id,
+         |  CAST(COALESCE(e.n_tokens, 0) AS BIGINT) AS n_tokens,
+         |  CAST(COALESCE(e.n_types, 0) AS BIGINT) AS n_types,
+         |  COALESCE(e.entropy_ubits, 0) AS entropy_ubits,
+         |  CASE WHEN COALESCE(e.n_types, 0) > 1
+         |    THEN CAST(FLOOR(CAST(e.entropy_ubits * 1000000 AS DOUBLE) /
+         |      CAST(CAST(round(ln(e.n_types) / ln(2), 6) AS DECIMAL(18,6))
+         |           * 1000000 AS BIGINT)) AS BIGINT)
+         |    ELSE 0 END AS norm_entropy_ppm
+         |FROM documents d LEFT JOIN e USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // multinomial Naive Bayes language classifier trained on the corpus's own
+    // labels: add-one-smoothed vocab×class likelihood grid, 6-dp-quantized
+    // log terms decimal-summed, argmax ties to the smallest class; token-less
+    // docs fall back to the prior-only argmax — in lock-step with
+    // graft.operators.TextAnalysis.naiveBayesLang
+    "text_classifier_nb" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($toksOf) AS term FROM documents),
+         |cls AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+         |tot AS (SELECT SUM(n_docs) AS nd FROM cls),
+         |tl AS (SELECT d.lang, unnest($toksOf) AS term FROM documents d),
+         |tc AS (SELECT lang, term, COUNT(*) AS ctc FROM tl GROUP BY lang, term),
+         |ct AS (SELECT lang, SUM(ctc) AS ctot FROM tc GROUP BY lang),
+         |vb AS (SELECT DISTINCT term FROM tc),
+         |vs AS (SELECT COUNT(*) AS v FROM vb),
+         |grid AS (
+         |  SELECT vb.term, c.lang,
+         |    CAST(round(ln((COALESCE(tc.ctc, 0) + 1) /
+         |      CAST(ct.ctot + vs.v AS DOUBLE)), 6) AS DECIMAL(18,6)) AS ll
+         |  FROM vb CROSS JOIN cls c
+         |  LEFT JOIN tc ON tc.lang = c.lang AND tc.term = vb.term
+         |  JOIN ct ON ct.lang = c.lang CROSS JOIN vs),
+         |pri AS (SELECT lang,
+         |          CAST(round(ln(n_docs / CAST(nd AS DOUBLE)), 6) AS DECIMAL(18,6)) AS prior_ll
+         |        FROM cls CROSS JOIN tot),
+         |dc AS (SELECT tok.doc_id, grid.lang, SUM(grid.ll) AS tok_ll
+         |       FROM tok JOIN grid USING (term) GROUP BY tok.doc_id, grid.lang),
+         |sc AS (SELECT dc.doc_id, dc.lang, dc.tok_ll + pri.prior_ll AS score
+         |       FROM dc JOIN pri USING (lang)),
+         |best AS (SELECT doc_id, lang AS pred_lang, score FROM (
+         |    SELECT doc_id, lang, score,
+         |      row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
+         |    FROM sc) WHERE rn = 1),
+         |pb AS (SELECT lang AS pb_lang, prior_ll AS pb_score FROM pri
+         |       ORDER BY prior_ll DESC, lang LIMIT 1)
+         |SELECT d.doc_id,
+         |  COALESCE(b.pred_lang, pb.pb_lang) AS pred_lang,
+         |  round(CAST(COALESCE(b.score, pb.pb_score) AS DOUBLE), 6) AS score,
+         |  d.lang AS actual_lang,
+         |  COALESCE(b.pred_lang, pb.pb_lang) = d.lang AS agree
+         |FROM documents d LEFT JOIN best b USING (doc_id) CROSS JOIN pb
+         |ORDER BY d.doc_id""".stripMargin,
 
     "text_langid" ->
       s"""WITH prof(lang, word) AS (VALUES

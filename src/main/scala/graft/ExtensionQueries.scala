@@ -284,6 +284,25 @@ object ExtensionQueries {
     },
     "cluster_assign" -> ((s, dir) =>
       Similarity.kmeansClusterStats(emb(s, dir), nlist = 4, iters = 2)),
+    "simsearch_pq" -> ((s, dir) =>
+      // PQ compression sweep: 8 subspaces x 8 sub-centroids over 64 dims —
+      // every vector's code + reconstruction cosine in one narrow pass
+      Similarity.pqEncode(emb(s, dir), m = 8, k = 8, iters = 2)),
+    "simsearch_pq_topk" -> ((s, dir) =>
+      // ADC search: exact probe vs PQ-coded corpus, exact_sim rides along
+      // as the ADC-error report
+      Similarity.pqTopK(emb(s, dir), probeId = 0L, topK = 5, m = 8, k = 8, iters = 2)),
+    "simsearch_pq_stored" -> { (s, dir) =>
+      // steady-state encode against STORED codebooks (same parameters as
+      // simsearch_pq, so the same oracle applies); fingerprint-keyed /tmp
+      // cache like simsearch_ivf_search
+      val srcFp = java.lang.Long.toHexString(
+        treeFingerprint(new java.io.File(s"$dir/embeddings.parquet")))
+      val indexDir = s"/tmp/graft_pq_index_v1_${dir.replaceAll("[^A-Za-z0-9]", "_")}_$srcFp"
+      if (!new java.io.File(s"$indexDir/codebooks/_SUCCESS").exists())
+        Similarity.pqStore(emb(s, dir), indexDir, m = 8, k = 8, iters = 2)
+      Similarity.pqEncodeStored(s, indexDir, emb(s, dir))
+    },
     "knn_join" -> { (s, dir) =>
       import org.apache.spark.sql.functions.col
       val e = emb(s, dir)
@@ -308,6 +327,10 @@ object ExtensionQueries {
       TextAnalysis.tfidfTopTerms(docs(s, dir), k = 3)),
     "text_unigram_nll" -> ((s, dir) =>
       TextAnalysis.unigramLogprob(docs(s, dir))),
+    "text_entropy" -> ((s, dir) =>
+      TextAnalysis.tokenEntropy(docs(s, dir))),
+    "text_classifier_nb" -> ((s, dir) =>
+      TextAnalysis.naiveBayesLang(docs(s, dir))),
     "doc_chunk" -> ((s, dir) =>
       TextAnalysis.chunkDocuments(docs(s, dir), chunkSize = 64, overlap = 16)),
     "doc_pack" -> ((s, dir) =>
@@ -352,6 +375,11 @@ object ExtensionQueries {
     "source_overlap" -> ((s, dir) =>
       Dedup.sourceOverlap(docs(s, dir), "doc_id", "text", "source",
         k = 3, maxDf = 50)),
+    "sample_mix_plan" -> ((s, dir) =>
+      // plan a 10k-token mix at 50/30/20 across three sources; src2's
+      // weight outruns its inventory at this budget -> capped
+      Sampling.mixPlan(docs(s, dir), "doc_id", "source", "text",
+        Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2), budget = 10000L)),
     "sample_mix" -> ((s, dir) =>
       Sampling.mixSources(docs(s, dir), "doc_id", "source",
         Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25))

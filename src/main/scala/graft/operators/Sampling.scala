@@ -218,6 +218,51 @@ object Sampling {
       .orderBy(idCol)
   }
 
+  /** Mixture PLANNING: turn target source weights + a global token budget
+    * into per-source sampling rates — the step a mixture designer runs
+    * BEFORE [[tokenBudgetPerSource]]/[[stratifiedSample]] execute the cut
+    * (The-Pile-style weighted mixes: decide how much of each source the
+    * budget affords at the target proportions, and where a source runs out).
+    *
+    * Per source: target_tokens = floor(budget · w_permille / 1000);
+    * rate_permille = min(1000, floor(target·1000 / n_tokens)) — the largest
+    * per-mille rate whose planned take stays within target;
+    * planned_tokens = floor(n_tokens · rate / 1000); `capped` marks sources
+    * whose full inventory cannot fill their target (rate pinned at 1000 and
+    * planned < target — the budget must be re-spread or the source
+    * up-sampled via [[upsampleMix]]). Sources absent from `weights` get
+    * weight 0 (planned out). All arithmetic is integer → exact cross-engine.
+    *
+    * Shape at scale: ONE map-side-combined per-source aggregation over the
+    * corpus (the only corpus-sized work), then pure literal arithmetic on a
+    * source-count-sized table. Output is nSources rows at any corpus size.
+    */
+  def mixPlan(df: DataFrame, idCol: String, srcCol: String, textCol: String,
+              weights: Map[String, Double], budget: Long): DataFrame = {
+    import df.sparkSession.implicits._
+    val wt = weights.toSeq.map { case (s, w) =>
+      require(w >= 0 && w <= 1, s"weight for $s must be in [0,1], got $w")
+      (s, math.round(w * 1000))
+    }.toDF(srcCol, "weight_permille")
+    val inv = df
+      .groupBy(col(srcCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(graft.functions.Text.tokens(col(textCol))).cast("long")).as("n_tokens"))
+    inv.join(broadcast(wt), Seq(srcCol), "left")
+      .withColumn("weight_permille", coalesce(col("weight_permille"), lit(0L)))
+      .withColumn("target_tokens", floor(lit(budget) * col("weight_permille") / 1000L))
+      .withColumn("rate_permille",
+        when(col("n_tokens") > 0,
+          least(lit(1000L), floor(col("target_tokens") * 1000L / col("n_tokens"))))
+          .otherwise(lit(0L)))
+      .withColumn("planned_tokens", floor(col("n_tokens") * col("rate_permille") / 1000L))
+      .withColumn("capped",
+        col("rate_permille") === 1000L && col("planned_tokens") < col("target_tokens"))
+      .select(srcCol, "n_docs", "n_tokens", "weight_permille", "target_tokens",
+        "rate_permille", "planned_tokens", "capped")
+      .orderBy(srcCol)
+  }
+
   def capPerGroup(df: DataFrame, keyCol: String, groupCol: String, maxPerGroup: Int,
                   salt: String = "quota"): DataFrame = {
     import df.sparkSession.implicits._

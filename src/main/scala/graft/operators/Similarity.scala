@@ -582,6 +582,201 @@ object Similarity {
     ivfSearch(centroids, assigned, emb, probeId, k, nprobe)
   }
 
+  /** Product-Quantization codebooks (Jégou et al. 2011, "Product
+    * quantization for nearest neighbor search"): the embedding dimension is
+    * split into `m` contiguous subspaces and each subspace gets its own
+    * deterministic Lloyd codebook of `k` sub-centroids ([[lloydCentroids]]'
+    * seedless init + integer-quantized exact means, so every codebook is
+    * oracle-checkable). A vector's PQ code is its m nearest-sub-centroid
+    * ids — m·log2(k) bits instead of dim·32: the memory-compression scale
+    * path that lets a 100 TB embedding corpus's index live in RAM (64-dim
+    * float → 4 bytes at m=4/k=4... 256× smaller at web scale with
+    * m=8/k=256).
+    *
+    * Returns one driver-local codebook per subspace — bounded index
+    * METADATA (m·k rows), the same class as the IVF centroid set.
+    */
+  def pqCodebooks(emb: DataFrame, m: Int = 4, k: Int = 4,
+                  iters: Int = 2): Seq[Seq[(Long, Array[Double])]] = {
+    val dim = embeddingDim(emb)
+    if (dim == 0) return Seq.empty
+    require(dim % m == 0, s"embedding dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    // ALL m codebooks train in ONE deep plan keyed by subspace — the first
+    // draft ran m independent Lloyd builds (m sequential collect plans, and
+    // the ADC query re-trained them again: 4.8-5.9 s at sf0.1); jointly the
+    // sub-vector table is exploded once, every round is one broadcast join
+    // (m·k centroid rows) + keyed aggregations, and ONE collect returns all
+    // m·k centroids (bounded index metadata). Per-subspace math is
+    // untouched: each subspace's assignments and quantized means live under
+    // their own (subspace, …) keys, so the result is identical to m
+    // independent [[lloydCentroids]] runs — which is what the oracle runs.
+    val subs = emb.select(col("vec_id"), posexplode(
+      array((0 until m).map(s => slice(col("embedding"), s * sub + 1, sub)): _*))
+      .as(Seq("s", "sv")))
+    val init = subs.filter(col("vec_id") < k)
+      .select(col("s"), col("vec_id").as("cid"), col("sv").cast("array<double>").as("cvec"))
+    val fin = (1 to iters).foldLeft(init)((cent, _) => pqLloydRound(subs, cent))
+    val rows = fin.collect()
+      .map(r => (r.getInt(0), (r.getLong(1), r.getSeq[Double](2).toArray)))
+    (0 until m).map(s => rows.filter(_._1 == s).map(_._2).sortBy(_._1).toSeq)
+  }
+
+  /** One joint Lloyd round over every subspace at once: assignment and the
+    * integer-quantized exact means both run under (subspace, …) keys, in
+    * exact lock-step with [[lloydRound]] applied per subspace.
+    */
+  private def pqLloydRound(subs: DataFrame, cent: DataFrame): DataFrame =
+    subs.join(broadcast(cent), "s")
+      .withColumn("csim", round(VecF.cosine(col("sv"), col("cvec")), 6))
+      .groupBy(col("vec_id"), col("s"))
+      .agg(max_by(col("cid"), struct(col("csim"), -col("cid"))).as("cid"),
+        first(col("sv")).as("sv"))
+      .select(col("s"), col("cid"), posexplode(col("sv")).as(Seq("idx", "comp")))
+      .withColumn("q", floor(col("comp").cast("double") * lit(1e9)).cast(DecimalType(38, 0)))
+      .groupBy(col("s"), col("cid"), col("idx"))
+      .agg((sum(col("q")).cast("double") / (lit(1e9) * count(lit(1)))).as("cval"))
+      .groupBy(col("s"), col("cid"))
+      .agg(transform(sort_array(collect_list(struct(col("idx"), col("cval")))),
+        x => x.getField("cval")).as("cvec"))
+
+  /** PQ ENCODE report: every vector's PQ code plus its reconstruction
+    * cosine (similarity between the original vector and its code's
+    * concatenated sub-centroids) — the compression-quality sweep run before
+    * committing a corpus to a PQ index.
+    *
+    * Shape at scale: codebook training is m Lloyd builds over SLICED
+    * vectors (each round a narrow projection + bounded aggregation, like
+    * [[lloydCentroids]]); encoding is ONE narrow codegen projection — every
+    * subspace's argmin over k literal centroid structs rides the same
+    * `array_min` pattern as [[nearestCentroidScored]], and the chosen
+    * sub-centroid's dot/norm components ride the winning struct, so the
+    * reconstruction cosine needs no join at all. Determinism: per-subspace
+    * cosines round to 6 before the argmin; the reconstruction combines
+    * per-subspace dot/norm terms in a FIXED left-to-right expression tree,
+    * so both engines evaluate identical IEEE operation sequences.
+    */
+  def pqEncode(emb: DataFrame, m: Int = 4, k: Int = 4,
+               iters: Int = 2): DataFrame =
+    encodeWithBooks(emb, pqCodebooks(emb, m, k, iters))
+
+  /** The encode projection shared by [[pqEncode]] (train + encode) and
+    * [[pqEncodeStored]] (encode against stored codebooks).
+    */
+  private def encodeWithBooks(emb: DataFrame,
+                              books: Seq[Seq[(Long, Array[Double])]]): DataFrame = {
+    if (books.isEmpty || books.exists(_.isEmpty))
+      return emb.limit(0).select(col("vec_id"),
+        lit("").as("code"), lit(0.0).as("recon_cos"))
+    val m = books.size
+    val dim = books.map(_.head._2.length).sum
+    val sub = dim / m
+    val choices = (0 until m).map { s =>
+      val xs = slice(col("embedding"), s * sub + 1, sub)
+      array_min(array(books(s).map { case (cid, v) =>
+        val cv = typedLit(v.toSeq)
+        struct(
+          (-round(VecF.cosine(xs, cv), 6)).as("neg"),
+          lit(cid).as("cid"),
+          VecF.dot(xs, cv).as("d"),
+          VecF.dot(cv, cv).as("n2c"))
+      }: _*)).as(s"ch$s")
+    }
+    val n2xs = (0 until m).map { s =>
+      val xs = slice(col("embedding"), s * sub + 1, sub)
+      VecF.dot(xs, xs).as(s"n2x$s")
+    }
+    emb.select(col("vec_id") +: (choices ++ n2xs): _*)
+      .select(
+        col("vec_id"),
+        concat_ws("|", (0 until m).map(s => col(s"ch$s.cid").cast("string")): _*)
+          .as("code"),
+        round(
+          (0 until m).map(s => col(s"ch$s.d")).reduce(_ + _) /
+            (sqrt((0 until m).map(s => col(s"n2x$s")).reduce(_ + _)) *
+             sqrt((0 until m).map(s => col(s"ch$s.n2c")).reduce(_ + _))), 6)
+          .as("recon_cos"))
+      .orderBy("vec_id")
+  }
+
+  /** Persist the PQ codebooks as parquet (the index-artifact layout of
+    * [[ivfStore]]/`bpeStore`): one row per (subspace, sub-centroid). Train
+    * once, encode every future batch from the store — the steady-state
+    * shape of a PQ-compressed embedding pipeline; codebook drift is handled
+    * by scheduled re-trains, like IVF centroid drift.
+    */
+  def pqStore(emb: DataFrame, dir: String, m: Int = 8, k: Int = 8,
+              iters: Int = 2): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    pqCodebooks(emb, m, k, iters).zipWithIndex
+      .flatMap { case (cents, s) => cents.map { case (cid, v) => (s, cid, v.toSeq) } }
+      .toDF("subspace", "cid", "cvec")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/codebooks")
+  }
+
+  /** Encode a corpus against STORED PQ codebooks: identical output (and
+    * oracle) as [[pqEncode]] with the same build parameters, but the plan
+    * contains only the one narrow encode projection — none of the Lloyd
+    * training rounds. The codebook read is bounded index metadata (m·k
+    * rows, the broadcast-dimension class).
+    */
+  def pqEncodeStored(spark: org.apache.spark.sql.SparkSession, dir: String,
+                     emb: DataFrame): DataFrame = {
+    val rows = spark.read.parquet(s"$dir/codebooks").collect()
+      .map(r => (r.getInt(0), (r.getLong(1), r.getSeq[Double](2).toArray)))
+    val m = if (rows.isEmpty) 0 else rows.map(_._1).max + 1
+    encodeWithBooks(emb,
+      (0 until m).map(s => rows.filter(_._1 == s).map(_._2).sortBy(_._1).toSeq))
+  }
+
+  /** PQ asymmetric-distance (ADC) top-k search: the probe stays EXACT while
+    * every corpus vector is represented only by its PQ code — similarity is
+    * approximated as cos(probe, reconstruction(code)). The plan never
+    * touches corpus floats beyond the one encode pass: per subspace the
+    * probe×sub-centroid dot rides the argmin struct (k literal dots per
+    * subspace — the classic m·k ADC lookup table, here fused into codegen),
+    * and ranking is `TakeOrderedAndProject`. `exact_sim` rides along so the
+    * result doubles as an ADC-error report; ties break to the lower vec_id.
+    */
+  def pqTopK(emb: DataFrame, probeId: Long, topK: Int, m: Int = 4,
+             k: Int = 4, iters: Int = 2): DataFrame = {
+    val books = pqCodebooks(emb, m, k, iters)
+    if (books.isEmpty || books.exists(_.isEmpty))
+      return emb.limit(0).select(col("vec_id"),
+        lit(0.0).as("approx_sim"), lit(0.0).as("exact_sim"))
+    val dim = books.map(_.head._2.length).sum
+    val sub = dim / m
+    val probeVec = emb.filter(col("vec_id") === probeId)
+      .select(col("embedding").as("probe"))
+    val choices = (0 until m).map { s =>
+      val xs = slice(col("embedding"), s * sub + 1, sub)
+      val ps = slice(col("probe"), s * sub + 1, sub)
+      array_min(array(books(s).map { case (cid, v) =>
+        val cv = typedLit(v.toSeq)
+        struct(
+          (-round(VecF.cosine(xs, cv), 6)).as("neg"),
+          lit(cid).as("cid"),
+          VecF.dot(ps, cv).as("dp"),
+          VecF.dot(cv, cv).as("n2c"))
+      }: _*)).as(s"ch$s")
+    }
+    emb.filter(col("vec_id") =!= probeId)
+      .crossJoin(broadcast(probeVec))
+      .select(col("vec_id") +: col("embedding") +: col("probe") +: choices: _*)
+      .select(
+        col("vec_id"),
+        round(
+          (0 until m).map(s => col(s"ch$s.dp")).reduce(_ + _) /
+            (sqrt(VecF.dot(col("probe"), col("probe"))) *
+             sqrt((0 until m).map(s => col(s"ch$s.n2c")).reduce(_ + _))), 6)
+          .as("approx_sim"),
+        round(VecF.cosine(col("embedding"), col("probe")), 6).as("exact_sim"))
+      .orderBy(col("approx_sim").desc, col("vec_id"))
+      .limit(topK)
+  }
+
   /** Per-cluster report over the deterministic Lloyd k-means index: cluster
     * size and mean cosine-to-centroid (a cluster-quality / corpus-structure
     * probe). Mean determinism across engines: per-row cosines are rounded to

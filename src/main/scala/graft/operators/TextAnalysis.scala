@@ -435,6 +435,130 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Per-document Shannon entropy of the token distribution — the lexical-
+    * diversity quality signal (low entropy = keyword-stuffed / template /
+    * repeated-token junk; the information-theoretic sibling of
+    * [[repetitionStats]]'s duplicate-n-gram fraction).
+    *
+    * H = log2(n) − (Σ c·log2(c))/n over the doc's own token counts c —
+    * the count-weighted form that needs one log per DISTINCT (doc, term),
+    * not one per token. Each log2 is quantized to 6 decimals and the
+    * weighted sum runs in decimal; the result is reported in integer
+    * MICRO-bits via floor, never a final round-6 double: a quotient like
+    * k/8 lands EXACTLY on a 0.5e-6 rounding boundary, where Java's
+    * shortest-decimal HALF_UP and DuckDB's scaled-double round legitimately
+    * disagree — floor of the identical IEEE quotient is tie-free in both
+    * engines. norm_entropy_ppm divides by log2(n_types) (the maximum
+    * achievable at that type count): parts-per-million lexical diversity
+    * comparable across document lengths.
+    *
+    * Shape at scale: explode + two-level hash aggregation — the (doc, term)
+    * partial agg combines map-side, the doc-level rollup shuffles only
+    * per-doc count rows, and the zero-fill join co-partitions on doc_id.
+    */
+  def tokenEntropy(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val lg2dec = (x: Column) =>
+      round(log(2.0, x.cast("double")), 6).cast(DecimalType(18, 6))
+    val perTerm = docs
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+    val stats = perTerm.groupBy("doc_id").agg(
+      sum(col("c")).as("n_tokens"),
+      count(lit(1)).as("n_types"),
+      sum((col("c") * lg2dec(col("c"))).cast(DecimalType(28, 6))).as("bits"))
+    // K = (log2(n)·n − Σ c·log2 c) · 1e6 — an exact integer (scale-6
+    // decimals times 1e6); entropy_ubits = floor(K / n)
+    val k = ((lg2dec(col("n_tokens")) * col("n_tokens") - col("bits"))
+      * lit(1000000)).cast("long")
+    docs.select("doc_id") // empty/null-text docs: keep, zeroed
+      .join(stats, Seq("doc_id"), "left")
+      .withColumn("entropy_ubits",
+        when(col("n_tokens") > 0,
+          floor(k.cast("double") / col("n_tokens").cast("double")).cast("long"))
+          .otherwise(lit(0L)))
+      .select(
+        col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_types"), lit(0L)).as("n_types"),
+        col("entropy_ubits"),
+        when(col("n_types") > 1,
+          floor((col("entropy_ubits") * lit(1000000L)).cast("double") /
+            (lg2dec(col("n_types")) * lit(1000000)).cast("long").cast("double"))
+            .cast("long"))
+          .otherwise(lit(0L)).as("norm_entropy_ppm"))
+      .orderBy("doc_id")
+  }
+
+  /** Multinomial Naive Bayes language classifier, trained ON the corpus's own
+    * declared labels and applied back to every document — the
+    * trained-classifier sibling of the [[langId]] stopword heuristic and the
+    * counting-based analog of the fasttext-style quality/language classifiers
+    * production pipelines run (CCNet et al.). Disagreement between the
+    * declared label and the token-distribution prediction is a mislabel /
+    * low-quality signal a pipeline can gate on.
+    *
+    * Model: class priors from per-lang doc counts; add-one-smoothed
+    * multinomial token likelihoods P(t|c) = (count(t,c)+1)/(total_c+V);
+    * score(d,c) = ln prior(c) + Σ_t∈d ln P(t|c); argmax with ties to the
+    * lexicographically smallest class. Every ln is rounded to 6 decimals and
+    * summed in decimal, so the argmax compares exact quantities cross-engine.
+    *
+    * Shape at scale: training is two hash aggregations over one corpus pass
+    * (per-(lang,term) counts — the word-TYPE table, vocabulary-bounded like
+    * [[bpeTrain]]'s; per-lang totals). The dense V×C likelihood grid is
+    * vocabulary-bounded metadata and broadcasts into the scoring join, so
+    * scoring is one more corpus pass + a (doc, class)-keyed partial agg —
+    * the corpus never shuffles on the term. Documents with no tokens fall
+    * back to the prior-only argmax (one broadcast row).
+    */
+  def naiveBayesLang(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = (c: Column) => round(log(c), 6).cast(DecimalType(18, 6))
+    val tok = docs.select(col("doc_id"), explode(Text.tokens(col("text"))).as("term"))
+    val classes = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val nDocs = classes.agg(sum(col("n_docs")).as("nd"))
+    val tc = docs.select(col("lang"), explode(Text.tokens(col("text"))).as("term"))
+      .groupBy("lang", "term").agg(count(lit(1)).as("ctc"))
+    val classTotals = tc.groupBy("lang").agg(sum(col("ctc")).as("ctot"))
+    val vocab = tc.select("term").distinct()
+    val vSize = vocab.agg(count(lit(1)).as("v"))
+    val grid = vocab.crossJoin(classes.select("lang"))
+      .join(tc, Seq("lang", "term"), "left")
+      .join(classTotals, "lang")
+      .crossJoin(vSize)
+      .select(col("term"), col("lang"),
+        dec((coalesce(col("ctc"), lit(0L)) + 1).cast("double") /
+          (col("ctot") + col("v")).cast("double")).as("ll"))
+    val priors = classes.crossJoin(nDocs)
+      .select(col("lang"),
+        dec(col("n_docs").cast("double") / col("nd").cast("double")).as("prior_ll"))
+    val scored = tok.join(broadcast(grid), Seq("term"))
+      .groupBy("doc_id", "lang")
+      .agg(sum(col("ll")).as("tok_ll"))
+      .join(broadcast(priors), "lang")
+      .withColumn("score", col("tok_ll") + col("prior_ll"))
+    val best = scored.groupBy("doc_id")
+      .agg(min_by(struct(col("lang"), col("score")),
+        struct(-col("score"), col("lang"))).as("b"))
+      .select(col("doc_id"), col("b.lang").as("pred_lang"), col("b.score").as("score"))
+    // prior-only argmax for token-less docs: one broadcast row
+    val priorBest = priors
+      .agg(min_by(struct(col("lang"), col("prior_ll")),
+        struct(-col("prior_ll"), col("lang"))).as("pb"))
+      .select(col("pb.lang").as("pb_lang"), col("pb.prior_ll").as("pb_score"))
+    docs.select(col("doc_id"), col("lang").as("actual_lang"))
+      .join(best, Seq("doc_id"), "left")
+      .crossJoin(broadcast(priorBest))
+      .select(
+        col("doc_id"),
+        coalesce(col("pred_lang"), col("pb_lang")).as("pred_lang"),
+        round(coalesce(col("score"), col("pb_score")).cast("double"), 6).as("score"),
+        col("actual_lang"),
+        (coalesce(col("pred_lang"), col("pb_lang")) === col("actual_lang")).as("agree"))
+      .orderBy("doc_id")
+  }
+
   /** Canonical text normalization: lowercase, non-alphanumerics to spaces,
     * whitespace collapsed, trimmed. Pure regex/column ops (codegen'd, no UDF)
     * with exact DuckDB equivalents.

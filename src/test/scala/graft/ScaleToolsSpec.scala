@@ -1594,4 +1594,137 @@ class ScaleToolsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       f"10x docs grew qualityFilterApply wall-time $ratio%.1fx " +
         f"(t1=${math.min(t1a, t1b)}%.2fs t2=${math.min(t2a, t2b)}%.2fs)")
   }
+
+  test("tokenEntropy survives 10x docs: exact closed-form values, flat job count") {
+    import graft.operators.TextAnalysis
+    // even ids: degenerate 4-token doc (0 µbits); odd ids: uniform 4-type
+    // doc (exactly 2 bits = 2,000,000 µbits) — per-value counts scale
+    // linearly and every value is closed-form at any corpus size
+    def corpus(n: Int) = spark.range(n).select(col("id").as("doc_id"),
+      when(col("id") % 2 === 0, lit("x x x x")).otherwise(lit("a b c d")).as("text"))
+    def run(n: Int): (Map[Long, Long], Int, Double) = {
+      var hist = Map.empty[Long, Long]
+      val t0 = System.nanoTime()
+      val jobs = countJobs(s"entropy10x-$n-${System.nanoTime()}") {
+        hist = TextAnalysis.tokenEntropy(corpus(n))
+          .groupBy("entropy_ubits").count()
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      }
+      (hist, jobs, (System.nanoTime() - t0) / 1e9)
+    }
+    run(1000)
+    val (h1, j1, t1a) = run(1000); val (_, _, t1b) = run(1000)
+    val (h2, j2, t2a) = run(10000); val (_, _, t2b) = run(10000)
+    assert(h1 == Map(0L -> 500L, 2000000L -> 500L), s"histogram at 1x: $h1")
+    assert(h2 == Map(0L -> 5000L, 2000000L -> 5000L), s"histogram at 10x: $h2")
+    assert(j2 <= j1 + 4, s"10x docs grew the tokenEntropy job count $j1 -> $j2")
+    val ratio = math.min(t2a, t2b) / math.min(t1a, t1b)
+    assert(ratio <= 30.0,
+      f"10x docs grew tokenEntropy wall-time $ratio%.1fx " +
+        f"(t1=${math.min(t1a, t1b)}%.2fs t2=${math.min(t2a, t2b)}%.2fs)")
+  }
+
+  test("naiveBayesLang survives 10x docs: perfect recovery on separable classes, flat jobs") {
+    import graft.operators.TextAnalysis
+    // three classes with DISJOINT token vocabularies by id % 3 — the
+    // classifier must recover every declared label at any corpus size, and
+    // the vocab×class grid stays constant-size as the corpus grows (the
+    // vocabulary-bounded training claim)
+    def corpus(n: Int) = spark.range(n).select(col("id").as("doc_id"),
+      when(col("id") % 3 === 0, lit("alpha bravo charlie delta"))
+        .when(col("id") % 3 === 1, lit("eins zwei drei vier"))
+        .otherwise(lit("un deux trois quatre")).as("text"),
+      when(col("id") % 3 === 0, lit("en"))
+        .when(col("id") % 3 === 1, lit("de"))
+        .otherwise(lit("fr")).as("lang"))
+    def run(n: Int): (Long, Int, Double) = {
+      var agreed = 0L
+      val t0 = System.nanoTime()
+      val jobs = countJobs(s"nb10x-$n-${System.nanoTime()}") {
+        agreed = TextAnalysis.naiveBayesLang(corpus(n)).filter(col("agree")).count()
+      }
+      (agreed, jobs, (System.nanoTime() - t0) / 1e9)
+    }
+    run(999)
+    val (a1, j1, t1a) = run(999); val (_, _, t1b) = run(999)
+    val (a2, j2, t2a) = run(9990); val (_, _, t2b) = run(9990)
+    assert(a1 == 999 && a2 == 9990, s"agreement $a1/999, $a2/9990 — separable classes missed")
+    assert(j2 <= j1 + 4, s"10x docs grew the naiveBayesLang job count $j1 -> $j2")
+    val ratio = math.min(t2a, t2b) / math.min(t1a, t1b)
+    assert(ratio <= 30.0,
+      f"10x docs grew naiveBayesLang wall-time $ratio%.1fx " +
+        f"(t1=${math.min(t1a, t1b)}%.2fs t2=${math.min(t2a, t2b)}%.2fs)")
+  }
+
+  test("pqEncode survives 10x vectors: exact reconstruction on a centroid-valued corpus, flat jobs") {
+    import graft.operators.Similarity
+    // every vector is an exact combination of two per-subspace patterns
+    // (m=2 subspaces of 4 dims, k=2): Lloyd means equal their identical
+    // members, so recon_cos == 1.0 for EVERY vector at any corpus size —
+    // closed-form, scale-invariant. Joint training is one deep plan + one
+    // collect regardless of m, so the job count must stay flat at 10x.
+    def corpus(n: Int) = spark.range(n).select(col("id").as("vec_id"),
+      concat(
+        when(col("id") % 2 === 0, array(lit(1f), lit(0f), lit(0f), lit(0f)))
+          .otherwise(array(lit(0f), lit(1f), lit(0f), lit(0f))),
+        when(col("id") % 3 === 0, array(lit(1f), lit(0f), lit(0f), lit(0f)))
+          .otherwise(array(lit(0f), lit(0f), lit(1f), lit(0f))))
+        .as("embedding"))
+    def run(n: Int): (Long, Int, Double) = {
+      var perfect = 0L
+      val t0 = System.nanoTime()
+      val jobs = countJobs(s"pq10x-$n-${System.nanoTime()}") {
+        perfect = Similarity.pqEncode(corpus(n), m = 2, k = 2, iters = 2)
+          .filter(col("recon_cos") === 1.0).count()
+      }
+      (perfect, jobs, (System.nanoTime() - t0) / 1e9)
+    }
+    run(1000)
+    val (p1, j1, t1a) = run(1000); val (_, _, t1b) = run(1000)
+    val (p2, j2, t2a) = run(10000); val (_, _, t2b) = run(10000)
+    assert(p1 == 1000 && p2 == 10000,
+      s"centroid-valued corpus must reconstruct exactly: $p1/1000, $p2/10000")
+    assert(j2 <= j1 + 4, s"10x vectors grew the pqEncode job count $j1 -> $j2")
+    val ratio = math.min(t2a, t2b) / math.min(t1a, t1b)
+    assert(ratio <= 30.0,
+      f"10x vectors grew pqEncode wall-time $ratio%.1fx " +
+        f"(t1=${math.min(t1a, t1b)}%.2fs t2=${math.min(t2a, t2b)}%.2fs)")
+  }
+
+  test("mixPlan survives 10x docs: rates exact at scaled budget, output stays source-sized") {
+    import graft.operators.Sampling
+    // two sources, 3-token docs; budget scales WITH the corpus so the
+    // planned rates are identical at 1x and 10x — the plan is a pure
+    // function of (inventory shape, budget/corpus ratio), not corpus size
+    def corpus(n: Int) = spark.range(n).select(col("id").as("doc_id"),
+      concat(lit("s"), col("id") % 2).as("source"), lit("w w w").as("text"))
+    def run(n: Int): (Seq[(String, Long, Long, Boolean)], Int, Double) = {
+      var rows = Seq.empty[(String, Long, Long, Boolean)]
+      val t0 = System.nanoTime()
+      val jobs = countJobs(s"mixplan10x-$n-${System.nanoTime()}") {
+        rows = Sampling.mixPlan(corpus(n), "doc_id", "source", "text",
+          Map("s0" -> 0.6, "s1" -> 0.4), budget = n.toLong * 3)
+          .collect().map(r => (r.getString(0), r.getLong(5), r.getLong(6),
+            r.getBoolean(7))).toSeq
+      }
+      (rows, jobs, (System.nanoTime() - t0) / 1e9)
+    }
+    run(1000)
+    val (r1, j1, t1a) = run(1000); val (_, _, t1b) = run(1000)
+    val (r2, j2, t2a) = run(10000); val (_, _, t2b) = run(10000)
+    // s0 holds half the tokens but is owed 60% of the budget -> capped at
+    // 1000‰; s1 owed 40% of budget = 80% of its inventory -> 800‰
+    assert(r1.map(_._1) == Seq("s0", "s1") && r2.map(_._1) == Seq("s0", "s1"))
+    assert(r1.map(x => (x._1, x._2, x._4)) == Seq(("s0", 1000L, true), ("s1", 800L, false)),
+      s"1x plan: $r1")
+    assert(r2.map(x => (x._1, x._2, x._4)) == Seq(("s0", 1000L, true), ("s1", 800L, false)),
+      s"10x plan with 10x budget must keep identical rates: $r2")
+    assert(r2.map(_._3).sum == 10L * r1.map(_._3).sum,
+      s"planned tokens must scale linearly: ${r1.map(_._3).sum} -> ${r2.map(_._3).sum}")
+    assert(j2 <= j1 + 4, s"10x docs grew the mixPlan job count $j1 -> $j2")
+    val ratio = math.min(t2a, t2b) / math.min(t1a, t1b)
+    assert(ratio <= 30.0,
+      f"10x docs grew mixPlan wall-time $ratio%.1fx " +
+        f"(t1=${math.min(t1a, t1b)}%.2fs t2=${math.min(t2a, t2b)}%.2fs)")
+  }
 }
