@@ -308,19 +308,27 @@ object ExtensionOracleSql {
        |          DESC, c.cid) AS rn
        |    FROM sn$s e CROSS JOIN c${s}_$iters c) WHERE rn = 1)""".stripMargin
 
-  /** Like [[pqEncCte]] but carrying the PROBE×sub-centroid dot for ADC
-    * search (graft.operators.Similarity.pqTopK). The probe's subspace slice
-    * is precomputed once in pr$s.
+  /** Like [[pqEncCte]] but carrying the PROBE-side components for ADC
+    * search (graft.operators.Similarity.pqTopK): probe×sub-centroid dot
+    * (dp), probe×vector dot (dx), and both per-subspace norms. The final
+    * SELECT touches ONLY these encp columns — referencing probe.pv's
+    * full-vector list inside the final join made DuckDB's evaluation
+    * pathological (minutes at 500 rows); per-subspace dots over the
+    * materialized slices are the fast shape, and the Spark expression sums
+    * the same per-subspace groupings so the IEEE sequences stay identical.
     */
   private def pqEncProbeCte(s: Int, sub: Int, iters: Int): String = {
     val lo = s * sub + 1
     val hi = (s + 1) * sub
     s"""pr$s AS (SELECT pv[$lo:$hi] AS psv FROM probe),
        |encp$s AS (
-       |  SELECT vec_id, dp, n2c FROM (
+       |  SELECT vec_id, dp, n2c, dx, n2x, n2p FROM (
        |    SELECT e.vec_id,
        |      ${dot("p.psv", "c.cvec")} AS dp,
        |      c.n2c AS n2c,
+       |      ${dot("e.sv", "p.psv")} AS dx,
+       |      e.n2v AS n2x,
+       |      ${dot("p.psv", "p.psv")} AS n2p,
        |      row_number() OVER (PARTITION BY e.vec_id
        |        ORDER BY round(${dot("e.sv", "c.cvec")} / (sqrt(e.n2v) * sqrt(c.n2c)), 6)
        |          DESC, c.cid) AS rn
@@ -388,16 +396,17 @@ object ExtensionOracleSql {
       s"""WITH $pqAllSubCtes,
          |probe AS (SELECT embedding AS pv FROM embeddings WHERE vec_id = 0),
          |${(0 until pqM).map(s => pqEncProbeCte(s, sub = pqSub, iters = pqIters)).mkString(",\n")}
-         |SELECT e.vec_id,
+         |SELECT p0.vec_id,
          |  round((${(0 until pqM).map(s => s"p$s.dp").mkString(" + ")}) /
-         |        (sqrt(${dot("p.pv", "p.pv")}) *
+         |        (sqrt(${(0 until pqM).map(s => s"p$s.n2p").mkString(" + ")}) *
          |         sqrt(${(0 until pqM).map(s => s"p$s.n2c").mkString(" + ")})), 6) AS approx_sim,
-         |  round(${cos("e.embedding", "p.pv")}, 6) AS exact_sim
-         |FROM embeddings e
-         |${(0 until pqM).map(s => s"JOIN encp$s p$s ON p$s.vec_id = e.vec_id").mkString("\n")}
-         |CROSS JOIN probe p
-         |WHERE e.vec_id <> 0
-         |ORDER BY approx_sim DESC, e.vec_id LIMIT 5""".stripMargin,
+         |  round((${(0 until pqM).map(s => s"p$s.dx").mkString(" + ")}) /
+         |        (sqrt(${(0 until pqM).map(s => s"p$s.n2x").mkString(" + ")}) *
+         |         sqrt(${(0 until pqM).map(s => s"p$s.n2p").mkString(" + ")})), 6) AS exact_sim
+         |FROM encp0 p0
+         |${(1 until pqM).map(s => s"JOIN encp$s p$s ON p$s.vec_id = p0.vec_id").mkString("\n")}
+         |WHERE p0.vec_id <> 0
+         |ORDER BY approx_sim DESC, p0.vec_id LIMIT 5""".stripMargin,
 
     "simsearch_ivf" -> simsearchIvfSql,
     "simsearch_ivf_search" -> simsearchIvfSql,
@@ -1195,6 +1204,30 @@ object ExtensionOracleSql {
          |    ELSE 0 END AS norm_entropy_ppm
          |FROM documents d LEFT JOIN e USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+
+    // per-source KL divergence from the corpus unigram distribution in
+    // floor'd integer MICRO-nats (mixture-drift report) — in lock-step with
+    // graft.operators.TextAnalysis.sourceDivergence
+    "text_source_divergence" ->
+      s"""WITH tok AS (SELECT source, unnest($toksOf) AS term FROM documents),
+         |st AS (SELECT source, term, COUNT(*) AS cst FROM tok GROUP BY source, term),
+         |sn AS (SELECT source, SUM(cst) AS ns FROM st GROUP BY source),
+         |tt AS (SELECT term, SUM(cst) AS ct FROM st GROUP BY term),
+         |nn AS (SELECT SUM(ct) AS n FROM tt),
+         |dc AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+         |terms AS (
+         |  SELECT st.source, COUNT(*) AS n_types, MIN(sn.ns) AS n_tokens,
+         |    SUM(st.cst * CAST(round(ln((st.cst * nn.n) /
+         |          CAST(sn.ns * tt.ct AS DOUBLE)), 6) AS DECIMAL(18,6))) AS nats
+         |  FROM st JOIN tt USING (term) JOIN sn USING (source) CROSS JOIN nn
+         |  GROUP BY st.source)
+         |SELECT t.source, CAST(dc.n_docs AS BIGINT) AS n_docs,
+         |  CAST(t.n_tokens AS BIGINT) AS n_tokens,
+         |  CAST(t.n_types AS BIGINT) AS n_types,
+         |  CAST(FLOOR(CAST(CAST(t.nats * 1000000 AS BIGINT) AS DOUBLE) / t.n_tokens)
+         |    AS BIGINT) AS kl_unats
+         |FROM terms t JOIN dc USING (source)
+         |ORDER BY t.source""".stripMargin,
 
     // multinomial Naive Bayes language classifier trained on the corpus's own
     // labels: add-one-smoothed vocab×class likelihood grid, 6-dp-quantized

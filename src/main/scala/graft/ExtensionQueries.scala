@@ -329,6 +329,8 @@ object ExtensionQueries {
       TextAnalysis.unigramLogprob(docs(s, dir))),
     "text_entropy" -> ((s, dir) =>
       TextAnalysis.tokenEntropy(docs(s, dir))),
+    "text_source_divergence" -> ((s, dir) =>
+      TextAnalysis.sourceDivergence(docs(s, dir))),
     "text_classifier_nb" -> ((s, dir) =>
       TextAnalysis.naiveBayesLang(docs(s, dir))),
     "doc_chunk" -> ((s, dir) =>

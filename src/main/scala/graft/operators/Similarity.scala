@@ -750,6 +750,12 @@ object Similarity {
     val sub = dim / m
     val probeVec = emb.filter(col("vec_id") === probeId)
       .select(col("embedding").as("probe"))
+    // EVERY full-vector dot is a fixed left-to-right sum of per-subspace
+    // dots (probe·centroid, probe·vector, and both norms): the per-subspace
+    // grouping is what the DuckDB oracle can evaluate over its materialized
+    // slice tables — the inline full-vector list-lambda form made its final
+    // join pathological — and the identical grouping here keeps the IEEE
+    // operation sequence in lock-step.
     val choices = (0 until m).map { s =>
       val xs = slice(col("embedding"), s * sub + 1, sub)
       val ps = slice(col("probe"), s * sub + 1, sub)
@@ -762,17 +768,28 @@ object Similarity {
           VecF.dot(cv, cv).as("n2c"))
       }: _*)).as(s"ch$s")
     }
+    val perSub = (0 until m).flatMap { s =>
+      val xs = slice(col("embedding"), s * sub + 1, sub)
+      val ps = slice(col("probe"), s * sub + 1, sub)
+      Seq(VecF.dot(xs, ps).as(s"dx$s"),
+        VecF.dot(xs, xs).as(s"n2x$s"),
+        VecF.dot(ps, ps).as(s"n2p$s"))
+    }
     emb.filter(col("vec_id") =!= probeId)
       .crossJoin(broadcast(probeVec))
-      .select(col("vec_id") +: col("embedding") +: col("probe") +: choices: _*)
+      .select(col("vec_id") +: (choices ++ perSub): _*)
       .select(
         col("vec_id"),
         round(
           (0 until m).map(s => col(s"ch$s.dp")).reduce(_ + _) /
-            (sqrt(VecF.dot(col("probe"), col("probe"))) *
+            (sqrt((0 until m).map(s => col(s"n2p$s")).reduce(_ + _)) *
              sqrt((0 until m).map(s => col(s"ch$s.n2c")).reduce(_ + _))), 6)
           .as("approx_sim"),
-        round(VecF.cosine(col("embedding"), col("probe")), 6).as("exact_sim"))
+        round(
+          (0 until m).map(s => col(s"dx$s")).reduce(_ + _) /
+            (sqrt((0 until m).map(s => col(s"n2x$s")).reduce(_ + _)) *
+             sqrt((0 until m).map(s => col(s"n2p$s")).reduce(_ + _))), 6)
+          .as("exact_sim"))
       .orderBy(col("approx_sim").desc, col("vec_id"))
       .limit(topK)
   }

@@ -490,6 +490,59 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Per-SOURCE Kullback–Leibler divergence from the whole-corpus unigram
+    * distribution — the mixture-drift / domain-shift report a corpus curator
+    * reads before reweighting sources: a source whose token distribution
+    * sits far from the corpus mean (high KL) is a domain outlier; a
+    * near-zero source is redundant with the mix.
+    *
+    * KL(P_s ‖ P) = Σ_t p_s(t)·ln(p_s(t)/p(t)) with p_s = c_st/n_s and
+    * p = c_t/n, computed as (c_st/n_s)·ln(c_st·n / (n_s·c_t)) — every term
+    * of s appears in the corpus, so the log is always finite. Determinism:
+    * the log argument is a ratio of exact integer products (< 2⁵³, so the
+    * doubles are exact), each log quantizes to 6 decimals, the c_st-weighted
+    * sum runs in decimal, and the result is floor'd integer MICRO-nats —
+    * the same tie-free recipe as [[tokenEntropy]].
+    *
+    * Shape at scale: ONE token pass with the source label riding the
+    * initial projection; a (source, term) hash agg (map-side combined);
+    * corpus term totals derived from that same table (vocabulary-bounded);
+    * a term-keyed broadcast join of two vocabulary-sized tables; one
+    * source-keyed rollup. Output is nSources rows at any corpus size.
+    */
+  def sourceDivergence(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val st = docs
+      .select(col("source"), explode(Text.tokens(col("text"))).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("cst"))
+    val srcTotals = st.groupBy("source").agg(sum(col("cst")).as("ns"))
+    val termTotals = st.groupBy("term").agg(sum(col("cst")).as("ct"))
+    val n = termTotals.agg(sum(col("ct")).as("n"))
+    val docCounts = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val terms = st
+      .join(broadcast(termTotals), "term")
+      .join(broadcast(srcTotals), "source")
+      .crossJoin(broadcast(n))
+      .withColumn("lr",
+        round(log((col("cst") * col("n")).cast("double") /
+          (col("ns") * col("ct")).cast("double")), 6).cast(DecimalType(18, 6)))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_types"),
+        min(col("ns")).as("n_tokens"), // constant within the group
+        sum((col("cst") * col("lr")).cast(DecimalType(28, 6))).as("nats"))
+    terms
+      .join(docCounts, "source")
+      .select(
+        col("source"),
+        col("n_docs"),
+        col("n_tokens"),
+        col("n_types"),
+        floor((col("nats") * lit(1000000)).cast("long").cast("double") /
+          col("n_tokens").cast("double")).cast("long").as("kl_unats"))
+      .orderBy("source")
+  }
+
   /** Multinomial Naive Bayes language classifier, trained ON the corpus's own
     * declared labels and applied back to every document — the
     * trained-classifier sibling of the [[langId]] stopword heuristic and the

@@ -1602,6 +1602,67 @@ class OperatorSpec extends SparkSpec {
       "skewed doc must rank strictly between degenerate and uniform")
   }
 
+  test("sourceDivergence: symmetric disjoint sources diverge by exactly ln 2; a lone source by 0") {
+    import spark.implicits._
+    // two sources with disjoint single-token vocabularies and equal mass:
+    // each source's distribution is a point mass whose corpus probability is
+    // 1/2, so KL = ln 2 -> floor(1e6 * q6(ln 2)) = 693147 micro-nats for both
+    val two = Seq(
+      (1L, "x x x x", "a"), (2L, "x x x x", "a"),
+      (3L, "y y y y", "b"), (4L, "y y y y", "b"))
+      .toDF("doc_id", "text", "source")
+    val got = TextAnalysis.sourceDivergence(two).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got("a") == ((2L, 8L, 1L, 693147L)), s"got ${got("a")}")
+    assert(got("b") == ((2L, 8L, 1L, 693147L)), s"got ${got("b")}")
+    // a single source IS the corpus: every log ratio is ln 1 = 0
+    val one = Seq((1L, "x y z", "solo"), (2L, "x y", "solo"))
+      .toDF("doc_id", "text", "source")
+    val solo = TextAnalysis.sourceDivergence(one).collect().head
+    assert(solo.getLong(4) == 0L, s"lone source must have zero divergence, got $solo")
+  }
+
+  test("tokenEntropy matches a quantized Scala reference model on random corpora") {
+    import spark.implicits._
+    // the same 6-dp-quantized, decimal-summed, floor'd-micro-bit arithmetic
+    // as the operator, folded in plain Scala — catches any drift between the
+    // column expression and the declared model
+    val rng = new scala.util.Random(7)
+    val docs = (0 until 60).map { i =>
+      val n = rng.nextInt(40) // 0..39 tokens, small vocab -> heavy repeats
+      (i.toLong, Seq.fill(n)(s"w${rng.nextInt(6)}").mkString(" "))
+    }
+    def q6(x: Double): BigDecimal =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    def model(text: String): (Long, Long, Long, Long) = {
+      val toks = text.toLowerCase.split(" ").filterNot(_.isEmpty)
+      if (toks.isEmpty) (0L, 0L, 0L, 0L)
+      else {
+        val counts = toks.groupBy(identity).values.map(_.length.toLong).toSeq
+        val n = counts.sum
+        val types = counts.size.toLong
+        val lg2 = (v: Double) => math.log(v) / math.log(2.0)
+        val bits = counts.map(c => BigDecimal(c) * q6(lg2(c.toDouble))).sum
+        val k = ((q6(lg2(n.toDouble)) * BigDecimal(n) - bits) * BigDecimal(1000000))
+          .toLongExact
+        val ubits = math.floor(k.toDouble / n.toDouble).toLong
+        val ppm = if (types > 1)
+          math.floor((ubits * 1000000L).toDouble /
+            (q6(lg2(types.toDouble)) * BigDecimal(1000000)).toLongExact.toDouble).toLong
+        else 0L
+        (n, types, ubits, ppm)
+      }
+    }
+    val got = TextAnalysis.tokenEntropy(docs.toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    docs.foreach { case (id, text) =>
+      assert(got(id) == model(text), s"doc $id ('${text.take(30)}'): " +
+        s"got ${got(id)}, model ${model(text)}")
+    }
+  }
+
   test("naiveBayesLang: separable classes recovered, empty doc takes the prior argmax") {
     import spark.implicits._
     val docs = Seq(

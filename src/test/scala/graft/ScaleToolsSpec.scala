@@ -1656,6 +1656,35 @@ class ScaleToolsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
         f"(t1=${math.min(t1a, t1b)}%.2fs t2=${math.min(t2a, t2b)}%.2fs)")
   }
 
+  test("sourceDivergence survives 10x docs: closed-form ln2 at both scales, source-sized output") {
+    import graft.operators.TextAnalysis
+    // two disjoint point-mass sources of equal mass: KL = ln 2 for both at
+    // ANY corpus size — the report is a pure function of the distribution
+    // shape, not the volume; output stays nSources rows
+    def corpus(n: Int) = spark.range(n).select(col("id").as("doc_id"),
+      when(col("id") % 2 === 0, lit("x x x x")).otherwise(lit("y y y y")).as("text"),
+      when(col("id") % 2 === 0, lit("a")).otherwise(lit("b")).as("source"))
+    def run(n: Int): (Map[String, Long], Int, Double) = {
+      var kl = Map.empty[String, Long]
+      val t0 = System.nanoTime()
+      val jobs = countJobs(s"kldiv10x-$n-${System.nanoTime()}") {
+        kl = TextAnalysis.sourceDivergence(corpus(n))
+          .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+      }
+      (kl, jobs, (System.nanoTime() - t0) / 1e9)
+    }
+    run(1000)
+    val (k1, j1, t1a) = run(1000); val (_, _, t1b) = run(1000)
+    val (k2, j2, t2a) = run(10000); val (_, _, t2b) = run(10000)
+    assert(k1 == Map("a" -> 693147L, "b" -> 693147L), s"1x: $k1")
+    assert(k2 == Map("a" -> 693147L, "b" -> 693147L), s"10x: $k2")
+    assert(j2 <= j1 + 4, s"10x docs grew the sourceDivergence job count $j1 -> $j2")
+    val ratio = math.min(t2a, t2b) / math.min(t1a, t1b)
+    assert(ratio <= 30.0,
+      f"10x docs grew sourceDivergence wall-time $ratio%.1fx " +
+        f"(t1=${math.min(t1a, t1b)}%.2fs t2=${math.min(t2a, t2b)}%.2fs)")
+  }
+
   test("pqEncode survives 10x vectors: exact reconstruction on a centroid-valued corpus, flat jobs") {
     import graft.operators.Similarity
     // every vector is an exact combination of two per-subspace patterns
