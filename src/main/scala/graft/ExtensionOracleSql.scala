@@ -1014,6 +1014,37 @@ object ExtensionOracleSql {
          |SELECT vec_a, vec_b, sim FROM j WHERE sim >= 0.45
          |ORDER BY vec_a, vec_b""".stripMargin,
 
+    // asymmetric containment near-dup: |A∩B| / min(|A|,|B|) >= 0.8 over
+    // word-3-shingle sets, df-capped index, jaccard alongside (catches
+    // subset-duplication the symmetric measure under-scores; the oracle
+    // verifies ALL shared-hash candidates — the Spark side's pruning bound
+    // only skips work, never changes results) — in lock-step with
+    // graft.operators.Dedup.containmentPairs
+    "dedup_containment" ->
+      s"""WITH t AS (SELECT doc_id, ${shinglesOf(3)} AS sh FROM
+         |       (SELECT doc_id, $toksOf AS toks FROM documents)),
+         |hs AS (SELECT doc_id, list_distinct(list_transform(sh, s -> ${h60("s")})) AS hs
+         |       FROM t WHERE len(sh) > 0),
+         |ex AS (SELECT doc_id, unnest(hs) AS h FROM hs),
+         |dfc AS (SELECT h FROM ex GROUP BY h HAVING COUNT(*) <= 50),
+         |idx AS (SELECT ex.doc_id, ex.h FROM ex JOIN dfc USING (h)),
+         |pc AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |       FROM idx a JOIN idx b ON a.h = b.h AND a.doc_id < b.doc_id
+         |       GROUP BY a.doc_id, b.doc_id),
+         |sz AS (SELECT doc_id, len(hs) AS sz, hs FROM hs),
+         |v AS (SELECT pc.doc_a, pc.doc_b,
+         |        len(list_intersect(sa.hs, sb.hs)) AS common,
+         |        sa.sz AS sza, sb.sz AS szb
+         |      FROM pc JOIN sz sa ON sa.doc_id = pc.doc_a
+         |              JOIN sz sb ON sb.doc_id = pc.doc_b)
+         |SELECT doc_a, doc_b,
+         |  round(common / CAST(LEAST(sza, szb) AS DOUBLE), 6) AS containment,
+         |  round(common / CAST(sza + szb - common AS DOUBLE), 6) AS jaccard,
+         |  CASE WHEN sza <= szb THEN 'a_in_b' ELSE 'b_in_a' END AS direction
+         |FROM v
+         |WHERE round(common / CAST(LEAST(sza, szb) AS DOUBLE), 6) >= 0.8
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
     "dedup_ngram_capped" ->
       s"""WITH t AS (SELECT doc_id, $toksOf AS toks FROM documents),
          |shl AS (SELECT doc_id, ${shinglesOf(3)} AS sh FROM t),

@@ -45,6 +45,11 @@ object ExtensionQueries {
       Similarity.semanticDedup(emb(s, dir), nlist = 4, iters = 4, threshold = 0.45)),
     "dedup_ngram_capped" -> ((s, dir) =>
       Dedup.ngramJaccardCappedPairs(docs(s, dir), "doc_id", "text", k = 3, threshold = 0.5, maxDf = 50)),
+    "dedup_containment" -> ((s, dir) =>
+      // asymmetric subset-dup sweep: containment >= 0.8 with jaccard riding
+      // along — high-containment/low-jaccard rows are quoted-inside docs
+      Dedup.containmentPairs(docs(s, dir), "doc_id", "text",
+        k = 3, threshold = 0.8, maxDf = 50)),
     "dedup_normalized" -> ((s, dir) =>
       TextAnalysis.normalizedDedup(docs(s, dir))),
     "dedup_edit_distance" -> ((s, dir) =>

@@ -633,6 +633,70 @@ object Dedup {
     ex0.groupBy("doc_id")
       .agg(collect_list(col("h")).as("hs"), count(lit(1)).as("sz"))
 
+  /** CONTAINMENT near-dup pairs: C(A,B) = |A∩B| / min(|A|,|B|) ≥ threshold
+    * over word-k-shingle sets — the ASYMMETRIC duplicate measure. A short
+    * document wholly quoted inside a long one has Jaccard ≈ |A|/|B| (small)
+    * but containment ≈ 1: exactly the subset-duplication case the symmetric
+    * Jaccard/MinHash family under-scores (Broder's containment, the measure
+    * behind suffix-aware web dedup). Same df-capped inverted-index shape as
+    * [[ngramJaccardCappedPairs]] — shared-rare-hash pair counts, an exact
+    * pruning bound, full-set verification of survivors only — with the
+    * containment bound: a common shingle the rare index missed was above
+    * the df cap and therefore dropped from BOTH docs, so
+    * common ≤ cr + min(dropped_a, dropped_b) and
+    * C ≤ (cr + min(da, db)) / min(sza, szb).
+    *
+    * Output: (doc_a, doc_b, containment, jaccard, direction) — direction is
+    * 'a_in_b' when |A| ≤ |B| (ties included) else 'b_in_a'; rows with high
+    * containment but low jaccard are the subset-dup signature. Both ratios
+    * round to 6 and the threshold gates the ROUNDED containment (both
+    * engines compare identical quantized values).
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       k: Int = 3, threshold: Double = 0.8, maxDf: Int = 50,
+                       hashFn: Column => Column = Hashing.hash60,
+                       materialize: Boolean = true,
+                       checkpointDir: Option[String] = None): DataFrame = {
+    withShingleIndex(shingleHashesExploded(df, idCol, textCol, k, hashFn),
+        materialize, checkpointDir) { ex0 =>
+    val rare = ex0.groupBy("h").agg(count(lit(1)).as("df")).filter(col("df") <= maxDf)
+    val idx = ex0.join(rare, "h").select("doc_id", "h")
+    val stats = ex0.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      .join(idx.groupBy("doc_id").agg(count(lit(1)).as("szr")), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("sz"),
+        (col("sz") - coalesce(col("szr"), lit(0L))).as("dropped"))
+    val pairCounts = idx.as("a").join(idx.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("cr"))
+    val bounded = pairCounts
+      .join(stats.select(col("doc_id").as("doc_a"), col("sz").as("sza"),
+        col("dropped").as("da")), "doc_a")
+      .join(stats.select(col("doc_id").as("doc_b"), col("sz").as("szb"),
+        col("dropped").as("db")), "doc_b")
+      .withColumn("ub", col("cr") + least(col("da"), col("db")))
+      .filter(col("ub").cast("double") /
+        least(col("sza"), col("szb")).cast("double") >= threshold)
+      .select("doc_a", "doc_b")
+    val sets = shingleSets(ex0)
+    bounded
+      .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("hsa"),
+        col("sz").as("sza")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("hs").as("hsb"),
+        col("sz").as("szb")), "doc_b")
+      .withColumn("common", size(array_intersect(col("hsa"), col("hsb"))))
+      .withColumn("containment", round(
+        col("common").cast("double") / least(col("sza"), col("szb")).cast("double"), 6))
+      .withColumn("jaccard", round(
+        col("common").cast("double") /
+          (col("sza") + col("szb") - col("common")).cast("double"), 6))
+      .filter(col("containment") >= threshold)
+      .withColumn("direction",
+        when(col("sza") <= col("szb"), lit("a_in_b")).otherwise(lit("b_in_a")))
+      .select("doc_a", "doc_b", "containment", "jaccard", "direction")
+    }.orderBy("doc_a", "doc_b")
+  }
+
   /** Banded MinHash signatures: (doc_id, band_id, sig) — the LSH candidate
     * join key. One imperative aggregate builds the whole signature (see
     * graft.plans.MinHashSignature).

@@ -1602,6 +1602,35 @@ class OperatorSpec extends SparkSpec {
       "skewed doc must rank strictly between degenerate and uniform")
   }
 
+  test("containmentPairs: planted subset-dup caught with LOW jaccard; unrelated docs clean") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    def words(tag: String, n: Int) = (0 until n).map(i => s"$tag$i").mkString(" ")
+    val short = words("q", 40)                 // 40 tokens, 38 3-shingles
+    val long = short + " " + words("z", 120)   // short quoted verbatim inside
+    val docs = Seq(
+      (1L, short),                 // contained in 2
+      (2L, long),
+      (3L, words("u", 60)),        // unrelated
+      (4L, words("v", 60)))        // unrelated
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, "doc_id", "text",
+        k = 3, threshold = 0.8, maxDf = 50)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getDouble(2), r.getDouble(3), r.getString(4)))).toMap
+    assert(got.keySet == Set((1L, 2L)), s"expected only the planted pair, got ${got.keySet}")
+    val (c, j, dir) = got((1L, 2L))
+    assert(c == 1.0, s"verbatim subset must have containment 1.0, got $c")
+    assert(j < 0.5, s"the pair must be INVISIBLE to the jaccard>=0.5 sweep, got $j")
+    assert(dir == "a_in_b", s"the smaller doc is a, got $dir")
+    // sanity: the symmetric sweep at its own threshold indeed misses it
+    val jac = Dedup.ngramJaccardCappedPairs(docs, "doc_id", "text",
+        k = 3, threshold = 0.5, maxDf = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!jac.contains((1L, 2L)),
+      "fixture broken: jaccard sweep caught the subset pair, containment adds nothing")
+  }
+
   test("sourceDivergence: symmetric disjoint sources diverge by exactly ln 2; a lone source by 0") {
     import spark.implicits._
     // two sources with disjoint single-token vocabularies and equal mass:

@@ -1656,6 +1656,58 @@ class ScaleToolsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
         f"(t1=${math.min(t1a, t1b)}%.2fs t2=${math.min(t2a, t2b)}%.2fs)")
   }
 
+  test("containmentPairs survives 10x docs: planted subset pairs recovered exactly, flat jobs") {
+    import graft.operators.Dedup
+    // pair i: a 22-token "quote" doc (id 2i) contained verbatim in a
+    // 120-token host doc (id 2i+1); fillers are id-salted so only the
+    // planted pair shares shingles — n/2 pairs recovered at ANY scale, each
+    // with containment 1.0 and jaccard far below the symmetric threshold
+    def corpus(n: Int) = spark.range(n).select(col("id").as("doc_id"),
+      concat(
+        expr("array_join(transform(sequence(0, 21), j -> " +
+          "concat('q', CAST(id DIV 2 AS STRING), 'x', CAST(j AS STRING))), ' ')"),
+        when(col("id") % 2 === 1,
+          expr("concat(' ', array_join(transform(sequence(0, 97), j -> " +
+            "concat('z', CAST(id AS STRING), 'x', CAST(j AS STRING))), ' '))"))
+          .otherwise(lit(""))).as("text"))
+    def run(n: Int): (Long, Long, Int, Double) = {
+      var pairs = 0L; var perfect = 0L
+      val t0 = System.nanoTime()
+      val jobs = countJobs(s"contain10x-$n-${System.nanoTime()}") {
+        // one aggregate, not collect(): executing the result's global
+        // orderBy adds range-boundary sampling jobs whose count scales
+        // with partitioning — the agg collapses the sort away, so the job
+        // count measures the OPERATOR's structure
+        val r = Dedup.containmentPairs(corpus(n), "doc_id", "text",
+            k = 3, threshold = 0.8, maxDf = 50)
+          .agg(count(lit(1)).as("pairs"),
+            sum(when(col("containment") === 1.0 &&
+              col("doc_b") === col("doc_a") + 1, 1L).otherwise(0L)).as("perfect"))
+          .collect()(0)
+        pairs = r.getLong(0); perfect = r.getLong(1)
+      }
+      (pairs, perfect, jobs, (System.nanoTime() - t0) / 1e9)
+    }
+    // pin the join mode: between 1x and 10x this fixture's index/stats
+    // tables cross the broadcast threshold, and AQE's broadcast->shuffle
+    // switch adds query-stage jobs — legitimate mode SELECTION, not
+    // data-dependent structure, which is what this gate is for
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      run(1000)
+      val (p1, f1, j1, t1a) = run(1000); val (_, _, _, t1b) = run(1000)
+      val (p2, f2, j2, t2a) = run(10000); val (_, _, _, t2b) = run(10000)
+      assert(p1 == 500 && f1 == 500, s"1x: $p1 pairs / $f1 perfect (expect 500/500)")
+      assert(p2 == 5000 && f2 == 5000, s"10x: $p2 pairs / $f2 perfect (expect 5000/5000)")
+      assert(j2 <= j1 + 4, s"10x docs grew the containmentPairs job count $j1 -> $j2")
+      val ratio = math.min(t2a, t2b) / math.min(t1a, t1b)
+      assert(ratio <= 30.0,
+        f"10x docs grew containmentPairs wall-time $ratio%.1fx " +
+          f"(t1=${math.min(t1a, t1b)}%.2fs t2=${math.min(t2a, t2b)}%.2fs)")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+  }
+
   test("sourceDivergence survives 10x docs: closed-form ln2 at both scales, source-sized output") {
     import graft.operators.TextAnalysis
     // two disjoint point-mass sources of equal mass: KL = ln 2 for both at
