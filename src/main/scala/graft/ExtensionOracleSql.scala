@@ -713,7 +713,8 @@ object ExtensionOracleSql {
     "sample_mix_plan" ->
       s"""WITH w(source, weight_permille) AS (VALUES
          |  ('src0', 500), ('src1', 300), ('src2', 200)),
-         |inv AS (SELECT source, COUNT(*) AS n_docs, SUM(len($toksOf)) AS n_tokens
+         |inv AS (SELECT source, COUNT(*) AS n_docs,
+         |          COALESCE(SUM(len($toksOf)), 0) AS n_tokens
          |        FROM documents GROUP BY source),
          |p AS (SELECT inv.source, inv.n_docs, inv.n_tokens,
          |        COALESCE(w.weight_permille, 0) AS weight_permille

@@ -595,13 +595,18 @@ object Dedup {
 
     // exact-pruning bound: true common <= cr + min(dropped_a, dropped_b), and
     // Jaccard is increasing in common, so J <= jUpper; pairs below threshold
-    // on the upper bound cannot qualify and skip verification entirely
+    // on the upper bound cannot qualify and skip verification entirely. The
+    // bound is compared ROUNDED to the final filter's 6 dp: round is
+    // monotone, so round(jUpper) >= round(jaccard) and the prune is provably
+    // never tighter than the verify gate (closes the theoretical
+    // prune-vs-oracle mismatch for a pair landing in [threshold-5e-7,
+    // threshold) with zero df-cap slack).
     val bounded = pairCounts
       .join(stats.select(col("doc_id").as("doc_a"), col("sz").as("sza"), col("dropped").as("da")), "doc_a")
       .join(stats.select(col("doc_id").as("doc_b"), col("sz").as("szb"), col("dropped").as("db")), "doc_b")
       .withColumn("ub", col("cr") + least(col("da"), col("db")))
-      .filter(col("ub").cast("double") /
-        (col("sza") + col("szb") - col("ub")).cast("double") >= threshold)
+      .filter(round(col("ub").cast("double") /
+        (col("sza") + col("szb") - col("ub")).cast("double"), 6) >= threshold)
       .select("doc_a", "doc_b")
 
     // exact verification of the survivors only
@@ -675,8 +680,10 @@ object Dedup {
       .join(stats.select(col("doc_id").as("doc_b"), col("sz").as("szb"),
         col("dropped").as("db")), "doc_b")
       .withColumn("ub", col("cr") + least(col("da"), col("db")))
-      .filter(col("ub").cast("double") /
-        least(col("sza"), col("szb")).cast("double") >= threshold)
+      // ROUNDED to the final filter's 6 dp — round-monotonicity makes the
+      // prune provably never tighter than the verify gate
+      .filter(round(col("ub").cast("double") /
+        least(col("sza"), col("szb")).cast("double"), 6) >= threshold)
       .select("doc_a", "doc_b")
     val sets = shingleSets(ex0)
     bounded
@@ -767,12 +774,15 @@ object Dedup {
     * against the union-corpus run).
     *
     * Scale shape: the stored index is READ, never rebuilt — parquet scans
-    * of (band_id, sig, doc_id) and (doc_id, hs, sz). The new batch (one
-    * ingest slice against the full history — small by nature) signs itself
-    * and broadcasts onto both the candidate and verify joins, so the
-    * historical index is only ever scanned, never shuffled. No barrier
-    * needed: the heavy side is already materialized on disk, and the new
-    * batch's double tokenization (signatures + sets) is batch-sized.
+    * of (band_id, sig, doc_id) and (doc_id, hs, sz). The new batch signs
+    * itself and joins onto the candidate and verify sides WITHOUT a forced
+    * broadcast hint: an ingest slice is usually tiny and AQE broadcasts it
+    * at runtime from its OBSERVED size (history never shuffles), but a
+    * backfill-sized "batch" must not be forced into the driver — the hinted
+    * form OOMs exactly there. For a genuine backfill, either chunk the
+    * input into ingest-sized batches (each call then stays in the AQE
+    * broadcast regime) or run the full [[minHashLshPairs]] over the union
+    * corpus once and rebuild the store.
     * Returns (new_id, old_id, jaccard), one row per flagged cross pair.
     */
   def dedupIncremental(spark: SparkSession, dir: String, newDocs: DataFrame,
@@ -783,16 +793,20 @@ object Dedup {
     val storedBands = spark.read.parquet(s"$dir/bands")
     val storedSets = spark.read.parquet(s"$dir/sets")
     val exN = shingleHashesExploded(newDocs, idCol, textCol, k, hashFn)
+    // NO broadcast hints on the batch side (round-11 verdict): AQE
+    // broadcasts an ingest-sized batch at runtime from its observed size,
+    // while a backfill-sized batch degrades safely to a shuffle join
+    // instead of OOMing the driver mid-broadcast-build
     val cand = storedBands.as("a")
-      .join(broadcast(bandedSignatures(exN, numPerm, bands).as("b")),
+      .join(bandedSignatures(exN, numPerm, bands).as("b"),
         col("a.band_id") === col("b.band_id") && col("a.sig") === col("b.sig"))
       .select(col("b.doc_id").as("new_id"), col("a.doc_id").as("old_id"))
       .distinct()
     cand
       .join(storedSets.select(col("doc_id").as("old_id"),
         col("hs").as("hsa"), col("sz").as("sza")), "old_id")
-      .join(broadcast(shingleSets(exN)
-        .select(col("doc_id").as("new_id"), col("hs").as("hsb"), col("sz").as("szb"))), "new_id")
+      .join(shingleSets(exN)
+        .select(col("doc_id").as("new_id"), col("hs").as("hsb"), col("sz").as("szb")), "new_id")
       .withColumn("common", size(array_intersect(col("hsa"), col("hsb"))))
       .withColumn("jaccard", round(
         col("common").cast("double") /
@@ -819,7 +833,9 @@ object Dedup {
     val flagged = dedupIncremental(spark, dir, newDocs, idCol, textCol,
         k, numPerm, bands, threshold, hashFn)
       .select(col("new_id").as("__drop_id")).distinct()
-    newDocs.join(broadcast(flagged), col(idCol) === col("__drop_id"), "left_anti")
+    // no broadcast hint: the flag list is batch-bounded, so AQE broadcasts
+    // it for ingest slices but a backfill-sized batch stays off the driver
+    newDocs.join(flagged, col(idCol) === col("__drop_id"), "left_anti")
   }
 
   /** End-to-end dedup APPLICATION — the step a training pipeline actually

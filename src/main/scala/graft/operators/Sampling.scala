@@ -240,14 +240,27 @@ object Sampling {
   def mixPlan(df: DataFrame, idCol: String, srcCol: String, textCol: String,
               weights: Map[String, Double], budget: Long): DataFrame = {
     import df.sparkSession.implicits._
+    // over-allocating the budget (Σw > 1) is almost always a config typo —
+    // fail loudly at plan time rather than emit an overcommitted plan
+    require(weights.values.sum <= 1.0 + 1e-9,
+      s"mix weights sum to ${weights.values.sum} > 1 — the plan would " +
+        "over-allocate the token budget")
+    // budget·permille runs in 64-bit; guard the multiply against wraparound
+    require(budget >= 0 && budget <= Long.MaxValue / 1000,
+      s"budget $budget outside [0, ${Long.MaxValue / 1000}] — " +
+        "the per-mille arithmetic would overflow 64 bits")
     val wt = weights.toSeq.map { case (s, w) =>
       require(w >= 0 && w <= 1, s"weight for $s must be in [0,1], got $w")
       (s, math.round(w * 1000))
     }.toDF(srcCol, "weight_permille")
     val inv = df
       .groupBy(col(srcCol))
+      // coalesce: a source whose docs are ALL null-text sums to NULL — the
+      // plan should report 0 tokens of inventory, not a NULL that poisons
+      // the downstream integer report
       .agg(count(lit(1)).as("n_docs"),
-        sum(size(graft.functions.Text.tokens(col(textCol))).cast("long")).as("n_tokens"))
+        coalesce(sum(size(graft.functions.Text.tokens(col(textCol))).cast("long")),
+          lit(0L)).as("n_tokens"))
     inv.join(broadcast(wt), Seq(srcCol), "left")
       .withColumn("weight_permille", coalesce(col("weight_permille"), lit(0L)))
       .withColumn("target_tokens", floor(lit(budget) * col("weight_permille") / 1000L))

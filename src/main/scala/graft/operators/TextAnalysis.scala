@@ -506,9 +506,14 @@ object TextAnalysis {
     *
     * Shape at scale: ONE token pass with the source label riding the
     * initial projection; a (source, term) hash agg (map-side combined);
-    * corpus term totals derived from that same table (vocabulary-bounded);
-    * a term-keyed broadcast join of two vocabulary-sized tables; one
-    * source-keyed rollup. Output is nSources rows at any corpus size.
+    * corpus term totals derived from that same table; a plain term-keyed
+    * join of two vocabulary-sized tables — NO broadcast hint, because a raw
+    * token vocabulary is Heaps-law-unbounded at 100 TB (URLs, typos, code
+    * identifiers push it to 10⁸–10⁹ types) and forcing it into the driver
+    * is exactly the scale-killer [[tfidfTopTerms]]/[[unigramLogprob]] avoid;
+    * AQE still broadcasts when the vocabulary is genuinely small. The
+    * one-row corpus total and nSources-row source totals stay broadcast.
+    * One source-keyed rollup; output is nSources rows at any corpus size.
     */
   def sourceDivergence(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
@@ -520,7 +525,7 @@ object TextAnalysis {
     val n = termTotals.agg(sum(col("ct")).as("n"))
     val docCounts = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
     val terms = st
-      .join(broadcast(termTotals), "term")
+      .join(termTotals, "term")
       .join(broadcast(srcTotals), "source")
       .crossJoin(broadcast(n))
       .withColumn("lr",
@@ -559,11 +564,19 @@ object TextAnalysis {
     *
     * Shape at scale: training is two hash aggregations over one corpus pass
     * (per-(lang,term) counts — the word-TYPE table, vocabulary-bounded like
-    * [[bpeTrain]]'s; per-lang totals). The dense V×C likelihood grid is
-    * vocabulary-bounded metadata and broadcasts into the scoring join, so
-    * scoring is one more corpus pass + a (doc, class)-keyed partial agg —
-    * the corpus never shuffles on the term. Documents with no tokens fall
-    * back to the prior-only argmax (one broadcast row).
+    * [[bpeTrain]]'s; per-lang totals). The likelihood table stays SPARSE:
+    * only OBSERVED (lang,term) rows are materialized, because the add-one-
+    * smoothed likelihood of an unseen (term,class) is the per-class CONSTANT
+    * ln(1/(ctot+V)) — so score(d,c) decomposes as
+    * prior(c) + len(d)·ll0(c) + Σ_{observed} (ll(t,c) − ll0(c)), with the
+    * per-class defaults an nClasses-row broadcast and the deltas a plain
+    * term-keyed join (NO broadcast hint: a raw vocabulary is Heaps-law-
+    * unbounded at 100 TB — 10⁸–10⁹ types — and a dense V×C grid forced into
+    * the driver is a scale-killer; AQE still broadcasts small vocabularies).
+    * The decomposition is EXACT: deltas subtract two 6-dp-quantized decimals
+    * and len·ll0 is an integer-decimal product, so the decimal sum equals
+    * the dense grid's token-wise sum digit for digit. Documents with no
+    * tokens score prior + 0·ll0 = the prior-only argmax.
     */
   def naiveBayesLang(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
@@ -574,41 +587,47 @@ object TextAnalysis {
     val tc = docs.select(col("lang"), explode(Text.tokens(col("text"))).as("term"))
       .groupBy("lang", "term").agg(count(lit(1)).as("ctc"))
     val classTotals = tc.groupBy("lang").agg(sum(col("ctc")).as("ctot"))
-    val vocab = tc.select("term").distinct()
-    val vSize = vocab.agg(count(lit(1)).as("v"))
-    val grid = vocab.crossJoin(classes.select("lang"))
-      .join(tc, Seq("lang", "term"), "left")
-      .join(classTotals, "lang")
-      .crossJoin(vSize)
+    val vSize = tc.select("term").distinct().agg(count(lit(1)).as("v"))
+    // per-class UNSEEN default ll0 = ln(1/(ctot+V)) — nClasses rows
+    val dflt = classTotals.crossJoin(vSize)
+      .select(col("lang"),
+        dec(lit(1.0) / (col("ctot") + col("v")).cast("double")).as("ll0"))
+    // SPARSE observed-likelihood deltas: ll − ll0, exact decimal subtraction
+    // of two 6-dp-quantized values; one row per OBSERVED (lang, term) only
+    val deltas = tc.join(classTotals, "lang").crossJoin(vSize)
+      .join(dflt, "lang")
       .select(col("term"), col("lang"),
-        dec((coalesce(col("ctc"), lit(0L)) + 1).cast("double") /
-          (col("ctot") + col("v")).cast("double")).as("ll"))
+        (dec((col("ctc") + 1).cast("double") /
+          (col("ctot") + col("v")).cast("double")) - col("ll0")).as("delta"))
     val priors = classes.crossJoin(nDocs)
       .select(col("lang"),
         dec(col("n_docs").cast("double") / col("nd").cast("double")).as("prior_ll"))
-    val scored = tok.join(broadcast(grid), Seq("term"))
+    // per-(doc, class) observed-delta sums: plain term-keyed join, AQE decides
+    val deltaSums = tok.join(deltas, Seq("term"))
       .groupBy("doc_id", "lang")
-      .agg(sum(col("ll")).as("tok_ll"))
-      .join(broadcast(priors), "lang")
-      .withColumn("score", col("tok_ll") + col("prior_ll"))
+      .agg(sum(col("delta").cast(DecimalType(28, 6))).as("dsum"))
+    // base score for every (doc, class): prior + len·ll0 (token-less docs
+    // get len = 0, i.e. the prior-only argmax); nClasses-row broadcast
+    val docLen = docs.select(col("doc_id"), size(Text.tokens(col("text"))).as("len0"))
+      // null text → size() yields null (or legacy -1); greatest() maps both to 0
+      .select(col("doc_id"), greatest(col("len0"), lit(0)).as("len"))
+    val scored = docLen.crossJoin(broadcast(dflt.join(priors, "lang")))
+      .join(deltaSums, Seq("doc_id", "lang"), "left")
+      .withColumn("score",
+        col("prior_ll") + (col("len") * col("ll0")).cast(DecimalType(28, 6)) +
+          coalesce(col("dsum"), lit(0).cast(DecimalType(28, 6))))
     val best = scored.groupBy("doc_id")
       .agg(min_by(struct(col("lang"), col("score")),
         struct(-col("score"), col("lang"))).as("b"))
       .select(col("doc_id"), col("b.lang").as("pred_lang"), col("b.score").as("score"))
-    // prior-only argmax for token-less docs: one broadcast row
-    val priorBest = priors
-      .agg(min_by(struct(col("lang"), col("prior_ll")),
-        struct(-col("prior_ll"), col("lang"))).as("pb"))
-      .select(col("pb.lang").as("pb_lang"), col("pb.prior_ll").as("pb_score"))
     docs.select(col("doc_id"), col("lang").as("actual_lang"))
-      .join(best, Seq("doc_id"), "left")
-      .crossJoin(broadcast(priorBest))
+      .join(best, "doc_id")
       .select(
         col("doc_id"),
-        coalesce(col("pred_lang"), col("pb_lang")).as("pred_lang"),
-        round(coalesce(col("score"), col("pb_score")).cast("double"), 6).as("score"),
+        col("pred_lang"),
+        round(col("score").cast("double"), 6).as("score"),
         col("actual_lang"),
-        (coalesce(col("pred_lang"), col("pb_lang")) === col("actual_lang")).as("agree"))
+        (col("pred_lang") === col("actual_lang")).as("agree"))
       .orderBy("doc_id")
   }
 

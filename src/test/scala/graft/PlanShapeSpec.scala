@@ -330,10 +330,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(exec.collect {
       case s: org.apache.spark.sql.execution.FileSourceScanExec => s }.nonEmpty,
       s"stored index should surface as a parquet file scan:\n$p")
-    // the batch side rides broadcast joins: history is never shuffled
-    assert(exec.collect {
-      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b }.nonEmpty,
-      s"new-batch side must broadcast onto the stored index:\n$p")
+    // an ingest-sized batch must still ride broadcast joins — but since
+    // round 12 the broadcast is AQE's RUNTIME decision from the batch's
+    // observed size (a forced hint would OOM the driver on a backfill-sized
+    // batch), so execute the query and assert on the FINAL adaptive plan
+    df.count()
+    val finalExec = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case pl => pl
+    }
+    assert(finalExec.toString.contains("BroadcastHashJoin"),
+      s"AQE should broadcast the ingest-sized batch onto the stored index at " +
+        s"runtime:\n$finalExec")
   }
 
   test("bloom prefilter: membership probe filters the fact BELOW the join") {
@@ -357,5 +365,42 @@ class PlanShapeSpec extends SparkSpec {
     assert(probeFilters.nonEmpty, s"bloom probe filter must sit below the join:\n$exec")
     assert(!exec.toString.contains("UDF"), s"bloom probe must not be a UDF:\n$exec")
     assert(!exec.toString.contains("CartesianProduct"))
+  }
+
+  test("sourceDivergence / naiveBayesLang: vocabulary tables are never FORCE-broadcast") {
+    // round-11 latent scale-killers: both operators force-broadcast a table
+    // with one row per distinct corpus term — Heaps-law-unbounded at 100 TB
+    // (10^8-10^9 types), which kills the driver building the broadcast. With
+    // auto-broadcast fully disabled, the ONLY BroadcastExchanges left are
+    // the explicitly hinted bounded tables (source totals, corpus total,
+    // class priors/defaults); a surviving hint on the term-keyed join would
+    // show as a BroadcastHashJoin keyed on `term` and fails here.
+    val docs = Tables.table(spark, sf0001, "documents")
+    val conf = spark.conf
+    val oldBc = conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    val oldAqeBc = conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val cases = Seq(
+        "sourceDivergence" -> graft.operators.TextAnalysis.sourceDivergence(docs),
+        "naiveBayesLang" -> graft.operators.TextAnalysis.naiveBayesLang(docs))
+      for ((name, df) <- cases) {
+        val p = plan(df)
+        val termBroadcasts = p.linesIterator
+          .filter(l => l.contains("BroadcastHashJoin") && l.contains("term#")).toSeq
+        assert(termBroadcasts.isEmpty,
+          s"$name forces a broadcast on the term-keyed (vocabulary-sized) join " +
+            s"— AQE must decide instead:\n${termBroadcasts.mkString("\n")}")
+        // (one-row bounds-aggregate crossJoins legitimately degrade to
+        // CartesianProduct with broadcasts disabled — not asserted here)
+      }
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", oldBc)
+      oldAqeBc match {
+        case Some(v) => conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None => conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+    }
   }
 }

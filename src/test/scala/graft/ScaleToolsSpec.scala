@@ -1424,6 +1424,49 @@ class ScaleToolsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
         f"(t1=${math.min(t1a, t1b)}%.2fs t2=${math.min(t2a, t2b)}%.2fs)")
   }
 
+  test("dedupIncremental backfill batch: store-sized batch flags exactly with broadcasts disabled") {
+    import graft.operators.Dedup
+    // round-11 verdict: the batch side was FORCE-broadcast, which is right
+    // for ingest slices but OOMs the driver on a backfill-sized "batch".
+    // The hints are gone — AQE decides. This gate runs a batch AS LARGE AS
+    // the store with every broadcast path disabled, proving the pure
+    // shuffle-join plan produces the identical flag set (the backfill path
+    // works without ANY driver-side batch materialization).
+    def txt(idc: Column) = array_join(transform(sequence(lit(0), lit(9)),
+      j => concat_ws("_", lit("d"), idc, j)), " ")
+    val n = 2000
+    val dir = java.nio.file.Files.createTempDirectory("graft-mhinc-backfill").toString
+    val stored = spark.range(n).select(col("id").as("doc_id"), txt(col("id")).as("text"))
+    Dedup.minhashIndexStore(stored, dir, "doc_id", "text")
+    // backfill batch: same cardinality as the store; every 4th doc is a
+    // copy of a stored doc, the rest are fresh uniques
+    val batch = spark.range(n).select((col("id") + 1000000L).as("doc_id"),
+      when(col("id") % 4 === 0, txt(col("id")))
+        .otherwise(txt(col("id") + 5000000L)).as("text"))
+    val expected = (0 until n by 4).map(j => (1000000L + j, j.toLong, 1.0)).toSet
+    def flags() = Dedup.dedupIncremental(spark, dir, batch, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val conf = spark.conf
+    val oldBc = conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    val oldAqeBc = conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val noBroadcast = flags()
+      assert(noBroadcast == expected,
+        s"shuffle-only backfill flag set diverged: missing=" +
+          s"${expected.diff(noBroadcast).take(5)} extra=${noBroadcast.diff(expected).take(5)}")
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", oldBc)
+      oldAqeBc match {
+        case Some(v) => conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None => conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+    }
+    // and the default config (AQE free to broadcast) agrees exactly
+    assert(flags() == expected, "default-config flag set diverged from the planted truth")
+  }
+
   test("tokenBudgetPerSource survives 10x docs: single-window equivalence, hot source spans tasks") {
     import graft.operators.Sampling
     import graft.functions.Hashing
@@ -1807,5 +1850,59 @@ class ScaleToolsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(ratio <= 30.0,
       f"10x docs grew mixPlan wall-time $ratio%.1fx " +
         f"(t1=${math.min(t1a, t1b)}%.2fs t2=${math.min(t2a, t2b)}%.2fs)")
+  }
+
+  test("naiveBayesLang survives a 10x vocabulary with broadcasts disabled: exact labels, flat jobs") {
+    import graft.operators.TextAnalysis
+    // round-11 scale-killer regression gate: the dense V x C likelihood grid
+    // (and its forced broadcast) made the operator's driver footprint grow
+    // with the VOCABULARY, which Heaps' law ties to corpus size. The sparse
+    // rewrite keeps only observed (lang, term) rows and scores unseen terms
+    // with an nClasses-row default, so a 10x vocabulary must not change the
+    // plan shape (flat job count) and must run with auto-broadcast DISABLED
+    // (proves the term join survives as a shuffle join — no driver-side
+    // vocabulary materialization anywhere).
+    //
+    // Fixture: every doc carries 8 tokens unique to itself (vocabulary =
+    // 8 x nDocs, growing 10x with the corpus). Add-one smoothing then gives
+    // a doc's own class likelihood 2/(ctot+V) per token vs 1/(ctot'+V) for
+    // the other class, so every prediction must equal the declared label.
+    def corpus(nDocs: Int) = spark.range(nDocs).select(
+      col("id").as("doc_id"),
+      concat_ws(" ", (0 until 8).map(j =>
+        concat(lit("w"), col("id"), lit(s"_$j"))): _*).as("text"),
+      concat(lit("L"), col("id") % 2).as("lang"))
+    def run(nDocs: Int): (Long, Int, Double) = {
+      var agree = 0L
+      val t0 = System.nanoTime()
+      val jobs = countJobs(s"nb10x-$nDocs-${System.nanoTime()}") {
+        agree = TextAnalysis.naiveBayesLang(corpus(nDocs))
+          .filter(col("agree")).count()
+      }
+      (agree, jobs, (System.nanoTime() - t0) / 1e9)
+    }
+    val conf = spark.conf
+    val oldBc = conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    val oldAqeBc = conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      run(200) // warm codegen for this plan shape
+      val (a1, j1, t1a) = run(200); val (_, _, t1b) = run(200)
+      val (a2, j2, t2a) = run(2000); val (_, _, t2b) = run(2000)
+      assert(a1 == 200L, s"1x: expected all 200 docs to recover their label, got $a1")
+      assert(a2 == 2000L, s"10x: expected all 2000 docs to recover their label, got $a2")
+      assert(j2 <= j1 + 4, s"10x vocabulary grew the naiveBayesLang job count $j1 -> $j2")
+      val ratio = math.min(t2a, t2b) / math.min(t1a, t1b)
+      assert(ratio <= 30.0,
+        f"10x vocabulary grew naiveBayesLang wall-time $ratio%.1fx " +
+          f"(t1=${math.min(t1a, t1b)}%.2fs t2=${math.min(t2a, t2b)}%.2fs)")
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", oldBc)
+      oldAqeBc match {
+        case Some(v) => conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None => conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+    }
   }
 }
