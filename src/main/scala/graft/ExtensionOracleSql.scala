@@ -689,6 +689,150 @@ object ExtensionOracleSql {
     // graft.operators.TextAnalysis.bpeEncodeStored) — same oracle
     "vocab_bpe_encode_stored" -> bpeEncodeSql,
 
+    // per-source tokenizer fertility (BPE symbols per 1000 words / chars)
+    // under the same round-10 vocabulary — in lock-step with
+    // graft.operators.TextAnalysis.bpeFertility
+    "vocab_bpe_fertility" ->
+      s"""${bpeCtes(10)},
+         |tok AS (SELECT source, unnest($toksOf) AS t FROM documents)
+         |SELECT tok.source,
+         |  CAST(COUNT(*) AS BIGINT) AS n_words,
+         |  CAST(SUM(len(w.syms)) AS BIGINT) AS n_symbols,
+         |  CAST(floor(CAST(SUM(len(w.syms)) * 1000 AS DOUBLE) /
+         |             CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS symbols_per_1000_words,
+         |  CAST(CASE WHEN SUM(len(w.word)) > 0
+         |    THEN floor(CAST(SUM(len(w.syms)) * 1000 AS DOUBLE) /
+         |               CAST(SUM(len(w.word)) AS DOUBLE))
+         |    ELSE 0 END AS BIGINT) AS symbols_per_1000_chars
+         |FROM tok JOIN w10 w ON tok.t = w.word
+         |GROUP BY tok.source
+         |ORDER BY tok.source""".stripMargin,
+
+    // DSIR-style importance resampling (Xie et al. 2023): add-one-smoothed
+    // unigram LMs of target (src0) vs raw (rest), per-doc log-weight in
+    // exact micro-nats, top-100 selected with ties to the smaller doc_id —
+    // in lock-step with graft.operators.Sampling.importanceResample
+    "sample_importance" ->
+      s"""WITH raw AS (SELECT doc_id, text FROM documents WHERE source <> 'src0'),
+         |tgt AS (SELECT doc_id, text FROM documents WHERE source = 'src0'),
+         |tt AS (SELECT term, COUNT(*) AS ct FROM (
+         |         SELECT unnest($toksOf) AS term FROM tgt) GROUP BY term),
+         |rt AS (SELECT term, COUNT(*) AS cr FROM (
+         |         SELECT unnest($toksOf) AS term FROM raw) GROUP BY term),
+         |vb AS (SELECT term FROM tt UNION SELECT term FROM rt),
+         |vs AS (SELECT COUNT(*) AS v FROM vb),
+         |ntt AS (SELECT SUM(ct) AS nt FROM tt),
+         |nrr AS (SELECT SUM(cr) AS nr FROM rt),
+         |lr AS (SELECT vb.term,
+         |        CAST(round(ln(((COALESCE(tt.ct, 0) + 1) * (nrr.nr + vs.v)) /
+         |          CAST((COALESCE(rt.cr, 0) + 1) * (ntt.nt + vs.v) AS DOUBLE)), 6)
+         |          AS DECIMAL(18,6)) AS lr
+         |       FROM vb LEFT JOIN tt USING (term) LEFT JOIN rt USING (term)
+         |       CROSS JOIN vs CROSS JOIN ntt CROSS JOIN nrr),
+         |tok AS (SELECT doc_id, unnest($toksOf) AS term FROM raw),
+         |sums AS (SELECT doc_id, COUNT(*) AS n_tokens,
+         |           SUM(CAST(lr AS DECIMAL(28,6))) AS w
+         |         FROM tok JOIN lr USING (term) GROUP BY doc_id),
+         |wt AS (SELECT r.doc_id, COALESCE(s.n_tokens, 0) AS n_tokens,
+         |         COALESCE(CAST(s.w * 1000000 AS BIGINT), 0) AS w_unats
+         |       FROM raw r LEFT JOIN sums s USING (doc_id)),
+         |rk AS (SELECT wt.*, row_number() OVER (ORDER BY w_unats DESC, doc_id) AS rn
+         |       FROM wt)
+         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, w_unats,
+         |  rn <= 100 AS selected
+         |FROM rk ORDER BY doc_id""".stripMargin,
+
+    // per-doc 3-shingle novelty against the every-7th-doc reference slice —
+    // in lock-step with graft.operators.Dedup.ngramNovelty
+    "text_novelty" ->
+      s"""WITH t AS (SELECT doc_id, $toksOf AS toks FROM documents WHERE doc_id % 7 <> 0),
+         |shl AS (SELECT doc_id, ${shinglesOf(3)} AS sh FROM t),
+         |ex AS (SELECT DISTINCT doc_id, ${h60("g")} AS h FROM (
+         |         SELECT doc_id, unnest(sh) AS g FROM shl WHERE len(sh) > 0)),
+         |rt AS (SELECT doc_id, $toksOf AS toks FROM documents WHERE doc_id % 7 = 0),
+         |rshl AS (SELECT ${shinglesOf(3)} AS sh FROM rt),
+         |ref AS (SELECT DISTINCT ${h60("g")} AS h FROM (
+         |          SELECT unnest(sh) AS g FROM rshl WHERE len(sh) > 0)),
+         |fl AS (SELECT ex.doc_id, COUNT(*) AS n_shingles,
+         |         SUM(CASE WHEN ref.h IS NULL THEN 1 ELSE 0 END) AS n_novel
+         |       FROM ex LEFT JOIN ref ON ex.h = ref.h GROUP BY ex.doc_id)
+         |SELECT d.doc_id,
+         |  CAST(COALESCE(fl.n_shingles, 0) AS BIGINT) AS n_shingles,
+         |  CAST(COALESCE(fl.n_novel, 0) AS BIGINT) AS n_novel,
+         |  CASE WHEN COALESCE(fl.n_shingles, 0) > 0
+         |    THEN round(CAST(fl.n_novel AS DOUBLE) / CAST(fl.n_shingles AS DOUBLE), 6)
+         |    ELSE 0.0 END AS novelty
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 7 <> 0) d
+         |LEFT JOIN fl ON d.doc_id = fl.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // two-snapshot vocabulary drift (A = even doc ids, B = odd): smoothed
+    // log frequency ratio over the union vocabulary, min-count 5, top-50 by
+    // |drift| — in lock-step with graft.operators.TextAnalysis.vocabDrift
+    "vocab_drift" ->
+      s"""WITH ta AS (SELECT unnest($toksOf) AS term FROM documents WHERE doc_id % 2 = 0),
+         |tb AS (SELECT unnest($toksOf) AS term FROM documents WHERE doc_id % 2 = 1),
+         |ca AS (SELECT term, COUNT(*) AS ca FROM ta GROUP BY term),
+         |cb AS (SELECT term, COUNT(*) AS cb FROM tb GROUP BY term),
+         |m AS (SELECT COALESCE(ca.term, cb.term) AS term,
+         |        COALESCE(ca.ca, 0) AS ca, COALESCE(cb.cb, 0) AS cb
+         |      FROM ca FULL OUTER JOIN cb ON ca.term = cb.term),
+         |vn AS (SELECT COUNT(*) AS v, SUM(ca) AS na, SUM(cb) AS nb FROM m),
+         |d AS (SELECT m.term, m.ca, m.cb,
+         |        CAST(FLOOR(m.ca * 1000000 / CAST(vn.na AS DOUBLE)) AS BIGINT) AS freq_a_ppm,
+         |        CAST(FLOOR(m.cb * 1000000 / CAST(vn.nb AS DOUBLE)) AS BIGINT) AS freq_b_ppm,
+         |        CAST(round(ln(((m.ca + 1) * (vn.nb + vn.v)) /
+         |          CAST((m.cb + 1) * (vn.na + vn.v) AS DOUBLE)), 6) AS DECIMAL(18,6)) AS d
+         |      FROM m CROSS JOIN vn
+         |      WHERE m.ca >= 5 OR m.cb >= 5)
+         |SELECT term, CAST(ca AS BIGINT) AS ca, CAST(cb AS BIGINT) AS cb,
+         |  freq_a_ppm, freq_b_ppm, CAST(d AS DOUBLE) AS drift
+         |FROM d ORDER BY abs(d) DESC, term LIMIT 50""".stripMargin,
+
+    // contrastive hard-negative mining: per probe (every 100th vector) the
+    // 3 most-cosine-similar vectors with a DIFFERENT label, ties to the
+    // lower neighbor id — in lock-step with
+    // graft.operators.Similarity.hardNegatives
+    "simsearch_hard_negatives" ->
+      s"""WITH probes AS (
+         |  SELECT vec_id AS probe_id, embedding AS pv, label AS plabel
+         |  FROM embeddings WHERE vec_id % 100 = 0),
+         |pairs AS (
+         |  SELECT p.probe_id, e.vec_id,
+         |    round(${cos("e.embedding", "p.pv")}, 6) AS sim
+         |  FROM embeddings e CROSS JOIN probes p
+         |  WHERE e.vec_id <> p.probe_id AND e.label <> p.plabel)
+         |SELECT probe_id, CAST(rn AS INT) AS rank, vec_id AS negative_id, sim
+         |FROM (SELECT pairs.*, row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rn
+         |      FROM pairs)
+         |WHERE rn <= 3
+         |ORDER BY probe_id, rank""".stripMargin,
+
+    // cluster-balanced diversity sampling: Lloyd assignment (the
+    // cluster_assign CTEs) + per-cluster top-50 salted-hash draw (the
+    // sample_cap_per_group idiom) — in lock-step with
+    // graft.operators.Similarity.clusterBalancedSample
+    "cluster_balanced" ->
+      s"""WITH cent0 AS (SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings WHERE vec_id < 4),
+         |${lloydIterCte(1)},
+         |${lloydIterCte(2)},
+         |cent AS (SELECT * FROM cent2),
+         |asn AS (
+         |  SELECT e.vec_id, c.centroid_id,
+         |    round(${cos("e.embedding", "c.cvec")}, 6) AS csim
+         |  FROM embeddings e CROSS JOIN cent c),
+         |best AS (
+         |  SELECT vec_id, centroid_id, csim FROM asn
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, centroid_id) = 1),
+         |sel AS (
+         |  SELECT vec_id, centroid_id, csim,
+         |    row_number() OVER (PARTITION BY centroid_id
+         |      ORDER BY (${h60("'cbal:' || CAST(vec_id AS VARCHAR)")} % 1125899906842624) DESC,
+         |               vec_id) AS rk
+         |  FROM best)
+         |SELECT vec_id, centroid_id, csim, rk <= 50 AS kept
+         |FROM sel ORDER BY vec_id""".stripMargin,
+
     // token-budget prefix truncation per source: deterministic hash order,
     // running token sum, keep while cum <= budget — in lock-step with
     // graft.operators.Sampling.tokenBudgetPerSource

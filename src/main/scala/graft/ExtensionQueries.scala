@@ -392,6 +392,46 @@ object ExtensionQueries {
         Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25))
         .select("doc_id", "source", "mix_order")
         .orderBy("mix_order", "doc_id")),
+    "sample_importance" -> { (s, dir) =>
+      import org.apache.spark.sql.functions.col
+      // DSIR-style selection: src0 plays the target domain, the other 19
+      // sources the raw pool; keep the 100 most-target-like raw docs
+      val d = docs(s, dir)
+      Sampling.importanceResample(
+        d.filter(col("source") =!= "src0"), d.filter(col("source") === "src0"),
+        "doc_id", "text", n = 100)
+    },
+    "text_novelty" -> { (s, dir) =>
+      import org.apache.spark.sql.functions.col
+      // per-doc novelty against a synthetic reference slice: every 7th doc
+      // plays the already-held corpus
+      val d = docs(s, dir)
+      Dedup.ngramNovelty(
+        d.filter(col("doc_id") % 7 =!= 0), d.filter(col("doc_id") % 7 === 0),
+        "doc_id", "text", k = 3)
+    },
+    "cluster_balanced" -> ((s, dir) =>
+      // diversity cap: at most 50 vectors per Lloyd cluster, hash-drawn
+      Similarity.clusterBalancedSample(emb(s, dir), nlist = 4, iters = 2,
+        maxPerCluster = 50)),
+    "vocab_bpe_fertility" -> ((s, dir) =>
+      // per-source tokenizer-fertility audit under the round-10 BPE vocab
+      TextAnalysis.bpeFertility(docs(s, dir), "source", nMerges = 10)),
+    "vocab_drift" -> { (s, dir) =>
+      import org.apache.spark.sql.functions.col
+      // synthetic A/B snapshots by doc parity: top-50 most-drifted terms
+      val d = docs(s, dir)
+      TextAnalysis.vocabDrift(
+        d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1),
+        "text", topN = 50, minCount = 5)
+    },
+    "simsearch_hard_negatives" -> { (s, dir) =>
+      import org.apache.spark.sql.functions.col
+      // contrastive-training negative mining: every 100th vector probes for
+      // its 3 most-similar OTHER-label vectors
+      val e = emb(s, dir)
+      Similarity.hardNegatives(e, e.filter(col("vec_id") % 100 === 0), k = 3)
+    },
     "grouped_topk" -> { (s, dir) =>
       import org.apache.spark.sql.functions._
       import s.implicits._

@@ -571,6 +571,17 @@ object Dedup {
     * almost no discrimination); candidates are then verified with exact
     * Jaccard over the FULL shingle sets, so precision is exact — only recall
     * depends on each true near-dup pair sharing at least one sub-cap shingle.
+    *
+    * Candidate generation stays the index SELF-JOIN on h, deliberately: a
+    * round-12 A/B measured the "obvious" alternative — groupBy(h) +
+    * sort_array(collect_list(doc_id)) + an i<j combination explode, which
+    * shuffles the index once instead of twice — 15-40% SLOWER at sf0.1 on
+    * both this sweep and [[containmentPairs]] (3.15 s vs 2.73 s, and 3.63 s
+    * vs 2.10 s, same box, warmed runs): the ObjectHashAggregate list
+    * build + per-element slice() copies cost more than the codegen'd
+    * shuffled-hash join they replace. The pair MASS (O(df²) per shingle,
+    * the true cost driver) is identical either way — the df cap bounds it,
+    * and that bound, not the join idiom, is what survives a 100x scale-up.
     */
   def ngramJaccardCappedPairs(df: DataFrame, idCol: String, textCol: String,
                               k: Int = 3, threshold: Double = 0.5, maxDf: Int = 50,
@@ -592,6 +603,7 @@ object Dedup {
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("cr"))
+    val sets = shingleSets(ex0)
 
     // exact-pruning bound: true common <= cr + min(dropped_a, dropped_b), and
     // Jaccard is increasing in common, so J <= jUpper; pairs below threshold
@@ -610,8 +622,6 @@ object Dedup {
       .select("doc_a", "doc_b")
 
     // exact verification of the survivors only
-    val sets = ex0.groupBy("doc_id")
-      .agg(collect_list(col("h")).as("hs"), count(lit(1)).as("sz"))
     bounded
       .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("hsa"), col("sz").as("sza")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("hs").as("hsb"), col("sz").as("szb")), "doc_b")
@@ -666,14 +676,18 @@ object Dedup {
         materialize, checkpointDir) { ex0 =>
     val rare = ex0.groupBy("h").agg(count(lit(1)).as("df")).filter(col("df") <= maxDf)
     val idx = ex0.join(rare, "h").select("doc_id", "h")
+
+    // per-doc stats: full set size and how many shingles the cap dropped
     val stats = ex0.groupBy("doc_id").agg(count(lit(1)).as("sz"))
       .join(idx.groupBy("doc_id").agg(count(lit(1)).as("szr")), Seq("doc_id"), "left")
-      .select(col("doc_id"), col("sz"),
-        (col("sz") - coalesce(col("szr"), lit(0L))).as("dropped"))
+      .select(col("doc_id"), col("sz"), (col("sz") - coalesce(col("szr"), lit(0L))).as("dropped"))
+
+    // shared-rare-shingle count per candidate pair (groupBy, no distinct)
     val pairCounts = idx.as("a").join(idx.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("cr"))
+    val sets = shingleSets(ex0)
     val bounded = pairCounts
       .join(stats.select(col("doc_id").as("doc_a"), col("sz").as("sza"),
         col("dropped").as("da")), "doc_a")
@@ -685,7 +699,6 @@ object Dedup {
       .filter(round(col("ub").cast("double") /
         least(col("sza"), col("szb")).cast("double"), 6) >= threshold)
       .select("doc_a", "doc_b")
-    val sets = shingleSets(ex0)
     bounded
       .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("hsa"),
         col("sz").as("sza")), "doc_a")
@@ -950,12 +963,52 @@ object Dedup {
     train.join(flagged, col(idCol) === col("__drop_id"), "left_anti")
   }
 
+  /** Per-document n-gram NOVELTY against a reference corpus: the fraction of
+    * each document's distinct word-k-shingles that appear NOWHERE in the
+    * reference — the "how much of this is new text" curation signal (the
+    * complement of the Lee-et-al duplicate-fraction measure; a re-crawl or
+    * boilerplate page scores near 0, genuinely fresh text near 1). Useful
+    * both for ingest gating (drop near-zero-novelty docs as redundant) and
+    * for valuing candidate corpora against what a pipeline already holds.
+    *
+    * Scale shape: both corpora collapse to distinct shingle-hash indexes
+    * (the 60-bit hashes shuffle, never the text); novelty is ONE hash-keyed
+    * left join of the doc index against the reference's distinct-hash set —
+    * no broadcast hint (the reference shingle set is corpus-sized; AQE
+    * decides) — and a doc-keyed partial aggregation. Output is one row per
+    * document. Shingle-less docs (< k tokens) report novelty 0.
+    */
+  def ngramNovelty(docs: DataFrame, ref: DataFrame, idCol: String,
+                   textCol: String, k: Int = 3,
+                   hashFn: Column => Column = Hashing.hash60): DataFrame = {
+    val exD = shingleHashesExploded(docs, idCol, textCol, k, hashFn)
+    val refSet = shingleHashesExploded(ref, idCol, textCol, k, hashFn)
+      .select("h").distinct()
+    val flagged = exD
+      .join(refSet.withColumn("__seen", lit(1)), Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("__seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(flagged, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        when(coalesce(col("n_shingles"), lit(0L)) > 0,
+          round(col("n_novel").cast("double") / col("n_shingles").cast("double"), 6))
+          .otherwise(lit(0.0)).as("novelty"))
+      .orderBy("doc_id")
+  }
+
   /** Cross-SOURCE leakage matrix — the dataset-curation report that tells a
     * mixture planner which corpus sources duplicate each other (scraped
     * mirrors, re-crawls, shared upstream dumps). For every source pair
     * (source_a < source_b): the number of distinct cross-source doc pairs
     * sharing at least one df-capped word-k-shingle hash, plus how many
     * distinct docs on each side are touched.
+    *
+    * See also [[ngramNovelty]] for the per-DOCUMENT cross-corpus overlap
+    * measure (novelty against a reference corpus).
     *
     * Scale shape: the corpus collapses to the distinct
     * (doc, source, shingle-hash) index once — the source label is carried

@@ -292,4 +292,91 @@ object Sampling {
       .select(col("g").as(groupCol), explode(col("sel.id")).as(keyCol))
       .orderBy(groupCol, keyCol)
   }
+
+  /** DSIR-style importance WEIGHTS (Xie et al., "Data Selection for Language
+    * Models via Importance Resampling", NeurIPS 2023): per-document
+    * log-importance weight ln(p_target(d)/p_raw(d)) under add-one-smoothed
+    * unigram bag-of-words models of a small TARGET (domain) corpus and the
+    * large RAW corpus — the standard recipe for "select web data that looks
+    * like my domain". Positive weight = looks more like the target.
+    *
+    * Per token t: lr(t) = ln[ (c_T(t)+1)·(N_R+V) / ((c_R(t)+1)·(N_T+V)) ]
+    * over the UNION vocabulary (size V). Determinism: the log argument is a
+    * ratio of exact integer products (< 2⁵³ at any feasible count, so the
+    * doubles are exact), each log quantizes to 6 decimals, the per-doc sum
+    * runs in decimal, and the result is exact integer MICRO-nats — the
+    * [[TextAnalysis.sourceDivergence]] recipe.
+    *
+    * Shape at scale: two vocabulary-sized hash aggregations (one pass over
+    * each corpus), one-row totals broadcast, then ONE term-keyed join of
+    * token instances against the per-term table — NO broadcast hint (the
+    * vocabulary is Heaps-law-unbounded; AQE broadcasts it only when it is
+    * genuinely small) — and a doc-keyed partial aggregation. Output is one
+    * row per raw doc: (doc_id, n_tokens, w_unats).
+    */
+  def importanceWeights(raw: DataFrame, target: DataFrame,
+                        idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val tt = target.select(explode(graft.functions.Text.tokens(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("ct"))
+    val rt = raw.select(explode(graft.functions.Text.tokens(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cr"))
+    val vocab = tt.select("term").unionByName(rt.select("term")).distinct()
+    val vN = vocab.agg(count(lit(1)).as("v"))
+    val nT = tt.agg(sum(col("ct")).as("nt"))
+    val nR = rt.agg(sum(col("cr")).as("nr"))
+    val lr = vocab
+      .join(tt, Seq("term"), "left")
+      .join(rt, Seq("term"), "left")
+      .crossJoin(broadcast(vN)).crossJoin(broadcast(nT)).crossJoin(broadcast(nR))
+      .select(col("term"),
+        round(log(((coalesce(col("ct"), lit(0L)) + 1) * (col("nr") + col("v"))).cast("double") /
+          ((coalesce(col("cr"), lit(0L)) + 1) * (col("nt") + col("v"))).cast("double")), 6)
+          .cast(DecimalType(18, 6)).as("lr"))
+    val tok = raw.select(col(idCol).as("doc_id"),
+      explode(graft.functions.Text.tokens(col(textCol))).as("term"))
+    val sums = tok.join(lr, Seq("term"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("lr").cast(DecimalType(28, 6))).as("w"))
+    raw.select(col(idCol).as("doc_id"))
+      .join(sums, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce((col("w") * 1000000).cast("long"), lit(0L)).as("w_unats"))
+  }
+
+  /** Importance RESAMPLING: keep the `n` raw documents with the highest
+    * [[importanceWeights]] (ties to the smaller doc_id) — the deterministic
+    * top-n analog of DSIR's Gumbel-top-k draw (an RNG would break the
+    * cross-engine oracle; the ranking is the part that matters for
+    * selection quality).
+    *
+    * Shape at scale: the weight table (3 longs per raw doc — orders of
+    * magnitude smaller than the corpus text) is materialized ONCE
+    * ([[Materialize.barrier]]; `checkpointDir` switches to the
+    * executor-loss-safe parquet barrier) because both the threshold and the
+    * output read it — without the barrier the two corpus-pass weight
+    * computations would run twice. The selection threshold is the n-th
+    * (weight, doc_id) pair, found with a top-n (TakeOrderedAndProject —
+    * per-partition heads, no global sort) reduced to ONE broadcast row;
+    * selection is then a narrow filter over the weight table. Output: every
+    * raw doc with its weight and a `selected` flag.
+    */
+  def importanceResample(raw: DataFrame, target: DataFrame,
+                         idCol: String, textCol: String, n: Int,
+                         materialize: Boolean = true,
+                         checkpointDir: Option[String] = None): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    val w0 = importanceWeights(raw, target, idCol, textCol)
+    val w = if (materialize) Materialize.barrier(w0, checkpointDir) else w0
+    val thr = w.orderBy(col("w_unats").desc, col("doc_id").asc).limit(n)
+      .agg(min(struct(col("w_unats"), (-col("doc_id")).as("nid"))).as("t"))
+      .select(col("t.w_unats").as("tw"), (-col("t.nid")).as("tid"))
+    w.crossJoin(broadcast(thr))
+      .select(col("doc_id"), col("n_tokens"), col("w_unats"),
+        (col("w_unats") > col("tw") ||
+          (col("w_unats") === col("tw") && col("doc_id") <= col("tid"))).as("selected"))
+      .orderBy("doc_id")
+  }
 }

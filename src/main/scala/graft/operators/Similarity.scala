@@ -794,6 +794,36 @@ object Similarity {
       .limit(topK)
   }
 
+  /** CLUSTER-BALANCED sampling: assign every vector to its Lloyd k-means
+    * cluster, then keep at most `maxPerCluster` vectors per cluster by a
+    * deterministic salted-hash draw — the "cluster then subsample uniformly
+    * per cluster" diversity step of SemDeDup-family curation pipelines
+    * (over-represented regions of embedding space are capped instead of
+    * dominating the training mix). Output: every vector with its cluster,
+    * cosine-to-centroid, and a `kept` flag.
+    *
+    * Scale shape: assignment is the [[assignScored]] narrow pass (literal
+    * argmin below the nlist cap, broadcast join above); the per-cluster
+    * draw reuses [[Sampling.capPerGroup]]'s bounded-buffer top-k aggregate
+    * (map-side combined — a hot cluster never sorts globally); the kept set
+    * is ≤ nlist·maxPerCluster rows, a genuinely bounded broadcast back onto
+    * the assignment. The corpus shuffles once, on the cluster key.
+    */
+  def clusterBalancedSample(emb: DataFrame, nlist: Int = 4, iters: Int = 2,
+                            maxPerCluster: Int = 50,
+                            salt: String = "cbal"): DataFrame = {
+    val cents = lloydCentroidsLocalValues(emb, nlist, iters)
+    val asn = assignScored(emb, cents)
+      .select(col("vec_id"), col("centroid_id"), col("csim"))
+    val kept = Sampling.capPerGroup(asn, "vec_id", "centroid_id",
+        maxPerCluster, salt)
+      .select(col("vec_id"), lit(true).as("kept"))
+    asn.join(broadcast(kept), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("centroid_id"), col("csim"),
+        coalesce(col("kept"), lit(false)).as("kept"))
+      .orderBy("vec_id")
+  }
+
   /** Per-cluster report over the deterministic Lloyd k-means index: cluster
     * size and mean cosine-to-centroid (a cluster-quality / corpus-structure
     * probe). Mean determinism across engines: per-row cosines are rounded to
@@ -843,6 +873,41 @@ object Similarity {
       .select(col("probe_id"), posexplode(col("top")).as(Seq("rk", "s")))
       .select(col("probe_id"), (col("rk") + 1).cast("int").as("rank"),
         col("s.id").as("neighbor_id"), col("s.score").as("sim"))
+      .orderBy("probe_id", "rank")
+  }
+
+  /** HARD-NEGATIVE mining for contrastive training (the DPR/Contriever
+    * recipe, Karpukhin et al. 2020): for every probe vector, the top-k most
+    * COSINE-SIMILAR corpus vectors carrying a DIFFERENT label — maximally
+    * confusable cross-class examples, the negatives that actually teach a
+    * bi-encoder (random negatives are trivially separable). Ties break
+    * toward the lower neighbor id.
+    *
+    * Shape at scale: identical to [[knnJoin]] — the probe set broadcasts
+    * (bounded by the mining batch), the corpus streams through ONE narrow
+    * codegen pass, the label inequality fuses into the scan-side filter
+    * BELOW the top-k (so same-class vectors never enter the buffer), and
+    * the per-probe top-k is the bounded-buffer [[TopKAggregator]]
+    * (map-side combined; no window sort of the cross product).
+    */
+  def hardNegatives(emb: DataFrame, probes: DataFrame, k: Int,
+                    labelCol: String = "label"): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val p = broadcast(probes.select(col("vec_id").as("probe_id"),
+      col("embedding").as("pv"), col(labelCol).as("plabel")))
+    emb.crossJoin(p)
+      .filter(col("vec_id") =!= col("probe_id") && col(labelCol) =!= col("plabel"))
+      .select(col("probe_id"), col("vec_id"),
+        round(VecF.cosine(col("embedding"), col("pv")), 6).as("sim"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(t => TopKAggregator.Scored(t._3, t._2))
+      .agg(TopKAggregator(k).toColumn.name("top"))
+      .toDF("probe_id", "top")
+      .select(col("probe_id"), posexplode(col("top")).as(Seq("rk", "s")))
+      .select(col("probe_id"), (col("rk") + 1).cast("int").as("rank"),
+        col("s.id").as("negative_id"), col("s.score").as("sim"))
       .orderBy("probe_id", "rank")
   }
 

@@ -374,6 +374,41 @@ object TextAnalysis {
   def bpeEncodeStored(spark: SparkSession, dir: String, docs: DataFrame): DataFrame =
     bpeEncodeTypes(docs, spark.read.parquet(s"$dir/types"))
 
+  /** Tokenizer FERTILITY report per corpus source: BPE symbols per 1000
+    * words and per 1000 characters under the trained merge list — the
+    * metric that tells a tokenizer/mixture designer which sources the
+    * vocabulary serves poorly (high fertility = more symbols per word =
+    * longer sequences, more compute per token of useful text; the standard
+    * multilingual-tokenizer-audit number). Integer floor'd per-milles,
+    * cross-engine exact.
+    *
+    * Scale shape: identical to [[bpeEncode]] — one corpus pass joining
+    * token instances against the vocabulary-bounded type table (AQE
+    * decides the join strategy) — but aggregated per SOURCE instead of per
+    * doc, so the output is nSources rows at any corpus size and the
+    * aggregation is map-side combined on a handful of keys.
+    */
+  def bpeFertility(docs: DataFrame, srcCol: String = "source",
+                   nMerges: Int = 10): DataFrame = {
+    val enc = bpeTypeTable(docs, nMerges)._1.select(col("w").as("t"),
+      size(col("syms")).cast("long").as("n_syms"),
+      length(col("w")).cast("long").as("n_chars_w"))
+    docs.select(col(srcCol).as("source"), explode(Text.tokens(col("text"))).as("t"))
+      .join(enc, "t")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(col("n_syms")).as("n_symbols"),
+        sum(col("n_chars_w")).as("n_word_chars"))
+      .select(col("source"), col("n_words"), col("n_symbols"),
+        floor(col("n_symbols") * lit(1000L) / col("n_words"))
+          .as("symbols_per_1000_words"),
+        when(col("n_word_chars") > 0,
+          floor(col("n_symbols") * lit(1000L) / col("n_word_chars")))
+          .otherwise(lit(0L)).as("symbols_per_1000_chars"))
+      .orderBy("source")
+  }
+
   private def bpeEncodeTypes(docs: DataFrame, types: DataFrame): DataFrame = {
     val enc = types.select(col("w").as("t"),
       size(col("syms")).cast("long").as("n_syms"),
@@ -390,6 +425,54 @@ object TextAnalysis {
           floor(col("n_symbols") * lit(1000L) / col("n_word_chars")))
           .otherwise(lit(0L)).as("symbols_per_1000_chars"))
       .orderBy("doc_id")
+  }
+
+  /** Vocabulary DRIFT between two corpus snapshots — the scheduled-ingest
+    * monitoring report that catches a changed crawl mix, an upstream format
+    * break, or topic drift before it reaches training: for every term
+    * frequent in either snapshot, the add-one-smoothed log frequency ratio
+    * ln[(c_A+1)(N_B+V) / ((c_B+1)(N_A+V))] (positive = over-represented in
+    * A), with parts-per-million frequencies riding along; output is the
+    * `topN` most-drifted terms (|drift| desc, term asc ties).
+    *
+    * Determinism: the usual recipe — exact integer products (< 2⁵³) inside
+    * one log, quantized to 6 decimals; ppm frequencies are floor'd integer
+    * arithmetic.
+    *
+    * Shape at scale: two vocabulary-sized hash aggregations (one corpus
+    * pass each), a term-keyed full-outer merge (AQE-decided, never
+    * force-broadcast — Heaps-law vocabulary), the min-count filter BEFORE
+    * the ranking, and the global top-N as TakeOrderedAndProject
+    * (per-partition heads, no global sort). Output is topN rows at any
+    * corpus size.
+    */
+  def vocabDrift(a: DataFrame, b: DataFrame, textCol: String = "text",
+                 topN: Int = 50, minCount: Long = 5): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val ca = a.select(explode(Text.tokens(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("ca"))
+    val cb = b.select(explode(Text.tokens(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cb"))
+    val merged = ca.join(cb, Seq("term"), "full_outer")
+      .select(col("term"),
+        coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    val vN = merged.agg(count(lit(1)).as("v"),
+      sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    merged
+      .filter(col("ca") >= minCount || col("cb") >= minCount)
+      .crossJoin(broadcast(vN))
+      .select(col("term"), col("ca"), col("cb"),
+        floor(col("ca") * lit(1000000L) / col("na")).as("freq_a_ppm"),
+        floor(col("cb") * lit(1000000L) / col("nb")).as("freq_b_ppm"),
+        round(log(((col("ca") + 1) * (col("nb") + col("v"))).cast("double") /
+          ((col("cb") + 1) * (col("na") + col("v"))).cast("double")), 6)
+          .cast(DecimalType(18, 6)).as("d"))
+      .orderBy(abs(col("d")).desc, col("term"))
+      .limit(topN)
+      .select(col("term"), col("ca"), col("cb"),
+        col("freq_a_ppm"), col("freq_b_ppm"),
+        col("d").cast("double").as("drift"))
   }
 
   /** Token counting: whitespace tokens and BPE-ish regex tokens

@@ -1879,4 +1879,158 @@ class OperatorSpec extends SparkSpec {
     // c: absent from weights -> weight 0, nothing planned
     assert(got("c") == ((2L, 10L, 0L, 0L, 0L, 0L, false)))
   }
+
+  test("importanceResample: target-like raw docs outrank the rest; empty doc weighs 0") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    // target: a "cat domain" corpus; raw pool: two cat-like docs, two
+    // dog-like docs, one empty. The cat-like docs must carry the two
+    // highest weights and be the n=2 selection.
+    val target = Seq(
+      (100L, "cat purrs cat sleeps cat eats"),
+      (101L, "the cat sat on the cat mat")).toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "cat cat cat purrs"),
+      (2L, "the cat sleeps"),
+      (3L, "dog barks dog runs"),
+      (4L, "quantum flux capacitor"),
+      (5L, "")).toDF("doc_id", "text")
+    val got = Sampling.importanceResample(raw, target, "doc_id", "text", n = 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    assert(got(5L) == ((0L, 0L, false)), s"empty doc must weigh 0: ${got(5L)}")
+    assert(got(1L)._3 && got(2L)._3,
+      s"cat-like docs must be selected: $got")
+    assert(!got(3L)._3 && !got(4L)._3,
+      s"dog/nonsense docs must not be selected: $got")
+    assert(got(1L)._2 > got(3L)._2 && got(2L)._2 > got(4L)._2,
+      s"cat-like weights must exceed the rest: $got")
+    // n larger than the pool selects everything
+    val all = Sampling.importanceResample(raw, target, "doc_id", "text", n = 99)
+      .collect().map(_.getBoolean(3))
+    assert(all.forall(identity), "n >= pool size must select every doc")
+    assertThrows[IllegalArgumentException] {
+      Sampling.importanceResample(raw, target, "doc_id", "text", n = 0)
+    }
+  }
+
+  test("ngramNovelty: quoted docs score 0, fresh docs 1, mixed in between, short docs 0") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val ref = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // verbatim in ref -> 0
+      (2L, "one two three four five"),             // fully fresh -> 1
+      // 6 tokens = 4 shingles; "alpha beta gamma" and "beta gamma delta"
+      // are in ref, "gamma delta nine"/"delta nine ten" are not -> 0.5
+      (3L, "alpha beta gamma delta nine ten"),
+      (4L, "too short")).toDF("doc_id", "text")    // < 3 tokens -> 0 shingles
+    val got = Dedup.ngramNovelty(docs, ref, "doc_id", "text", k = 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got(1L) == ((4L, 0L, 0.0)), s"verbatim doc: ${got(1L)}")
+    assert(got(2L) == ((3L, 3L, 1.0)), s"fresh doc: ${got(2L)}")
+    assert(got(3L) == ((4L, 2L, 0.5)), s"half-quoted doc: ${got(3L)}")
+    assert(got(4L) == ((0L, 0L, 0.0)), s"shingle-less doc: ${got(4L)}")
+  }
+
+  test("clusterBalancedSample: hot cluster capped exactly, small cluster kept whole, deterministic") {
+    import graft.operators.Similarity
+    // two well-separated +/-1 clusters: every 7th vector near pattern B
+    // (10 of 70), the rest near pattern A (one flipped dim each); ids 0/1 —
+    // Lloyd's deterministic seeds — land one per cluster so 2-means
+    // converges to the planted split. cap 50 -> A keeps exactly 50, B all 10
+    val emb = spark.range(70).select(col("id").as("vec_id"),
+      expr("transform(sequence(0, 31), d -> CAST(" +
+        "(CASE WHEN pmod(hash((CASE WHEN id % 7 = 0 THEN 1 ELSE 0 END) * 32 + d), 2) = 0 " +
+        "THEN 1.0 ELSE -1.0 END) * " +
+        "(CASE WHEN d = CAST(id % 32 AS INT) THEN -1.0 ELSE 1.0 END) AS FLOAT))")
+        .as("embedding"))
+    val got = Similarity.clusterBalancedSample(emb, nlist = 2, iters = 2,
+      maxPerCluster = 50).collect()
+    assert(got.length == 70, "every vector must appear with a kept flag")
+    val byCluster = got.groupBy(_.getLong(1))
+    assert(byCluster.size == 2, s"expected 2 clusters: ${byCluster.keySet}")
+    val keptCounts = byCluster.view.mapValues(_.count(_.getBoolean(3))).toMap
+    val sizes = byCluster.view.mapValues(_.size).toMap
+    for ((cid, n) <- sizes) {
+      val expectKept = math.min(n, 50)
+      assert(keptCounts(cid) == expectKept,
+        s"cluster $cid size $n kept ${keptCounts(cid)}, expected $expectKept")
+    }
+    assert(sizes.values.toSet == Set(60, 10), s"cluster sizes drifted: $sizes")
+    // hash draw is deterministic: a second run keeps the identical set
+    val again = Similarity.clusterBalancedSample(emb, nlist = 2, iters = 2,
+      maxPerCluster = 50).collect()
+    assert(got.map(r => (r.getLong(0), r.getBoolean(3))).toSeq ==
+      again.map(r => (r.getLong(0), r.getBoolean(3))).toSeq)
+  }
+
+  test("vocabDrift: planted drifted term tops the report, balanced terms near zero, minCount filters") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // A: "stable" vocabulary + "surge" appearing heavily; B: same stable
+    // vocabulary, no surge. Rare term "blip" (count 1) must be filtered.
+    val a = (1L to 10L).map(i => (i, "common words here surge surge surge"))
+      .toDF("doc_id", "text")
+    val b = (1L to 10L).map(i => (i + 100L, "common words here"))
+      .toDF("doc_id", "text").union(Seq((200L, "blip")).toDF("doc_id", "text"))
+    val got = TextAnalysis.vocabDrift(a, b, "text", topN = 10, minCount = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(5)))
+    assert(got.head._1 == "surge",
+      s"surge must be the most-drifted term: ${got.toSeq}")
+    assert(got.head._4 > 0, "surge over-represented in A -> positive drift")
+    assert(got.head._2 == 30L && got.head._3 == 0L, s"surge counts: ${got.head}")
+    assert(!got.map(_._1).contains("blip"), "minCount must filter the rare term")
+    // the balanced terms carry smaller |drift| than surge
+    assert(got.tail.forall(t => math.abs(t._4) < math.abs(got.head._4)),
+      s"stable terms must drift less than surge: ${got.toSeq}")
+  }
+
+  test("hardNegatives: same-label twins excluded, top negatives ranked by cosine") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // probe 0 (label 0); vec 1 = identical embedding SAME label (must be
+    // excluded); vecs 2..4 other-label at decreasing similarity
+    val mk = (flips: Int) => (0 until 16).map(d =>
+      if (d < flips) -1.0f else 1.0f).toArray
+    val emb = Seq(
+      (0L, mk(0), 0), // probe
+      (1L, mk(0), 0), // same-label twin: sim 1.0 but excluded
+      (2L, mk(1), 1), // sim (16-2)/16 = 0.875
+      (3L, mk(2), 1), // sim 0.75
+      (4L, mk(3), 2)  // sim 0.625
+    ).toDF("vec_id", "embedding", "label")
+    val probes = emb.filter(col("vec_id") === 0L)
+    val got = Similarity.hardNegatives(emb, probes, k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(got.length == 2)
+    assert(got(0) == ((0L, 1, 2L, 0.875)), s"rank1: ${got(0)}")
+    assert(got(1) == ((0L, 2, 3L, 0.75)), s"rank2: ${got(1)}")
+    assert(!got.map(_._3).contains(1L), "same-label twin must never be mined")
+  }
+
+  test("bpeFertility: per-source report equals bpeEncode aggregated by source") {
+    import graft.operators.TextAnalysis
+    val docs = Tables.table(spark, sf0001, "documents")
+    val fert = TextAnalysis.bpeFertility(docs, "source", nMerges = 10)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // cross-check: the per-doc encode, joined back to its source, must sum
+    // to the same word/symbol totals (fertility IS that aggregation)
+    val byDoc = TextAnalysis.bpeEncode(docs, nMerges = 10)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy("source")
+      .agg(sum(col("n_words")).as("w"), sum(col("n_symbols")).as("s"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(fert == byDoc, s"fertility totals diverge from bpeEncode: " +
+      s"only-fert=${fert.keySet -- byDoc.keySet} diffs=${fert.filter { case (k, v) => byDoc.get(k).exists(_ != v) }}")
+    // fertility must be >= 1000 symbols per 1000 words (a word is >= 1 symbol)
+    val ratios = TextAnalysis.bpeFertility(docs, "source", nMerges = 10)
+      .collect().map(_.getLong(3))
+    assert(ratios.forall(_ >= 1000L), s"fertility below 1 symbol/word: ${ratios.toSeq}")
+  }
 }

@@ -367,6 +367,39 @@ class PlanShapeSpec extends SparkSpec {
     assert(!exec.toString.contains("CartesianProduct"))
   }
 
+  test("hardNegatives: probes broadcast, label filter below the top-k, no window sort") {
+    val df = ExtensionQueries.all("simsearch_hard_negatives")(spark, sf0001)
+    val p = plan(df)
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      s"probe set must broadcast:\n$p")
+    assert(!p.contains("Window"), s"per-probe top-k must be the bounded-buffer " +
+      s"aggregate, not a window sort of the cross product:\n$p")
+    assert(p.contains("ObjectHashAggregate"), s"TopKAggregator must drive the top-k:\n$p")
+  }
+
+  test("vocabDrift: global top-N is TakeOrdered, term merge never FORCE-broadcast") {
+    val conf = spark.conf
+    val oldBc = conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    val oldAqeBc = conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan(ExtensionQueries.all("vocab_drift")(spark, sf0001))
+      assert(p.contains("TakeOrderedAndProject"),
+        s"top-N must be TakeOrderedAndProject (per-partition heads), not a global sort:\n$p")
+      val termBroadcasts = p.linesIterator
+        .filter(l => l.contains("BroadcastHashJoin") && l.contains("term#")).toSeq
+      assert(termBroadcasts.isEmpty,
+        s"vocabulary merge must not be force-broadcast:\n${termBroadcasts.mkString("\n")}")
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", oldBc)
+      oldAqeBc match {
+        case Some(v) => conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None => conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+    }
+  }
+
   test("sourceDivergence / naiveBayesLang: vocabulary tables are never FORCE-broadcast") {
     // round-11 latent scale-killers: both operators force-broadcast a table
     // with one row per distinct corpus term — Heaps-law-unbounded at 100 TB

@@ -1852,6 +1852,48 @@ class ScaleToolsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
         f"(t1=${math.min(t1a, t1b)}%.2fs t2=${math.min(t2a, t2b)}%.2fs)")
   }
 
+  test("importanceResample survives 10x corpus+vocabulary: planted selection, flat jobs") {
+    import graft.operators.Sampling
+    // target: an 8-type "domain" corpus that SCALES with the raw pool (the
+    // add-one smoothing denominators then scale together, so the per-token
+    // log-ratios are scale-invariant: ~+0.59 for a domain token, ~-0.10 for
+    // a unique one — solid margins at every scale); raw pool: every 10th
+    // doc uses 4 domain tokens (planted positives), the rest draw 6
+    // doc-unique tokens (vocabulary grows 10x with the corpus — the
+    // Heaps-law regime the term join must survive). The planted docs must
+    // be exactly the top-n selection at both scales, with a flat job count.
+    def target(nDocs: Int) = spark.range(nDocs / 10).select(
+      col("id").as("doc_id"),
+      lit((0 until 8).map(i => s"d$i").mkString(" ")).as("text"))
+    def raw(nDocs: Int) = spark.range(nDocs).select(
+      col("id").as("doc_id"),
+      when(col("id") % 10 === 0, lit("d0 d1 d2 d3"))
+        .otherwise(concat_ws(" ", (0 until 6).map(j =>
+          concat(lit("u"), col("id"), lit(s"_$j"))): _*)).as("text"))
+    def run(nDocs: Int): (Set[Long], Int, Double) = {
+      var sel = Set.empty[Long]
+      val t0 = System.nanoTime()
+      val jobs = countJobs(s"dsir10x-$nDocs-${System.nanoTime()}") {
+        sel = Sampling.importanceResample(raw(nDocs), target(nDocs),
+            "doc_id", "text", n = nDocs / 10)
+          .filter(col("selected")).collect().map(_.getLong(0)).toSet
+      }
+      (sel, jobs, (System.nanoTime() - t0) / 1e9)
+    }
+    run(500) // warm codegen
+    val (s1, j1, t1a) = run(500); val (_, _, t1b) = run(500)
+    val (s2, j2, t2a) = run(5000); val (_, _, t2b) = run(5000)
+    assert(s1 == (0 until 500 by 10).map(_.toLong).toSet,
+      s"1x selection diverged from the planted domain docs: ${s1.take(10)}...")
+    assert(s2 == (0 until 5000 by 10).map(_.toLong).toSet,
+      s"10x selection diverged from the planted domain docs")
+    assert(j2 <= j1 + 4, s"10x corpus grew the importanceResample job count $j1 -> $j2")
+    val ratio = math.min(t2a, t2b) / math.min(t1a, t1b)
+    assert(ratio <= 30.0,
+      f"10x corpus grew importanceResample wall-time $ratio%.1fx " +
+        f"(t1=${math.min(t1a, t1b)}%.2fs t2=${math.min(t2a, t2b)}%.2fs)")
+  }
+
   test("naiveBayesLang survives a 10x vocabulary with broadcasts disabled: exact labels, flat jobs") {
     import graft.operators.TextAnalysis
     // round-11 scale-killer regression gate: the dense V x C likelihood grid
@@ -1904,5 +1946,157 @@ class ScaleToolsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
         case None => conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
       }
     }
+  }
+
+  test("clusterBalancedSample survives 10x vectors: per-cluster caps exact, flat jobs") {
+    import graft.operators.Similarity
+    // the diversity cap's whole job is the HOT-cluster regime: 70% of the
+    // corpus lands in one embedding-space region and must be capped to
+    // maxPerCluster while small clusters are kept whole. Fixture: 4 planted
+    // axis-aligned clusters (sizes 70/10/10/10 %) with small hash noise; we
+    // do NOT assume Lloyd recovers the plant — the gate asserts the cap
+    // CONTRACT against whatever clusters it finds: every cluster keeps
+    // exactly min(|cluster|, cap) vectors, so it holds under any
+    // deterministic clustering. Cap stays constant across the 10x step (the
+    // kept set is nlist*cap-bounded — the broadcast-back stays bounded) and
+    // the job count must not grow with the corpus.
+    val dim = 8
+    def u(cols: Column*): Column =
+      pmod(xxhash64(cols: _*), lit(2001)).cast("double") / 1000.0 - 1.0
+    def fixture(n: Int) = spark.range(n).select(
+      col("id").as("vec_id"),
+      array((0 until dim).map { d =>
+        val cl = when(pmod(col("id"), lit(10)) < 7, lit(0))
+          .otherwise(pmod(col("id"), lit(10)) - 6) // clusters 0..3, 0 hot
+        when(cl === d, lit(1.0)).otherwise(lit(0.0)) + u(lit("n"), col("id"), lit(d)) * 0.05
+      }: _*).as("embedding"))
+    val cap = 50
+    def run(n: Int): (Seq[(Long, Long, Long)], Long, Int, Double) = {
+      var perCluster = Seq.empty[(Long, Long, Long)]
+      var total = 0L
+      val t0 = System.nanoTime()
+      val jobs = countJobs(s"cbal10x-$n-${System.nanoTime()}") {
+        val out = Similarity.clusterBalancedSample(fixture(n), nlist = 4,
+          iters = 2, maxPerCluster = cap)
+        perCluster = out.groupBy("centroid_id")
+          .agg(count(lit(1)).as("sz"),
+            sum(when(col("kept"), 1L).otherwise(0L)).as("nkept"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+        total = perCluster.map(_._2).sum
+      }
+      (perCluster, total, jobs, (System.nanoTime() - t0) / 1e9)
+    }
+    run(1000) // warm codegen
+    val (pc1, tot1, j1, t1a) = run(1000); val (_, _, _, t1b) = run(1000)
+    val (pc2, tot2, j2, t2a) = run(10000); val (_, _, _, t2b) = run(10000)
+    assert(tot1 == 1000L && tot2 == 10000L, s"output must cover every vector: $tot1/$tot2")
+    for ((cid, sz, nkept) <- pc1)
+      assert(nkept == math.min(sz, cap.toLong),
+        s"1x cluster $cid: kept $nkept of $sz with cap $cap")
+    for ((cid, sz, nkept) <- pc2)
+      assert(nkept == math.min(sz, cap.toLong),
+        s"10x cluster $cid: kept $nkept of $sz with cap $cap")
+    // at 10x every planted cluster is over the cap — the draw must actually cap
+    assert(pc2.map(_._3).sum == 4L * cap,
+      s"10x kept total ${pc2.map(_._3).sum} != nlist*cap ${4 * cap}")
+    assert(j2 <= j1 + 4, s"10x corpus grew the clusterBalancedSample job count $j1 -> $j2")
+    val ratio = math.min(t2a, t2b) / math.min(t1a, t1b)
+    assert(ratio <= 30.0,
+      f"10x corpus grew clusterBalancedSample wall-time $ratio%.1fx " +
+        f"(t1=${math.min(t1a, t1b)}%.2fs t2=${math.min(t2a, t2b)}%.2fs)")
+  }
+
+  test("vocabDrift survives 10x corpus+vocabulary: planted drift tops the report, flat jobs") {
+    import graft.operators.TextAnalysis
+    // snapshot A carries a planted term in EVERY doc that snapshot B carries
+    // in every 10th doc (strong positive drift); a stable term appears in
+    // every doc of both (near-zero drift); each doc additionally carries 4
+    // doc-unique tokens, so the VOCABULARY grows 10x with the corpus — the
+    // Heaps-law regime the full-outer term merge must survive without a
+    // forced broadcast. minCount=5 prunes the unique tail BEFORE ranking,
+    // so the report is exactly 2 rows at any scale.
+    def snapA(n: Int) = spark.range(n).select(col("id").as("doc_id"),
+      concat_ws(" ", lit("driftterm"), lit("stableterm"),
+        concat(lit("ua"), col("id"), lit("_0")), concat(lit("ua"), col("id"), lit("_1")),
+        concat(lit("ua"), col("id"), lit("_2")), concat(lit("ua"), col("id"), lit("_3"))).as("text"))
+    def snapB(n: Int) = spark.range(n).select(col("id").as("doc_id"),
+      concat_ws(" ",
+        when(col("id") % 10 === 0, lit("driftterm"))
+          .otherwise(concat(lit("ub"), col("id"), lit("_4"))), // keeps N_B = N_A
+        lit("stableterm"),
+        concat(lit("ub"), col("id"), lit("_0")), concat(lit("ub"), col("id"), lit("_1")),
+        concat(lit("ub"), col("id"), lit("_2")), concat(lit("ub"), col("id"), lit("_3"))).as("text"))
+    def run(n: Int): (Seq[(String, Double)], Int, Double) = {
+      var rows = Seq.empty[(String, Double)]
+      val t0 = System.nanoTime()
+      val jobs = countJobs(s"vdrift10x-$n-${System.nanoTime()}") {
+        rows = TextAnalysis.vocabDrift(snapA(n), snapB(n), topN = 10, minCount = 5)
+          .select("term", "drift")
+          .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+      }
+      (rows, jobs, (System.nanoTime() - t0) / 1e9)
+    }
+    run(500) // warm codegen
+    val (r1, j1, t1a) = run(500); val (_, _, t1b) = run(500)
+    val (r2, j2, t2a) = run(5000); val (_, _, t2b) = run(5000)
+    for ((rows, tag) <- Seq((r1, "1x"), (r2, "10x"))) {
+      assert(rows.map(_._1) == Seq("driftterm", "stableterm"),
+        s"$tag report should be exactly [driftterm, stableterm] by |drift|: $rows")
+      assert(rows.head._2 > 1.0, s"$tag planted drift too small: ${rows.head}")
+      assert(math.abs(rows(1)._2) < 0.5, s"$tag stable term drifted: ${rows(1)}")
+    }
+    assert(j2 <= j1 + 4, s"10x corpus grew the vocabDrift job count $j1 -> $j2")
+    val ratio = math.min(t2a, t2b) / math.min(t1a, t1b)
+    assert(ratio <= 30.0,
+      f"10x corpus grew vocabDrift wall-time $ratio%.1fx " +
+        f"(t1=${math.min(t1a, t1b)}%.2fs t2=${math.min(t2a, t2b)}%.2fs)")
+  }
+
+  test("hardNegatives survives 10x corpus: planted negatives exact, flat jobs") {
+    import graft.operators.Similarity
+    // ids 0..3 share ONE embedding (cosine exactly 1.0 pairwise) with labels
+    // alternating by parity — for probe 0 (label L0) the planted top
+    // negatives are ids 1 and 3 (different label, tie toward the lower id)
+    // while id 2 (same label, same vector) must NEVER appear; the other
+    // n-4 vectors are hash-uniform noise. The corpus grows 10x under a
+    // CONSTANT probe batch: job count stays flat (the probe broadcast and
+    // the one corpus pass are volume-independent plan shapes).
+    val dim = 16
+    def u(cols: Column*): Column =
+      pmod(xxhash64(cols: _*), lit(2001)).cast("double") / 1000.0 - 1.0
+    def fixture(n: Int) = spark.range(n).select(
+      col("id").as("vec_id"),
+      array((0 until dim).map { d =>
+        when(col("id") < 4, u(lit("shared"), lit(d)))
+          .otherwise(u(lit("x"), col("id"), lit(d)))
+      }: _*).as("embedding"),
+      concat(lit("L"), pmod(col("id"), lit(2))).as("label"))
+    def run(n: Int): (Seq[(Int, Long, Double)], Int, Double) = {
+      var rows = Seq.empty[(Int, Long, Double)]
+      val t0 = System.nanoTime()
+      val jobs = countJobs(s"hneg10x-$n-${System.nanoTime()}") {
+        val corpus = fixture(n)
+        rows = Similarity.hardNegatives(corpus, corpus.filter(col("vec_id") === 0), k = 3)
+          .select("rank", "negative_id", "sim")
+          .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+      }
+      (rows, jobs, (System.nanoTime() - t0) / 1e9)
+    }
+    run(1000) // warm codegen
+    val (r1, j1, t1a) = run(1000); val (_, _, t1b) = run(1000)
+    val (r2, j2, t2a) = run(10000); val (_, _, t2b) = run(10000)
+    for ((rows, tag) <- Seq((r1, "1x"), (r2, "10x"))) {
+      assert(rows.size == 3, s"$tag expected k=3 negatives: $rows")
+      assert(rows(0) == ((1, 1L, 1.0)), s"$tag rank-1 is not the planted id 1: ${rows(0)}")
+      assert(rows(1) == ((2, 3L, 1.0)), s"$tag rank-2 is not the planted id 3: ${rows(1)}")
+      assert(rows.forall(_._2 % 2 == 1),
+        s"$tag a same-label (even-id) vector leaked into the negatives: $rows")
+      assert(rows(2)._3 < 1.0, s"$tag rank-3 should be a noise vector: ${rows(2)}")
+    }
+    assert(j2 <= j1 + 4, s"10x corpus grew the hardNegatives job count $j1 -> $j2")
+    val ratio = math.min(t2a, t2b) / math.min(t1a, t1b)
+    assert(ratio <= 30.0,
+      f"10x corpus grew hardNegatives wall-time $ratio%.1fx " +
+        f"(t1=${math.min(t1a, t1b)}%.2fs t2=${math.min(t2a, t2b)}%.2fs)")
   }
 }
