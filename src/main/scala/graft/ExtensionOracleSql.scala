@@ -148,6 +148,44 @@ object ExtensionOracleSql {
     (w0 +: rounds).mkString("WITH ", ",\n", "")
   }
 
+  /** Shared NB-classifier CTE chain (multinomial Naive Bayes on the corpus's
+    * own labels — in lock-step with graft.operators.TextAnalysis
+    * .naiveBayesLang; the ORACLE may materialize the dense V×C grid the
+    * Spark side deliberately sparsifies — identical numbers): ends with
+    * CTEs `best(doc_id, pred_lang, score)` and `pb(pb_lang, pb_score)`
+    * (the prior-only fallback for token-less docs). Shared by
+    * text_classifier_nb and text_mislabel_rate.
+    */
+  private lazy val nbCtes: String =
+    s"""WITH tok AS (SELECT doc_id, unnest($toksOf) AS term FROM documents),
+       |cls AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+       |tot AS (SELECT SUM(n_docs) AS nd FROM cls),
+       |tl AS (SELECT d.lang, unnest($toksOf) AS term FROM documents d),
+       |tc AS (SELECT lang, term, COUNT(*) AS ctc FROM tl GROUP BY lang, term),
+       |ct AS (SELECT lang, SUM(ctc) AS ctot FROM tc GROUP BY lang),
+       |vb AS (SELECT DISTINCT term FROM tc),
+       |vs AS (SELECT COUNT(*) AS v FROM vb),
+       |grid AS (
+       |  SELECT vb.term, c.lang,
+       |    CAST(round(ln((COALESCE(tc.ctc, 0) + 1) /
+       |      CAST(ct.ctot + vs.v AS DOUBLE)), 6) AS DECIMAL(18,6)) AS ll
+       |  FROM vb CROSS JOIN cls c
+       |  LEFT JOIN tc ON tc.lang = c.lang AND tc.term = vb.term
+       |  JOIN ct ON ct.lang = c.lang CROSS JOIN vs),
+       |pri AS (SELECT lang,
+       |          CAST(round(ln(n_docs / CAST(nd AS DOUBLE)), 6) AS DECIMAL(18,6)) AS prior_ll
+       |        FROM cls CROSS JOIN tot),
+       |dc AS (SELECT tok.doc_id, grid.lang, SUM(grid.ll) AS tok_ll
+       |       FROM tok JOIN grid USING (term) GROUP BY tok.doc_id, grid.lang),
+       |sc AS (SELECT dc.doc_id, dc.lang, dc.tok_ll + pri.prior_ll AS score
+       |       FROM dc JOIN pri USING (lang)),
+       |best AS (SELECT doc_id, lang AS pred_lang, score FROM (
+       |    SELECT doc_id, lang, score,
+       |      row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
+       |    FROM sc) WHERE rn = 1),
+       |pb AS (SELECT lang AS pb_lang, prior_ll AS pb_score FROM pri
+       |       ORDER BY prior_ll DESC, lang LIMIT 1)""".stripMargin
+
   /** The full-corpus MinHash-LSH pair pipeline (64 perms, 16 bands of 4),
     * ending at CTE `j(doc_a, doc_b, jaccard)` with doc_a < doc_b — shared
     * by dedup_minhash_lsh and dedup_incremental (which keeps only cross
@@ -235,17 +273,13 @@ object ExtensionOracleSql {
        |          FROM asg$n)
        |    GROUP BY centroid_id, idx) GROUP BY centroid_id)""".stripMargin
 
-  /** Shared CTE prefix: the canonical Lloyd build (nlist=4, iters=4) plus
-    * the per-vector nearest-centroid assignment `best` — the index both the
-    * IVF searches and `dedup_semantic` are defined over.
+  /** Parameterized Lloyd-build CTE prefix: `iters` deterministic rounds
+    * (nlist=4) plus the per-vector nearest-centroid assignment `best`.
     */
-  private val lloydBestCtes: String =
+  private def lloydBestCtesN(iters: Int): String =
     s"""WITH cent0 AS (SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings WHERE vec_id < 4),
-       |${lloydIterCte(1)},
-       |${lloydIterCte(2)},
-       |${lloydIterCte(3)},
-       |${lloydIterCte(4)},
-       |cent AS (SELECT * FROM cent4),
+       |${(1 to iters).map(lloydIterCte).mkString(",\n")},
+       |cent AS (SELECT * FROM cent$iters),
        |asn AS (
        |  SELECT e.vec_id, c.centroid_id,
        |    round(${cos("e.embedding", "c.cvec")}, 6) AS csim
@@ -253,6 +287,11 @@ object ExtensionOracleSql {
        |best AS (
        |  SELECT vec_id, centroid_id FROM asn
        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, centroid_id) = 1)""".stripMargin
+
+  /** The canonical iters=4 chain — the index the IVF searches and
+    * `dedup_semantic` are defined over.
+    */
+  private val lloydBestCtes: String = lloydBestCtesN(4)
 
   /** Per-subspace PQ Lloyd chain (in lock-step with
     * graft.operators.Similarity.pqCodebooks): sub-sliced vectors, seedless
@@ -410,6 +449,63 @@ object ExtensionOracleSql {
 
     "simsearch_ivf" -> simsearchIvfSql,
     "simsearch_ivf_search" -> simsearchIvfSql,
+
+    // IVFADC (IVF bucket prune × PQ asymmetric distance) — composition of a
+    // Lloyd IVF index (nlist=4, iters=2 — the one-shot query trains BOTH
+    // quantizers jointly at equal round counts) and the canonical PQ
+    // codebooks (m=8, k=8, iters=2): ADC scores restricted to vectors whose
+    // nearest centroid is among the probe's top-3 buckets — in lock-step
+    // with graft.operators.Similarity.ivfPqTopK
+    "simsearch_ivfpq" ->
+      s"""${lloydBestCtesN(2)},
+         |$pqAllSubCtes,
+         |probe AS (SELECT embedding AS pv FROM embeddings WHERE vec_id = 0),
+         |pb AS (
+         |  SELECT centroid_id FROM (
+         |    SELECT c.centroid_id, round(${cos("c.cvec", "p.pv")}, 6) AS csim
+         |    FROM cent c CROSS JOIN probe p)
+         |  QUALIFY row_number() OVER (ORDER BY csim DESC, centroid_id) <= 3),
+         |${(0 until pqM).map(s => pqEncProbeCte(s, sub = pqSub, iters = pqIters)).mkString(",\n")}
+         |SELECT p0.vec_id,
+         |  round((${(0 until pqM).map(s => s"p$s.dp").mkString(" + ")}) /
+         |        (sqrt(${(0 until pqM).map(s => s"p$s.n2p").mkString(" + ")}) *
+         |         sqrt(${(0 until pqM).map(s => s"p$s.n2c").mkString(" + ")})), 6) AS approx_sim,
+         |  round((${(0 until pqM).map(s => s"p$s.dx").mkString(" + ")}) /
+         |        (sqrt(${(0 until pqM).map(s => s"p$s.n2x").mkString(" + ")}) *
+         |         sqrt(${(0 until pqM).map(s => s"p$s.n2p").mkString(" + ")})), 6) AS exact_sim
+         |FROM encp0 p0
+         |${(1 until pqM).map(s => s"JOIN encp$s p$s ON p$s.vec_id = p0.vec_id").mkString("\n")}
+         |JOIN best b ON b.vec_id = p0.vec_id
+         |JOIN pb ON pb.centroid_id = b.centroid_id
+         |WHERE p0.vec_id <> 0
+         |ORDER BY approx_sim DESC, p0.vec_id LIMIT 5""".stripMargin,
+
+    // the stored-serving sibling: identical bucket prune and ADC ranking,
+    // but the result carries ONLY (vec_id, approx_sim) — the serving plan
+    // never reads corpus floats, so there is no exact_sim to report. The
+    // stored code is the same argmin the encp CTEs derive, so approx_sim is
+    // bit-identical to simsearch_ivfpq's — in lock-step with
+    // graft.operators.Similarity.ivfPqSearchStored
+    "simsearch_ivfpq_stored" ->
+      s"""$lloydBestCtes,
+         |$pqAllSubCtes,
+         |probe AS (SELECT embedding AS pv FROM embeddings WHERE vec_id = 0),
+         |pb AS (
+         |  SELECT centroid_id FROM (
+         |    SELECT c.centroid_id, round(${cos("c.cvec", "p.pv")}, 6) AS csim
+         |    FROM cent c CROSS JOIN probe p)
+         |  QUALIFY row_number() OVER (ORDER BY csim DESC, centroid_id) <= 3),
+         |${(0 until pqM).map(s => pqEncProbeCte(s, sub = pqSub, iters = pqIters)).mkString(",\n")}
+         |SELECT p0.vec_id,
+         |  round((${(0 until pqM).map(s => s"p$s.dp").mkString(" + ")}) /
+         |        (sqrt(${(0 until pqM).map(s => s"p$s.n2p").mkString(" + ")}) *
+         |         sqrt(${(0 until pqM).map(s => s"p$s.n2c").mkString(" + ")})), 6) AS approx_sim
+         |FROM encp0 p0
+         |${(1 until pqM).map(s => s"JOIN encp$s p$s ON p$s.vec_id = p0.vec_id").mkString("\n")}
+         |JOIN best b ON b.vec_id = p0.vec_id
+         |JOIN pb ON pb.centroid_id = b.centroid_id
+         |WHERE p0.vec_id <> 0
+         |ORDER BY approx_sim DESC, p0.vec_id LIMIT 5""".stripMargin,
 
     // SemDeDup over the canonical Lloyd index: within-cluster pairs only,
     // drop any vector dominated (cosine >= 0.45) by a lower id in its
@@ -850,6 +946,81 @@ object ExtensionOracleSql {
          |  CAST(cum_tokens AS BIGINT) AS cum_tokens
          |FROM c WHERE cum_tokens <= 800
          |ORDER BY doc_id""".stripMargin,
+
+    // quality-ordered token-budget cap: global (quality DESC, hash, id)
+    // prefix within a 20k-token budget; the simple one-window form here is
+    // order-identical to the Spark side's bucketed (q_u, hash-bucket)
+    // decomposition (within one q_u the hash-bucket is monotone in the
+    // hash) — in lock-step with graft.operators.Sampling.qualityTokenBudget
+    "sample_quality_budget" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, n_chars, $toksOf AS toks FROM documents),
+         |s AS (
+         |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |    len(list_filter(toks, x -> list_contains(
+         |      ['the','a','and','of','to','in','is','for','on','with'], x))) AS n_stop
+         |  FROM t),
+         |q AS (
+         |  SELECT doc_id, n_tokens,
+         |    CAST(round((CASE WHEN n_tokens > 0 THEN round(
+         |      least(CAST(n_tokens AS DOUBLE) / 200.0, 1.0) *
+         |      (1.0 - least(CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE), 0.5)), 6)
+         |      ELSE 0.0 END) * 1000000) AS BIGINT) AS q_u,
+         |    ${h60("'qbudget:' || CAST(doc_id AS VARCHAR)")} % ${1L << 50} AS h
+         |  FROM s),
+         |c AS (
+         |  SELECT doc_id, q_u, n_tokens,
+         |    SUM(n_tokens) OVER (ORDER BY q_u DESC, h, doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS cum_tokens
+         |  FROM q)
+         |SELECT doc_id, q_u, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+         |FROM c WHERE cum_tokens <= 20000
+         |ORDER BY doc_id""".stripMargin,
+
+    // per-source duplicate-mass report over the MinHash-LSH component
+    // structure (recursive reachability over the verified pairs, min-id
+    // labels) — in lock-step with graft.operators.Dedup.clusterStatsBySource
+    "dedup_cluster_stats" ->
+      s"""${minhashPairsCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |p AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.5),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM p
+         |  UNION ALL SELECT doc_b, doc_a FROM p),
+         |reach AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |labels AS (SELECT src AS doc_id, least(src, MIN(dst)) AS cluster_id
+         |           FROM reach GROUP BY src)
+         |SELECT d.source, COUNT(*) AS n_docs,
+         |  SUM(CASE WHEN l.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS n_clustered,
+         |  SUM(CASE WHEN l.doc_id IS NOT NULL AND l.doc_id <> l.cluster_id
+         |      THEN 1 ELSE 0 END) AS n_duplicates,
+         |  SUM(CASE WHEN l.doc_id IS NOT NULL AND l.doc_id <> l.cluster_id
+         |      THEN 1 ELSE 0 END) * 1000 // COUNT(*) AS dup_permille
+         |FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
+
+    // MinHash estimation-error audit: per verified pair, the signature-
+    // agreement estimate (matches of 64 perms, ppm) vs the exact Jaccard —
+    // in lock-step with graft.operators.Dedup.minHashEstimateAudit
+    "dedup_minhash_estimate" ->
+      s"""$minhashPairsCtes,
+         |vp AS (SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5),
+         |est AS (
+         |  SELECT vp.doc_a, vp.doc_b,
+         |    SUM(CASE WHEN ma.m = mb.m THEN 1 ELSE 0 END) AS sig_matches
+         |  FROM vp
+         |  JOIN mins ma ON ma.doc_id = vp.doc_a
+         |  JOIN mins mb ON mb.doc_id = vp.doc_b AND mb.i = ma.i
+         |  GROUP BY vp.doc_a, vp.doc_b)
+         |SELECT vp.doc_a, vp.doc_b, vp.jaccard,
+         |  est.sig_matches,
+         |  est.sig_matches * 15625 AS est_ppm,
+         |  abs(est.sig_matches * 15625 -
+         |      CAST(round(vp.jaccard * 1000000) AS BIGINT)) AS err_ppm
+         |FROM vp JOIN est USING (doc_a, doc_b)
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     // mixture planning: per-source token inventory -> integer per-mille
     // sampling rates against a 10k-token budget at 50/30/20 target weights —
@@ -1339,6 +1510,83 @@ object ExtensionOracleSql {
          |WHERE rn <= 3
          |ORDER BY doc_id, rank""".stripMargin,
 
+    // bigram-LM perplexity filter: MLE conditional from the corpus's own
+    // bigram table (left-context denominator, so P(·|w1) sums to 1), per-doc
+    // decimal-summed mean — in lock-step with
+    // graft.operators.TextAnalysis.bigramLogprob
+    "text_bigram_nll" ->
+      s"""WITH t AS (SELECT doc_id, $toksOf AS toks FROM documents),
+         |bg AS (
+         |  SELECT doc_id, toks[i] AS w1, toks[i] || ' ' || toks[i + 1] AS bg
+         |  FROM t, unnest(range(1, len(toks))) AS u(i)),
+         |c12 AS (SELECT bg, COUNT(*) AS cnt12 FROM bg GROUP BY bg),
+         |c1 AS (SELECT w1, COUNT(*) AS cnt1 FROM bg GROUP BY w1),
+         |sc AS (
+         |  SELECT doc_id,
+         |    round(ln(CAST(cnt1 AS DOUBLE) / CAST(cnt12 AS DOUBLE)), 6) AS nll
+         |  FROM bg JOIN c12 USING (bg) JOIN c1 USING (w1))
+         |SELECT doc_id, COUNT(*) AS n_bigrams,
+         |  round(CAST(SUM(CAST(nll AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS mean_nll
+         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // label-coherence audit of the canonical Lloyd index (nlist=4, iters=2,
+    // the cluster_assign build): majority label (ties to the smaller label),
+    // integer per-mille purity, label entropy in floor'd micro-nats — in
+    // lock-step with graft.operators.Similarity.clusterLabelPurity
+    "cluster_purity" ->
+      s"""WITH cent0 AS (SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings WHERE vec_id < 4),
+         |${lloydIterCte(1)},
+         |${lloydIterCte(2)},
+         |cent AS (SELECT * FROM cent2),
+         |asn AS (
+         |  SELECT e.vec_id, c.centroid_id,
+         |    round(${cos("e.embedding", "c.cvec")}, 6) AS csim
+         |  FROM embeddings e CROSS JOIN cent c),
+         |best AS (
+         |  SELECT vec_id, centroid_id FROM asn
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, centroid_id) = 1),
+         |cl AS (
+         |  SELECT b.centroid_id, e.label, COUNT(*) AS c
+         |  FROM best b JOIN embeddings e USING (vec_id)
+         |  GROUP BY b.centroid_id, e.label),
+         |tot AS (SELECT centroid_id, SUM(c) AS n FROM cl GROUP BY centroid_id),
+         |maj AS (
+         |  SELECT centroid_id, label AS majority_label, c AS majority_c FROM cl
+         |  QUALIFY row_number() OVER (PARTITION BY centroid_id
+         |    ORDER BY c DESC, label) = 1),
+         |agg AS (
+         |  SELECT cl.centroid_id,
+         |    MIN(tot.n) AS n_vectors,
+         |    COUNT(*) AS n_labels,
+         |    CAST(FLOOR(CAST(CAST(SUM(cl.c *
+         |        CAST(round(ln(CAST(tot.n AS DOUBLE) / CAST(cl.c AS DOUBLE)), 6)
+         |             AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS DOUBLE) /
+         |      CAST(MIN(tot.n) AS DOUBLE)) AS BIGINT) AS entropy_unats
+         |  FROM cl JOIN tot USING (centroid_id)
+         |  GROUP BY cl.centroid_id)
+         |SELECT a.centroid_id, a.n_vectors, a.n_labels, m.majority_label,
+         |  m.majority_c * 1000 // a.n_vectors AS purity_pm, a.entropy_unats
+         |FROM agg a JOIN maj m USING (centroid_id)
+         |ORDER BY a.centroid_id""".stripMargin,
+
+    // Matryoshka truncation audit: per (vector, width) the prefix-energy
+    // fraction in floor'd ppm and the retained cosine — in lock-step with
+    // graft.operators.Similarity.truncationAudit
+    "simsearch_truncation" ->
+      s"""WITH w AS (SELECT unnest([8, 16, 32, 64]) AS trunc_dim),
+         |f AS (SELECT vec_id, embedding, ${dot("embedding", "embedding")} AS n2full
+         |      FROM embeddings),
+         |p AS (
+         |  SELECT f.vec_id, w.trunc_dim, f.n2full,
+         |    list_sum(list_transform(range(1, w.trunc_dim + 1),
+         |      i -> CAST(f.embedding[i] AS DOUBLE) * CAST(f.embedding[i] AS DOUBLE))) AS pre
+         |  FROM f CROSS JOIN w
+         |  WHERE f.n2full > 0)
+         |SELECT vec_id, CAST(trunc_dim AS INT) AS trunc_dim,
+         |  CAST(FLOOR(pre * 1000000.0 / n2full) AS BIGINT) AS energy_ppm,
+         |  round(sqrt(pre) / sqrt(n2full), 6) AS retained_cos
+         |FROM p ORDER BY vec_id, trunc_dim""".stripMargin,
+
     "text_unigram_nll" ->
       s"""WITH toks AS (SELECT doc_id, unnest($toksOf) AS term FROM documents),
          |freq AS (SELECT term, COUNT(*) AS cnt FROM toks GROUP BY term),
@@ -1411,34 +1659,7 @@ object ExtensionOracleSql {
     // docs fall back to the prior-only argmax — in lock-step with
     // graft.operators.TextAnalysis.naiveBayesLang
     "text_classifier_nb" ->
-      s"""WITH tok AS (SELECT doc_id, unnest($toksOf) AS term FROM documents),
-         |cls AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
-         |tot AS (SELECT SUM(n_docs) AS nd FROM cls),
-         |tl AS (SELECT d.lang, unnest($toksOf) AS term FROM documents d),
-         |tc AS (SELECT lang, term, COUNT(*) AS ctc FROM tl GROUP BY lang, term),
-         |ct AS (SELECT lang, SUM(ctc) AS ctot FROM tc GROUP BY lang),
-         |vb AS (SELECT DISTINCT term FROM tc),
-         |vs AS (SELECT COUNT(*) AS v FROM vb),
-         |grid AS (
-         |  SELECT vb.term, c.lang,
-         |    CAST(round(ln((COALESCE(tc.ctc, 0) + 1) /
-         |      CAST(ct.ctot + vs.v AS DOUBLE)), 6) AS DECIMAL(18,6)) AS ll
-         |  FROM vb CROSS JOIN cls c
-         |  LEFT JOIN tc ON tc.lang = c.lang AND tc.term = vb.term
-         |  JOIN ct ON ct.lang = c.lang CROSS JOIN vs),
-         |pri AS (SELECT lang,
-         |          CAST(round(ln(n_docs / CAST(nd AS DOUBLE)), 6) AS DECIMAL(18,6)) AS prior_ll
-         |        FROM cls CROSS JOIN tot),
-         |dc AS (SELECT tok.doc_id, grid.lang, SUM(grid.ll) AS tok_ll
-         |       FROM tok JOIN grid USING (term) GROUP BY tok.doc_id, grid.lang),
-         |sc AS (SELECT dc.doc_id, dc.lang, dc.tok_ll + pri.prior_ll AS score
-         |       FROM dc JOIN pri USING (lang)),
-         |best AS (SELECT doc_id, lang AS pred_lang, score FROM (
-         |    SELECT doc_id, lang, score,
-         |      row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
-         |    FROM sc) WHERE rn = 1),
-         |pb AS (SELECT lang AS pb_lang, prior_ll AS pb_score FROM pri
-         |       ORDER BY prior_ll DESC, lang LIMIT 1)
+      s"""$nbCtes
          |SELECT d.doc_id,
          |  COALESCE(b.pred_lang, pb.pb_lang) AS pred_lang,
          |  round(CAST(COALESCE(b.score, pb.pb_score) AS DOUBLE), 6) AS score,
@@ -1446,6 +1667,19 @@ object ExtensionOracleSql {
          |  COALESCE(b.pred_lang, pb.pb_lang) = d.lang AS agree
          |FROM documents d LEFT JOIN best b USING (doc_id) CROSS JOIN pb
          |ORDER BY d.doc_id""".stripMargin,
+
+    // per-source declared-vs-predicted disagreement over the same NB chain
+    // — in lock-step with graft.operators.TextAnalysis.mislabelRate
+    "text_mislabel_rate" ->
+      s"""$nbCtes,
+         |nbdoc AS (
+         |  SELECT d.doc_id, d.source,
+         |    COALESCE(b.pred_lang, pb.pb_lang) = d.lang AS agree
+         |  FROM documents d LEFT JOIN best b USING (doc_id) CROSS JOIN pb)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  SUM(CASE WHEN agree THEN 0 ELSE 1 END) AS n_mislabeled,
+         |  SUM(CASE WHEN agree THEN 0 ELSE 1 END) * 1000 // COUNT(*) AS mislabel_permille
+         |FROM nbdoc GROUP BY source ORDER BY source""".stripMargin,
 
     "text_langid" ->
       s"""WITH prof(lang, word) AS (VALUES
@@ -1608,6 +1842,40 @@ object ExtensionOracleSql {
         |SELECT event_id, user_id, ts, o_orderkey, o_totalprice FROM m
         |WHERE epoch_us(ts) - epoch_us(CAST(o_orderdate AS TIMESTAMP)) <= 2592000000000
         |ORDER BY event_id""".stripMargin,
+
+    // nearest-match as-of (pandas merge_asof direction="nearest"): backward
+    // and forward best per probe via DuckDB's native ASOF LEFT JOIN in each
+    // direction, then the smaller integer-µs gap wins with ties to backward
+    // — in lock-step with graft.operators.AsOfJoin.asOfNearest
+    "asof_nearest" ->
+      """WITH ev AS (SELECT event_id,
+        |    CAST(ts AS TIMESTAMP) - INTERVAL 28 YEAR AS ts, user_id FROM events),
+        |b AS (
+        |  SELECT o_custkey AS user_id, o_orderdate, o_orderkey, o_totalprice FROM orders
+        |  QUALIFY row_number() OVER (PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) = 1),
+        |bk AS (
+        |  SELECT e.event_id, e.user_id, e.ts,
+        |    b.o_orderdate AS b_date, b.o_orderkey AS b_key, b.o_totalprice AS b_price
+        |  FROM ev e ASOF LEFT JOIN b ON e.user_id = b.user_id AND e.ts >= b.o_orderdate),
+        |fw AS (
+        |  SELECT e.event_id,
+        |    b.o_orderdate AS f_date, b.o_orderkey AS f_key, b.o_totalprice AS f_price
+        |  FROM ev e ASOF LEFT JOIN b ON e.user_id = b.user_id AND e.ts <= b.o_orderdate),
+        |j AS (
+        |  SELECT bk.*, fw.f_date, fw.f_key, fw.f_price,
+        |    epoch_us(bk.ts) - epoch_us(CAST(bk.b_date AS TIMESTAMP)) AS bgap,
+        |    epoch_us(CAST(fw.f_date AS TIMESTAMP)) - epoch_us(bk.ts) AS fgap,
+        |    (bk.b_date IS NOT NULL AND (fw.f_date IS NULL OR
+        |       epoch_us(bk.ts) - epoch_us(CAST(bk.b_date AS TIMESTAMP)) <=
+        |       epoch_us(CAST(fw.f_date AS TIMESTAMP)) - epoch_us(bk.ts))) AS ub
+        |  FROM bk JOIN fw USING (event_id)
+        |  WHERE bk.b_date IS NOT NULL OR fw.f_date IS NOT NULL)
+        |SELECT event_id, user_id, ts,
+        |  CASE WHEN ub THEN b_key ELSE f_key END AS o_orderkey,
+        |  CASE WHEN ub THEN b_price ELSE f_price END AS o_totalprice,
+        |  CASE WHEN ub THEN 'backward' ELSE 'forward' END AS matched_dir,
+        |  CASE WHEN ub THEN bgap ELSE fgap END AS gap_us
+        |FROM j ORDER BY event_id""".stripMargin,
 
     "asof_forward" ->
       """WITH ev AS (SELECT event_id,

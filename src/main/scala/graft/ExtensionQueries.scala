@@ -297,6 +297,27 @@ object ExtensionQueries {
       // ADC search: exact probe vs PQ-coded corpus, exact_sim rides along
       // as the ADC-error report
       Similarity.pqTopK(emb(s, dir), probeId = 0L, topK = 5, m = 8, k = 8, iters = 2)),
+    "simsearch_ivfpq" -> ((s, dir) =>
+      // IVFADC one-shot (train + search): IVF bucket prune compounds with
+      // PQ asymmetric-distance scoring — the FAISS IndexIVFPQ architecture;
+      // exact_sim rides along as the ADC-error report. Equal round counts
+      // (2/2) train both quantizers in ONE joint deep plan
+      Similarity.ivfPqTopK(emb(s, dir), probeId = 0L, topK = 5,
+        nlist = 4, nprobe = 3, ivfIters = 2, m = 8, k = 8, pqIters = 2)),
+    "simsearch_ivfpq_stored" -> { (s, dir) =>
+      // steady-state IVFADC serving: probe row + nlist centroids + m·k
+      // codebooks + nprobe inverted-list partitions — corpus floats never
+      // read; approx_sim computed from the stored PQ CODE alone.
+      // Fingerprint-keyed /tmp cache like simsearch_ivf_search.
+      val srcFp = java.lang.Long.toHexString(
+        treeFingerprint(new java.io.File(s"$dir/embeddings.parquet")))
+      val indexDir = s"/tmp/graft_ivfpq_index_v1_${dir.replaceAll("[^A-Za-z0-9]", "_")}_$srcFp"
+      if (!new java.io.File(s"$indexDir/invlists/_SUCCESS").exists())
+        Similarity.ivfPqStore(emb(s, dir), indexDir, nlist = 4,
+          ivfIters = 4, m = 8, k = 8, pqIters = 2)
+      Similarity.ivfPqSearchStored(s, indexDir, emb(s, dir), probeId = 0L,
+        topK = 5, nprobe = 3)
+    },
     "simsearch_pq_stored" -> { (s, dir) =>
       // steady-state encode against STORED codebooks (same parameters as
       // simsearch_pq, so the same oracle applies); fingerprint-keyed /tmp
@@ -332,6 +353,17 @@ object ExtensionQueries {
       TextAnalysis.tfidfTopTerms(docs(s, dir), k = 3)),
     "text_unigram_nll" -> ((s, dir) =>
       TextAnalysis.unigramLogprob(docs(s, dir))),
+    "text_bigram_nll" -> ((s, dir) =>
+      // 2-gram LM perplexity filter: transition improbability under the
+      // corpus's own bigram counts (junk whose unigram profile looks normal)
+      TextAnalysis.bigramLogprob(docs(s, dir))),
+    "cluster_purity" -> ((s, dir) =>
+      // label-coherence audit of the Lloyd index (same build as
+      // cluster_assign): majority label, per-mille purity, label entropy
+      Similarity.clusterLabelPurity(emb(s, dir), nlist = 4, iters = 2)),
+    "simsearch_truncation" -> ((s, dir) =>
+      // Matryoshka audit: energy / retained-cosine per truncation width
+      Similarity.truncationAudit(emb(s, dir), dims = Seq(8, 16, 32, 64))),
     "text_entropy" -> ((s, dir) =>
       TextAnalysis.tokenEntropy(docs(s, dir))),
     "text_source_divergence" -> ((s, dir) =>
@@ -374,6 +406,24 @@ object ExtensionQueries {
     "sample_token_budget" -> ((s, dir) =>
       Sampling.tokenBudgetPerSource(docs(s, dir), "doc_id", "source", "text",
         budget = 800L)),
+    "sample_quality_budget" -> ((s, dir) =>
+      // FineWeb-style cut: the 20k-token budget buys the highest-quality
+      // docs (quality DESC, hash, id), bucketed prefix sums keyed (q_u, b)
+      Sampling.qualityTokenBudget(docs(s, dir), budget = 20000L)),
+    "dedup_cluster_stats" -> ((s, dir) =>
+      // per-source duplicate-mass report over the MinHash-LSH components —
+      // the "which sources pay for the dedup pass" number
+      Dedup.clusterStatsBySource(docs(s, dir), "doc_id", "source", "text",
+        k = 3, numPerm = 64, bands = 16, threshold = 0.5)),
+    "dedup_minhash_estimate" -> ((s, dir) =>
+      // sketch-quality audit: signature-agreement estimate vs exact Jaccard
+      // per verified LSH pair, error in exact integer ppm
+      Dedup.minHashEstimateAudit(docs(s, dir), "doc_id", "text",
+        k = 3, numPerm = 64, bands = 16, threshold = 0.5)),
+    "text_mislabel_rate" -> ((s, dir) =>
+      // per-source declared-vs-NB-predicted disagreement (mislabeled dump /
+      // language-mixing source detector)
+      TextAnalysis.mislabelRate(docs(s, dir))),
     "sample_upsample" -> ((s, dir) =>
       // epoch mix: 2.5 epochs of src0, half of src1, exactly 3x src2,
       // src3 dropped, every other source exactly once
@@ -487,6 +537,21 @@ object ExtensionQueries {
           col("o_orderkey"), col("o_totalprice"))
       graft.operators.AsOfJoin.asOf(probe, build, "user_id", "ts", "o_orderdate",
           toleranceMicros = Some(30L * 24 * 3600 * 1000000L))
+        .orderBy("event_id")
+    },
+    "asof_nearest" -> { (s, dir) =>
+      import org.apache.spark.sql.functions.{col, expr}
+      // same 28-year shift as asof_tolerance: probes land mid order-range,
+      // so most have a build row on BOTH sides and nearest genuinely
+      // chooses (332 backward / 668 forward at sf0.001); matched_dir +
+      // gap_us ride along as the alignment-audit report
+      val probe = Tables.table(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          (col("ts") - expr("INTERVAL 28 YEARS")).as("ts"))
+      val build = Tables.table(s, dir, "orders")
+        .select(col("o_custkey").as("user_id"), col("o_orderdate"),
+          col("o_orderkey"), col("o_totalprice"))
+      graft.operators.AsOfJoin.asOfNearest(probe, build, "user_id", "ts", "o_orderdate")
         .orderBy("event_id")
     },
     "asof_forward" -> { (s, dir) =>

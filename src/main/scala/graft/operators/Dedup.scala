@@ -873,6 +873,89 @@ object Dedup {
     df.join(dropIds, col(idCol) === col("__drop_id"), "left_anti")
   }
 
+  /** Per-SOURCE duplicate-mass report over the MinHash-LSH cluster
+    * structure — the "which sources are paying for the dedup pass" number a
+    * corpus curator reads next to [[sourceOverlap]]'s cross-source matrix:
+    * near-dup pairs ([[minHashLshPairs]]) collapse into connected
+    * components, every non-canonical member counts as duplicate mass
+    * against its source, and each source reports docs / clustered docs /
+    * duplicates / integer per-mille dup mass. A source whose dup_permille
+    * spikes is a mirror, a re-crawl, or a template farm — the signal that
+    * decides whether to drop, trim, or re-weight it before training.
+    *
+    * Shape at scale: the pair + component composition is exactly
+    * [[applyDedup]]'s (bounded LSH fan-out, O(log diameter) pointer-jumping
+    * rounds); the report itself is one vec-keyed join of the component
+    * labels back to the corpus metadata and two map-side-combined hash
+    * aggregations — output is nSources rows at any corpus size.
+    */
+  def clusterStatsBySource(docs: DataFrame, idCol: String, srcCol: String,
+                           textCol: String, k: Int = 3, numPerm: Int = 64,
+                           bands: Int = 16, threshold: Double = 0.5,
+                           checkpointDir: Option[String] = None): DataFrame = {
+    val pairs = minHashLshPairs(docs, idCol, textCol, k, numPerm, bands,
+      threshold, checkpointDir = checkpointDir)
+    val comps = ConnectedComponents.components(pairs, "doc_a", "doc_b",
+      checkpointDir = checkpointDir, inputMaterialized = true)
+    val labeled = docs.select(col(idCol).as("node"), col(srcCol).as("source"))
+      .join(comps, Seq("node"), "left")
+    labeled
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("cluster_id").isNotNull, 1L).otherwise(0L)).as("n_clustered"),
+        sum(when(col("cluster_id").isNotNull && col("node") =!= col("cluster_id"), 1L)
+          .otherwise(0L)).as("n_duplicates"))
+      .select(col("source"), col("n_docs"), col("n_clustered"), col("n_duplicates"),
+        expr("n_duplicates * 1000 DIV n_docs").as("dup_permille"))
+      .orderBy("source")
+  }
+
+  /** MinHash ESTIMATION-ERROR audit — the "can I trust the sketch at this
+    * numPerm" number that decides signature sizing before a 100 TB dedup
+    * run: for every verified LSH pair, the signature-agreement estimate
+    * ĵ = (#agreeing permutations)/numPerm next to the exact Jaccard, with
+    * the absolute error in integer ppm. E[ĵ] = J and stddev ≈ √(J(1−J)/64)
+    * ≈ 6 ppt at J = 0.5 — pairs far outside that band indicate broken hash
+    * mixing, not sampling noise (the audit that catches a bad permutation
+    * family before it silently tanks recall).
+    *
+    * Shape at scale: the pair surface is [[minHashLshPairs]] (already
+    * LSH-bounded and exact-verified); each side's full signature is the one
+    * imperative [[graft.plans.MinHashAggregate]] pass, joined back
+    * doc-keyed; the per-pair agreement count is a narrow zip_with fold —
+    * numPerm integers per row, no extra exchange beyond the two signature
+    * joins. est_ppm = matches·(1e6/numPerm) stays exact integer arithmetic;
+    * the exact side enters as round(jaccard·1e6) (exact: the round-6 double
+    * times 1e6 sits within 2⁻⁴⁰ of an integer).
+    */
+  def minHashEstimateAudit(docs: DataFrame, idCol: String, textCol: String,
+                           k: Int = 3, numPerm: Int = 64, bands: Int = 16,
+                           threshold: Double = 0.5,
+                           hashFn: Column => Column = Hashing.hash60,
+                           checkpointDir: Option[String] = None): DataFrame = {
+    require(1000000 % numPerm == 0, s"numPerm $numPerm must divide 1e6 for exact ppm")
+    val pairs = minHashLshPairs(docs, idCol, textCol, k, numPerm, bands,
+      threshold, hashFn, checkpointDir = checkpointDir)
+    val sigs = shingleHashesExploded(docs, idCol, textCol, k, hashFn)
+      .groupBy("doc_id")
+      .agg(graft.plans.MinHashAggregate.minhashSignature(col("h"), numPerm).as("sig"))
+    val matches = aggregate(
+      zip_with(col("siga"), col("sigb"), (x, y) => when(x === y, 1L).otherwise(0L)),
+      lit(0L), (acc, v) => acc + v)
+    pairs
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("siga")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sigb")), "doc_b")
+      .withColumn("sig_matches", matches)
+      .select(
+        col("doc_a"), col("doc_b"), col("jaccard"),
+        col("sig_matches"),
+        (col("sig_matches") * lit(1000000L / numPerm)).as("est_ppm"),
+        abs(col("sig_matches") * lit(1000000L / numPerm) -
+          round(col("jaccard") * 1e6).cast("long")).as("err_ppm"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** End-to-end decontamination APPLICATION — the batch sibling of the
     * streaming span gate ([[graft.streaming.StreamingDecontaminate]]): drop
     * every training document whose longest TRUE verbatim run against the

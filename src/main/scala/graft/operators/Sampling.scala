@@ -218,6 +218,57 @@ object Sampling {
       .orderBy(idCol)
   }
 
+  /** QUALITY-ordered token-budget capping — the FineWeb-style "keep the best
+    * documents the budget affords" cut (where [[tokenBudgetPerSource]] caps
+    * by deterministic hash order, this caps by the composite quality score,
+    * so the budget buys the highest-quality tokens): documents ordered by
+    * (quality DESC, hash, id), kept while the running token sum stays within
+    * `budget`. Quality is `TextAnalysis.qualityScore`'s composite in exact
+    * integer micro-units (round-6 double × 1e6, re-rounded — exact
+    * cross-engine because the product sits within 2⁻⁴⁰ of an integer).
+    *
+    * Shape at scale: same bucketed-prefix-sum machinery as
+    * [[tokenBudgetPerSource]], with block key (q_u, hash-bucket). The
+    * decomposition is order-exact: within one q_u the order IS hash-first,
+    * so hash-range blocks are contiguous; across q_u blocks order by q_u
+    * DESC. Block totals form a bounded-metadata table (distinct quality
+    * levels × nBuckets — thousands of rows for real corpora, ≤ the 6-dp
+    * grid by construction), its exclusive prefix is one tiny-table window,
+    * offsets broadcast back, and each block's running sum is its own task —
+    * a corpus where every doc shares one quality level still spreads across
+    * nBuckets tasks. Blocks wholly past the budget prune before the
+    * exchange.
+    */
+  def qualityTokenBudget(docs: DataFrame, budget: Long,
+                         salt: String = "qbudget", nBuckets: Int = 64): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be positive, got $nBuckets")
+    import org.apache.spark.sql.expressions.Window
+    val width = math.max(1L, (1L << 50) / nBuckets)
+    val base = TextAnalysis.qualityScore(docs)
+      .select(col("doc_id"),
+        round(col("quality_score") * 1e6).cast("long").as("q_u"),
+        col("n_tokens").cast("long").as("n_tokens"))
+      .withColumn("__h",
+        pmod(Hashing.hash60(concat(lit(salt), lit(":"), col("doc_id").cast("string"))),
+          lit(1L << 50)))
+      .withColumn("__b", floor(col("__h") / lit(width)).cast("long"))
+    val wo = Window.orderBy(col("q_u").desc, col("__b").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy(col("q_u"), col("__b"))
+      .agg(sum(col("n_tokens")).as("__bt"))
+      .withColumn("__before", coalesce(sum(col("__bt")).over(wo), lit(0L)))
+      .filter(col("__before") <= budget) // blocks wholly past the budget pruned
+      .select(col("q_u"), col("__b"), col("__before"))
+    val wr = Window.partitionBy(col("q_u"), col("__b"))
+      .orderBy(col("__h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.join(broadcast(offsets), Seq("q_u", "__b"))
+      .withColumn("cum_tokens", col("__before") + sum(col("n_tokens")).over(wr))
+      .filter(col("cum_tokens") <= budget)
+      .select(col("doc_id"), col("q_u"), col("n_tokens"), col("cum_tokens"))
+      .orderBy("doc_id")
+  }
+
   /** Mixture PLANNING: turn target source weights + a global token budget
     * into per-source sampling rates — the step a mixture designer runs
     * BEFORE [[tokenBudgetPerSource]]/[[stratifiedSample]] execute the cut

@@ -746,16 +746,31 @@ object Similarity {
     if (books.isEmpty || books.exists(_.isEmpty))
       return emb.limit(0).select(col("vec_id"),
         lit(0.0).as("approx_sim"), lit(0.0).as("exact_sim"))
-    val dim = books.map(_.head._2.length).sum
-    val sub = dim / m
     val probeVec = emb.filter(col("vec_id") === probeId)
       .select(col("embedding").as("probe"))
-    // EVERY full-vector dot is a fixed left-to-right sum of per-subspace
-    // dots (probe·centroid, probe·vector, and both norms): the per-subspace
-    // grouping is what the DuckDB oracle can evaluate over its materialized
-    // slice tables — the inline full-vector list-lambda form made its final
-    // join pathological — and the identical grouping here keeps the IEEE
-    // operation sequence in lock-step.
+    adcScore(emb.filter(col("vec_id") =!= probeId)
+      .crossJoin(broadcast(probeVec)), books)
+      .orderBy(col("approx_sim").desc, col("vec_id"))
+      .limit(topK)
+  }
+
+  /** The ADC scoring projection shared by [[pqTopK]] (all-corpus scan) and
+    * [[ivfPqTopK]] (bucket-pruned scan): rows must carry `vec_id`,
+    * `embedding`, and the broadcast `probe`; out come `(vec_id, approx_sim,
+    * exact_sim)`.
+    *
+    * EVERY full-vector dot is a fixed left-to-right sum of per-subspace
+    * dots (probe·centroid, probe·vector, and both norms): the per-subspace
+    * grouping is what the DuckDB oracle can evaluate over its materialized
+    * slice tables — the inline full-vector list-lambda form made its final
+    * join pathological — and the identical grouping here keeps the IEEE
+    * operation sequence in lock-step.
+    */
+  private def adcScore(rows: DataFrame,
+                       books: Seq[Seq[(Long, Array[Double])]]): DataFrame = {
+    val m = books.size
+    val dim = books.map(_.head._2.length).sum
+    val sub = dim / m
     val choices = (0 until m).map { s =>
       val xs = slice(col("embedding"), s * sub + 1, sub)
       val ps = slice(col("probe"), s * sub + 1, sub)
@@ -775,8 +790,7 @@ object Similarity {
         VecF.dot(xs, xs).as(s"n2x$s"),
         VecF.dot(ps, ps).as(s"n2p$s"))
     }
-    emb.filter(col("vec_id") =!= probeId)
-      .crossJoin(broadcast(probeVec))
+    rows
       .select(col("vec_id") +: (choices ++ perSub): _*)
       .select(
         col("vec_id"),
@@ -790,6 +804,205 @@ object Similarity {
             (sqrt((0 until m).map(s => col(s"n2x$s")).reduce(_ + _)) *
              sqrt((0 until m).map(s => col(s"n2p$s")).reduce(_ + _))), 6)
           .as("exact_sim"))
+  }
+
+  /** JOINT IVF + PQ training: the m PQ sub-codebooks AND the full-vector IVF
+    * coarse quantizer train in ONE deep plan — the full vector rides as
+    * pseudo-subspace `m` with its own init width (`nlist` instead of `k`),
+    * and every Lloyd round is one broadcast join + keyed aggregations over
+    * all m+1 subspaces at once, ending in ONE bounded collect
+    * ((m·k + nlist) rows of index metadata). Requires equal round counts.
+    *
+    * Numbers are IDENTICAL to separate [[pqCodebooks]] + [[lloydCentroids]]
+    * runs: assignments and quantized means live under their own
+    * (subspace, …) keys, [[pqLloydRound]]'s per-(vec_id, s) max_by is
+    * exactly [[lloydRound]]'s per-vec_id assignment for s = m, and
+    * float→double casts are value-exact — so the shared DuckDB oracle
+    * chains apply unchanged. Motivation is measured: the separate form ran
+    * two sequential collect plans and put the one-shot IVFADC query at
+    * 4.15 s (sf0.1, near-idle) — far over the repo's 2.5 s bar; jointly the
+    * sub-vector table explodes once and scheduling overhead halves.
+    */
+  private def jointIvfPqBooks(emb: DataFrame, nlist: Int, m: Int, k: Int,
+                              iters: Int)
+      : (Seq[(Long, Array[Double])], Seq[Seq[(Long, Array[Double])]]) = {
+    val dim = embeddingDim(emb)
+    if (dim == 0) return (Seq.empty, Seq.empty)
+    require(dim % m == 0, s"embedding dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    val slices = (0 until m).map(s => slice(col("embedding"), s * sub + 1, sub)) :+
+      col("embedding")
+    val subs = emb.select(col("vec_id"),
+      posexplode(array(slices: _*)).as(Seq("s", "sv")))
+    val init = subs.filter(
+        (col("s") < m && col("vec_id") < k) ||
+          (col("s") === m && col("vec_id") < nlist))
+      .select(col("s"), col("vec_id").as("cid"), col("sv").cast("array<double>").as("cvec"))
+    val fin = (1 to iters).foldLeft(init)((cent, _) => pqLloydRound(subs, cent))
+    val rows = fin.collect()
+      .map(r => (r.getInt(0), (r.getLong(1), r.getSeq[Double](2).toArray)))
+    val books = (0 until m).map(s => rows.filter(_._1 == s).map(_._2).sortBy(_._1).toSeq)
+    val cents = rows.filter(_._1 == m).map(_._2).sortBy(_._1).toSeq
+    (cents, books)
+  }
+
+  /** IVF + PQ composed ANN search — IVFADC (Jégou et al. 2011 §IV), the
+    * architecture web-scale vector serving actually deploys (FAISS
+    * `IndexIVFPQ`): the IVF coarse quantizer prunes the scan to `nprobe` of
+    * `nlist` buckets (sub-linear touch), and within the probed buckets the
+    * probe is scored against PQ codes by asymmetric distance — both
+    * compressions compound: scan cost drops by nlist/nprobe AND per-vector
+    * memory drops to m·log2(k) bits. `exact_sim` rides along as the ADC-error
+    * report, like [[pqTopK]].
+    *
+    * Both trainings are the deterministic Lloyd chains ([[lloydCentroids]] /
+    * [[pqCodebooks]]), so the full composition stays oracle-checkable. The
+    * bucket prune is an equi-join against the broadcast nprobe-row bucket
+    * list; ranking is `TakeOrderedAndProject`. Ties break to the lower
+    * vec_id. For the steady-state serving plan (stored index, code-only
+    * scoring, no training) see [[ivfPqSearchStored]].
+    */
+  def ivfPqTopK(emb: DataFrame, probeId: Long, topK: Int,
+                nlist: Int = 4, nprobe: Int = 3, ivfIters: Int = 2,
+                m: Int = 8, k: Int = 8, pqIters: Int = 2): DataFrame = {
+    // equal round counts (the default) train jointly in one deep plan;
+    // unequal counts fall back to the two separate trainings
+    val (cents, books) =
+      if (ivfIters == pqIters) jointIvfPqBooks(emb, nlist, m, k, pqIters)
+      else (lloydCentroidsLocalValues(emb, nlist, ivfIters),
+        pqCodebooks(emb, m, k, pqIters))
+    if (books.isEmpty || books.exists(_.isEmpty))
+      return emb.limit(0).select(col("vec_id"),
+        lit(0.0).as("approx_sim"), lit(0.0).as("exact_sim"))
+    val assigned = assignScored(emb, cents)
+      .select(col("vec_id"), col("centroid_id"), col("embedding"))
+    val probeVec = emb.filter(col("vec_id") === probeId)
+      .select(col("embedding").as("probe"))
+    val probeBuckets = broadcast(
+      centroidsToDF(emb.sparkSession, cents).crossJoin(broadcast(probeVec))
+        .withColumn("csim", round(VecF.cosine(col("cvec"), col("probe")), 6))
+        .orderBy(col("csim").desc, col("centroid_id"))
+        .limit(nprobe)
+        .select(col("centroid_id")))
+    adcScore(
+      assigned.join(probeBuckets, "centroid_id") // bucket pruning
+        .filter(col("vec_id") =!= probeId)
+        .crossJoin(broadcast(probeVec)),
+      books)
+      .orderBy(col("approx_sim").desc, col("vec_id"))
+      .limit(topK)
+  }
+
+  /** Persist the full IVFADC index: IVF centroids, PQ codebooks, and the
+    * inverted list itself — one row per vector holding ONLY
+    * `(vec_id, centroid_id, code)`. This is the true at-rest layout of a
+    * production IVF-PQ deployment: the index carries m·log2(k) bits per
+    * vector (plus the bucket id), never the embedding floats, so a 100 TB
+    * float corpus serves from a ~256×-smaller artifact. The inverted list is
+    * written partitioned by `centroid_id`, so a search's bucket prune is
+    * planning-time partition pruning — `nprobe` directories read, the rest
+    * never opened.
+    */
+  def ivfPqStore(emb: DataFrame, dir: String,
+                 nlist: Int = 4, ivfIters: Int = 4,
+                 m: Int = 8, k: Int = 8, pqIters: Int = 2): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val books = pqCodebooks(emb, m, k, pqIters)
+    books.zipWithIndex
+      .flatMap { case (cents, s) => cents.map { case (cid, v) => (s, cid, v.toSeq) } }
+      .toDF("subspace", "cid", "cvec")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/codebooks")
+    val cents = lloydCentroidsLocalValues(emb, nlist, ivfIters)
+    centroidsToDF(spark, cents).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    assignScored(emb, cents)
+      .select(col("vec_id"), col("centroid_id"), col("embedding"))
+      .join(encodeWithBooks(emb, books).select(col("vec_id"), col("code")), "vec_id")
+      .select(col("vec_id"), col("centroid_id"), col("code"))
+      .write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(s"$dir/invlists")
+  }
+
+  /** Steady-state IVFADC search over a stored index ([[ivfPqStore]]): the
+    * plan reads the probe row, the nlist-row centroid table, the m·k-row
+    * codebooks, and the `nprobe` probed inverted-list partitions — and
+    * NOTHING else. Corpus embeddings are never touched: the approximate
+    * similarity is computed from the stored PQ code alone, exactly the
+    * serving memory model of FAISS IVFADC (Jégou et al. 2011 eq. 13).
+    *
+    * Per subspace, the probe×sub-centroid dot table (the classic m·k ADC
+    * lookup table) is baked into the projection as a literal-indexed
+    * `element_at(array(...), cid+1)` — the code string is split once and
+    * each subspace's byte picks its precomputed dot and norm component. The
+    * IEEE combination tree matches [[pqTopK]]'s per-subspace grouping, so
+    * approx_sim is bit-identical to the embedding-derived path (asserted in
+    * the suite) and the DuckDB oracle's.
+    *
+    * Returns `(vec_id, approx_sim)` — no exact_sim by design: the whole
+    * point of the serving path is that corpus floats are not available.
+    */
+  def ivfPqSearchStored(spark: org.apache.spark.sql.SparkSession, dir: String,
+                        emb: DataFrame, probeId: Long, topK: Int,
+                        nprobe: Int = 3): DataFrame = {
+    val bookRows = spark.read.parquet(s"$dir/codebooks").collect()
+      .map(r => (r.getInt(0), (r.getLong(1), r.getSeq[Double](2).toArray)))
+    val m = if (bookRows.isEmpty) 0 else bookRows.map(_._1).max + 1
+    val books = (0 until m).map(s =>
+      bookRows.filter(_._1 == s).map(_._2).sortBy(_._1).toSeq)
+    if (books.isEmpty || books.exists(_.isEmpty))
+      return emb.limit(0).select(col("vec_id"), lit(0.0).as("approx_sim"))
+    val dim = books.map(_.head._2.length).sum
+    val sub = dim / m
+    val centroids = broadcast(spark.read.parquet(s"$dir/centroids"))
+    val probeVec = emb.filter(col("vec_id") === probeId)
+      .select(col("embedding").as("probe"))
+    // the probed bucket ids are nprobe rows of index METADATA (the same
+    // bounded class as the codebook collect above), so they come back to
+    // the driver and push into the inverted-list scan as a LITERAL
+    // partition predicate — planning-time partition pruning, visible in the
+    // scan's PartitionFilters: the non-probed directories are never opened,
+    // independent of any runtime-filter heuristic
+    val probedBuckets = centroids.crossJoin(broadcast(probeVec))
+      .withColumn("csim", round(VecF.cosine(col("cvec"), col("probe")), 6))
+      .orderBy(col("csim").desc, col("centroid_id"))
+      .limit(nprobe)
+      .select(col("centroid_id"))
+      .collect().map(_.getLong(0))
+    // cids are dense in [0, k): codebook init seeds from vec_id < k, and
+    // Lloyd never invents ids — so a code byte indexes a literal array.
+    // Missing slots (a centroid that lost all members) simply never occur
+    // in stored codes.
+    val kMax = books.map(b => b.map(_._1).max + 1).max.toInt
+    def lookup(s: Int, comp: (Long, Array[Double]) => Column): Column = {
+      val slots = (0L until kMax).map { cid =>
+        books(s).find(_._1 == cid).map { case (_, v) => comp(cid, v) }
+          .getOrElse(lit(Double.NaN))
+      }
+      element_at(array(slots: _*), col(s"cid$s") + 1)
+    }
+    val cids = (0 until m).map(s =>
+      split(col("code"), "\\|").getItem(s).cast("int").as(s"cid$s"))
+    val n2ps = (0 until m).map { s =>
+      val ps = slice(col("probe"), s * sub + 1, sub)
+      VecF.dot(ps, ps).as(s"n2p$s")
+    }
+    spark.read.parquet(s"$dir/invlists")
+      .filter(col("centroid_id").isin(probedBuckets: _*)) // partition pruning
+      .filter(col("vec_id") =!= probeId)
+      .crossJoin(broadcast(probeVec))
+      .select(col("vec_id") +: col("probe") +: (cids ++ n2ps): _*)
+      .select(
+        col("vec_id"),
+        round(
+          (0 until m).map(s => lookup(s, (_, v) =>
+            VecF.dot(slice(col("probe"), s * sub + 1, sub), typedLit(v.toSeq))))
+            .reduce(_ + _) /
+            (sqrt((0 until m).map(s => col(s"n2p$s")).reduce(_ + _)) *
+             sqrt((0 until m).map(s => lookup(s, (_, v) =>
+               VecF.dot(typedLit(v.toSeq), typedLit(v.toSeq)))).reduce(_ + _))), 6)
+          .as("approx_sim"))
       .orderBy(col("approx_sim").desc, col("vec_id"))
       .limit(topK)
   }
@@ -843,6 +1056,96 @@ object Similarity {
         round(sum(col("csim").cast(DecimalType(18, 6))).cast("double") / count(lit(1)), 6)
           .as("mean_csim"))
       .orderBy("centroid_id")
+  }
+
+  /** Per-cluster LABEL-coherence audit over the deterministic Lloyd index —
+    * the "are my embedding clusters semantically meaningful" check run
+    * before trusting cluster-based curation (SemDeDup caps, cluster-balanced
+    * sampling, [[clusterBalancedSample]]): for each cluster, its size, the
+    * majority label (ties to the lexicographically smaller label), purity in
+    * integer per-mille, and the label-distribution Shannon entropy in
+    * floor'd integer micro-nats (the tie-free cross-engine recipe of
+    * `TextAnalysis.tokenEntropy`). A high-entropy / low-purity cluster means
+    * the embedding space does not separate that label — capping or deduping
+    * inside it mixes classes.
+    *
+    * Shape at scale: assignment is the [[assignScored]] narrow pass (literal
+    * argmin below the nlist cap, broadcast join above); labels ride a
+    * vec_id-keyed join; then two hash aggregations — (cluster, label) counts
+    * map-side combined, a cluster-level rollup over label-count rows.
+    * Output is ≤ nlist·|labels| intermediate rows and nlist result rows at
+    * any corpus size. Purity is exact integer arithmetic
+    * (majority·1000 div n); entropy terms quantize each ln to 6 decimals and
+    * sum in decimal before the one floor'd division.
+    */
+  def clusterLabelPurity(emb: DataFrame, nlist: Int = 4, iters: Int = 2,
+                         labelCol: String = "label"): DataFrame = {
+    val cents = lloydCentroidsLocalValues(emb, nlist, iters)
+    val counts = assignScored(emb, cents)
+      .select(col("vec_id"), col("centroid_id"))
+      .join(emb.select(col("vec_id"), col(labelCol).as("label")), "vec_id")
+      .groupBy(col("centroid_id"), col("label"))
+      .agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy("centroid_id").agg(sum(col("c")).as("n"))
+    counts
+      .join(totals, "centroid_id")
+      .withColumn("term",
+        (col("c") * round(log(col("n").cast("double") / col("c").cast("double")), 6)
+          .cast(DecimalType(18, 6))).cast(DecimalType(28, 6)))
+      .groupBy(col("centroid_id"))
+      .agg(
+        min(col("n")).as("n_vectors"), // constant within the group
+        count(lit(1)).as("n_labels"),
+        min_by(col("label"), struct((-col("c")).as("nc"), col("label")))
+          .as("majority_label"),
+        max(col("c")).as("majority_c"),
+        sum(col("term")).as("nats"))
+      .select(
+        col("centroid_id"),
+        col("n_vectors"),
+        col("n_labels"),
+        col("majority_label"),
+        expr("majority_c * 1000 DIV n_vectors").as("purity_pm"),
+        floor((col("nats") * lit(1000000)).cast("long").cast("double") /
+          col("n_vectors").cast("double")).cast("long").as("entropy_unats"))
+      .orderBy("centroid_id")
+  }
+
+  /** Matryoshka / truncation-dimension audit (Kusupati et al. 2022,
+    * arXiv:2205.13147): how much of each vector's energy — and therefore of
+    * its cosine geometry — survives truncating the embedding to its first
+    * `d` dimensions, for each candidate `d`. The retained-cosine of a
+    * truncated-then-zero-padded vector against the original is exactly
+    * ‖v[:d]‖/‖v‖, so the audit needs no pair joins at all: per vector and
+    * per truncation width it reports the energy fraction in integer
+    * parts-per-million (floor — tie-free cross-engine) and the retained
+    * cosine rounded to 6. The corpus-level roll-up (mean retained ppm per
+    * width) is what decides the serving truncation; per-vector rows keep the
+    * tail visible (a mean hides vectors whose meaning lives in late dims).
+    *
+    * Shape at scale: ONE narrow codegen pass — per row, prefix dots over
+    * array slices (fixed left-to-right IEEE sequence, the [[pqEncode]]
+    * discipline) exploded to |dims| rows; no shuffle except the final
+    * presentation sort. Zero/empty vectors are unquantifiable and drop out,
+    * like [[quantizeInt8]].
+    */
+  def truncationAudit(emb: DataFrame, dims: Seq[Int] = Seq(8, 16, 32, 64)): DataFrame = {
+    require(dims.nonEmpty)
+    val full = VecF.dot(col("embedding"), col("embedding"))
+    val rows = dims.sorted.map { d =>
+      val pre = VecF.dot(slice(col("embedding"), 1, d), slice(col("embedding"), 1, d))
+      struct(lit(d).as("trunc_dim"), pre.as("pre"))
+    }
+    emb
+      .select(col("vec_id"), full.as("n2full"), explode(array(rows: _*)).as("t"))
+      .filter(col("n2full") > 0)
+      .select(
+        col("vec_id"),
+        col("t.trunc_dim").as("trunc_dim"),
+        floor(col("t.pre") * lit(1000000.0) / col("n2full")).cast("long")
+          .as("energy_ppm"),
+        round(sqrt(col("t.pre")) / sqrt(col("n2full")), 6).as("retained_cos"))
+      .orderBy("vec_id", "trunc_dim")
   }
 
   /** Batch kNN join: top-k cosine neighbors for EVERY probe in a bounded

@@ -573,6 +573,53 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Bigram negative-log-likelihood scoring — the 2-gram LM sibling of
+    * [[unigramLogprob]] and the closest built-from-counts analog of the
+    * KenLM perplexity filters production pipelines run (CCNet): documents
+    * whose adjacent-token transitions are improbable under the corpus
+    * bigram distribution score high (machine-garbled text, shuffled
+    * boilerplate, keyword stuffing — junk whose unigram profile can still
+    * look normal). Trained on the corpus itself, so every document bigram
+    * is observed and the MLE conditional needs no smoothing:
+    * nll(w1,w2) = round(ln(c(w1·)/c(w1,w2)), 6), where c(w1·) counts w1 as
+    * a LEFT context (so Σ_w2 P(w2|w1) = 1 exactly). Per doc: bigram count
+    * and the decimal-summed mean NLL, the [[unigramLogprob]] recipe.
+    *
+    * Shape at scale: bigrams form NARROWLY inside the scan — `zip_with`
+    * over the token array against itself shifted by one, no positional
+    * self-join, no second corpus pass. Then one (bigram) and one
+    * (left-context) hash agg (both map-side combined) and two plain
+    * vocabulary-keyed joins back — NO broadcast hint: the bigram table
+    * grows faster than the Heaps-law unigram vocabulary (it's the object
+    * [[bpeTrain]]'s pair counts bound by going type-level), so forcing it
+    * into the driver is the exact scale-killer the round-11 verdict flagged
+    * in sourceDivergence; AQE still broadcasts genuinely small tables.
+    * Docs with < 2 tokens have no bigram and drop out, like token-less docs
+    * in [[unigramLogprob]].
+    */
+  def bigramLogprob(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val toks = Text.tokens(col("text"))
+    val len = greatest(size(toks) - lit(1), lit(0))
+    val pairs = zip_with(
+      slice(toks, lit(1), len), slice(toks, lit(2), len),
+      (a, b) => struct(a.as("w1"), concat_ws(" ", a, b).as("bg")))
+    val bg = docs.select(col("doc_id"), explode(pairs).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.bg").as("bg"))
+    val c12 = bg.groupBy("bg").agg(count(lit(1)).as("cnt12"))
+    val c1 = bg.groupBy("w1").agg(count(lit(1)).as("cnt1"))
+    bg.join(c12, "bg")
+      .join(c1, "w1")
+      .withColumn("nll",
+        round(log(col("cnt1").cast("double") / col("cnt12").cast("double")), 6))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        round(sum(col("nll").cast(DecimalType(18, 6))).cast("double") / count(lit(1)), 6)
+          .as("mean_nll"))
+      .orderBy("doc_id")
+  }
+
   /** Per-SOURCE Kullback–Leibler divergence from the whole-corpus unigram
     * distribution — the mixture-drift / domain-shift report a corpus curator
     * reads before reweighting sources: a source whose token distribution
@@ -713,6 +760,31 @@ object TextAnalysis {
         (col("pred_lang") === col("actual_lang")).as("agree"))
       .orderBy("doc_id")
   }
+
+  /** Per-SOURCE mislabel-rate report over the [[naiveBayesLang]]
+    * classifier — the aggregated quality gate a curator actually reads
+    * (per-doc disagreement is noise; a SOURCE whose declared language
+    * disagrees with its token distribution at 30% is a mislabeled dump, a
+    * language-mixing crawler, or a broken extraction pipeline): per source,
+    * docs / declared-vs-predicted disagreements / integer per-mille
+    * mislabel rate.
+    *
+    * Shape at scale: all the heavy lifting is [[naiveBayesLang]]'s sparse
+    * scoring (vocabulary joins AQE-decided); the report adds one
+    * doc_id-keyed join of the source label and one map-side-combined
+    * per-source aggregation — nSources output rows at any corpus size.
+    */
+  def mislabelRate(docs: DataFrame): DataFrame =
+    naiveBayesLang(docs)
+      .select(col("doc_id"), col("agree"))
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("agree"), 0L).otherwise(1L)).as("n_mislabeled"))
+      .select(col("source"), col("n_docs"), col("n_mislabeled"),
+        expr("n_mislabeled * 1000 DIV n_docs").as("mislabel_permille"))
+      .orderBy("source")
 
   /** Canonical text normalization: lowercase, non-alphanumerics to spaces,
     * whitespace collapsed, trimmed. Pure regex/column ops (codegen'd, no UDF)

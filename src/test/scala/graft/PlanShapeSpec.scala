@@ -307,6 +307,29 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("sample_quality_budget: running-sum window keys on (q_u, bucket), never one global task") {
+    val df = ExtensionQueries.all("sample_quality_budget")(spark, sf0001)
+    val exec = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val windows = exec.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.nonEmpty, s"expected window execs:\n$exec")
+    // the corpus-side running sum must partition by (q_u, bucket) — a
+    // global or quality-only spec would funnel a constant-quality corpus
+    // into ONE task's sort
+    assert(windows.exists(_.partitionSpec.size >= 2),
+      s"the corpus running-sum window must key on (q_u, bucket):\n$exec")
+    // the unpartitioned offsets window may run only over the bounded block
+    // totals (its subtree aggregates the corpus down to metadata first)
+    windows.filter(_.partitionSpec.size < 2).foreach { w =>
+      val agg = w.child.collectFirst {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a }
+      assert(agg.isDefined,
+        s"an unpartitioned window must sit above the block-totals aggregate:\n$w")
+    }
+  }
+
   test("source_overlap: df-capped index, equi-joins only, no cartesian") {
     // materialize = false so the pre-barrier join structure stays visible
     val p = plan(graft.operators.Dedup.sourceOverlap(
@@ -435,5 +458,59 @@ class PlanShapeSpec extends SparkSpec {
         case None => conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
       }
     }
+  }
+
+  test("bigramLogprob: bigram/left-context joins never FORCE-broadcast; bigrams form in the scan") {
+    // the bigram table outgrows even the Heaps-law unigram vocabulary — a
+    // forced broadcast of it is the sourceDivergence scale-killer squared.
+    // With auto-broadcast disabled, no BroadcastHashJoin may remain on the
+    // bg/w1-keyed joins. The bigram formation itself must be narrow
+    // (zip_with in the scan projection): no join keyed on a token position.
+    val docs = Tables.table(spark, sf0001, "documents")
+    val conf = spark.conf
+    val oldBc = conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    val oldAqeBc = conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan(graft.operators.TextAnalysis.bigramLogprob(docs))
+      val forced = p.linesIterator
+        .filter(l => l.contains("BroadcastHashJoin") &&
+          (l.contains("bg#") || l.contains("w1#"))).toSeq
+      assert(forced.isEmpty,
+        s"bigram tables must not be force-broadcast:\n${forced.mkString("\n")}")
+      assert(p.contains("zip_with"),
+        "bigram formation must be the narrow zip_with projection, not a positional join")
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", oldBc)
+      oldAqeBc match {
+        case Some(v) => conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None => conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+    }
+  }
+
+  test("ivfPqSearchStored: inverted-list scan is partition-pruned and float-free") {
+    // the serving claim: a search touches nprobe of nlist partition dirs of
+    // an index that stores CODES, never corpus embeddings. Locked in the
+    // plan: the invlists FileScan must carry a literal centroid_id
+    // PartitionFilter (planning-time pruning — no runtime-filter heuristic
+    // involved) and read only (vec_id, code).
+    val emb = Tables.table(spark, sf0001, "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-plan").toString
+    Similarity.ivfPqStore(emb, dir, nlist = 4, ivfIters = 4,
+      m = 8, k = 8, pqIters = 2)
+    val p = plan(Similarity.ivfPqSearchStored(spark, dir, emb, probeId = 0L,
+      topK = 5, nprobe = 3))
+    val invScan = p.linesIterator.filter(l =>
+      l.contains("FileScan") && l.contains("invlists")).toSeq
+    assert(invScan.nonEmpty, s"no invlists scan found in:\n$p")
+    assert(invScan.exists(l => l.contains("PartitionFilters") &&
+      l.contains("centroid_id") && (l.contains(" IN ") || l.contains("isnotnull"))),
+      s"invlists scan not partition-pruned:\n${invScan.mkString("\n")}")
+    assert(invScan.forall(!_.contains("embedding")),
+      s"serving scan must never read embeddings:\n${invScan.mkString("\n")}")
+    assert(invScan.exists(_.contains("ReadSchema: struct<vec_id:bigint,code:string>")),
+      s"invlists read schema must be exactly (vec_id, code):\n${invScan.mkString("\n")}")
   }
 }

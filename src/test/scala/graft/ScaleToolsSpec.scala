@@ -1049,6 +1049,67 @@ class ScaleToolsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
         f"(t1=${math.min(t1a, t1b)}%.2fs t2=${math.min(t2a, t2b)}%.2fs)")
   }
 
+  test("ivfPqSearchStored survives 10x corpus: planted dup found, scan stays sub-linear, flat jobs") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    // serving claim under sqrt(n)-ish index sizing: 10x corpus with ~3x
+    // nlist keeps the probed-bucket rescan ~3x, not 10x — measured on the
+    // invlists scan's OWN row metric, after literal partition pruning.
+    // Planted check: an exact duplicate of the probe rides the corpus; ADC
+    // must rank it #1 at both scales (it shares the probe's bucket and its
+    // code reconstructs nearest to the probe).
+    def corpus(n: Int): org.apache.spark.sql.DataFrame = {
+      val base = spark.range(n).select(col("id").as("vec_id"),
+        array((0 until 64).map(d => uh(lit("ivfpq10x"), col("id"), lit(d))): _*)
+          .as("embedding"))
+      val dup = spark.range(1).select(lit(n.toLong + 7L).as("vec_id"),
+        array((0 until 64).map(d => uh(lit("ivfpq10x"), lit(0L), lit(d))): _*)
+          .as("embedding"))
+      base.union(dup).localCheckpoint()
+    }
+    def invRows(plan: SparkPlan): Long = {
+      val scans = scala.collection.mutable.ArrayBuffer.empty[Long]
+      def walk(p: SparkPlan): Unit = p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: QueryStageExec => walk(q.plan) // AQE stages are leaf wrappers
+        case f: FileSourceScanExec =>
+          if (f.metadata.get("Location").exists(_.contains("invlists")))
+            scans += f.metrics("numOutputRows").value
+        case other =>
+          other.children.foreach(walk)
+          other.subqueries.foreach(walk)
+      }
+      walk(plan)
+      scans.sum
+    }
+    def run(n: Int, nlist: Int): (Long, Long, Int) = {
+      val emb = corpus(n)
+      val dir = java.nio.file.Files.createTempDirectory(s"ivfpq10x-$n").toString
+      Similarity.ivfPqStore(emb, dir, nlist = nlist, ivfIters = 2,
+        m = 8, k = 8, pqIters = 2)
+      val df = Similarity.ivfPqSearchStored(spark, dir, emb, probeId = 0L,
+        topK = 5, nprobe = 3)
+      var top = Array.empty[org.apache.spark.sql.Row]
+      val jobs = countJobs(s"ivfpq10x-$n-${System.nanoTime()}") {
+        top = df.collect()
+      }
+      assert(top.head.getLong(0) == n.toLong + 7L,
+        s"planted duplicate not ranked #1 at n=$n: ${top.map(_.getLong(0)).toSeq}")
+      (top.head.getLong(0), invRows(df.queryExecution.executedPlan), jobs)
+    }
+    run(2000, 8) // warm plan shapes/codegen
+    val (_, rows1, j1) = run(2000, 8)
+    val (_, rows2, j2) = run(20000, 25)
+    assert(rows1 > 0, "invlists scan metric not observed")
+    val ratio = rows2.toDouble / rows1
+    assert(ratio <= 5.0,
+      f"10x corpus grew the probed-bucket rescan $ratio%.1fx " +
+        s"(rows $rows1 -> $rows2) — partition pruning or sqrt(n) sizing broke")
+    assert(j2 <= j1 + 4,
+      s"10x corpus grew the serving job count $j1 -> $j2")
+  }
+
   test("fuzzyContamination chain (cross-corpus MinHash -> anti-join) survives 10x docs") {
     import graft.operators.Dedup
     // deterministic corpus mirroring the shipped decontaminate_fuzzy
@@ -1552,6 +1613,92 @@ class ScaleToolsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     val ratio = math.min(t2a, t2b) / math.min(t1a, t1b)
     assert(ratio <= 30.0,
       f"10x docs grew tokenBudget wall-time $ratio%.1fx " +
+        f"(t1=${math.min(t1a, t1b)}%.2fs t2=${math.min(t2a, t2b)}%.2fs)")
+  }
+
+  test("qualityTokenBudget survives 10x docs: single-window equivalence, constant-quality corpus spreads") {
+    import graft.operators.Sampling
+    import graft.functions.Hashing
+    import org.apache.spark.sql.expressions.Window
+    // EVERY doc shares one quality level (identical token count, zero
+    // stopwords) — the worst case for quality-ordered capping: a
+    // quality-only partition spec would funnel the whole corpus into one
+    // task; the (q_u, hash-bucket) block key must spread it
+    def corpus(n: Int) = spark.range(n).select(col("id").as("doc_id"),
+      expr("array_join(transform(sequence(0, 9), j -> concat('t', id, '_', j)), ' ')")
+        .as("text"))
+      .withColumn("n_chars", length(col("text")))
+    def budget(n: Int): Long = 5L * n // 10 tokens/doc -> n/2 docs kept
+    // semantics oracle: the straightforward single-window form
+    def reference(n: Int) = {
+      val w = Window.orderBy(col("q_u").desc, col("__h"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      graft.operators.TextAnalysis.qualityScore(corpus(n))
+        .select(col("doc_id"),
+          round(col("quality_score") * 1e6).cast("long").as("q_u"),
+          col("n_tokens").cast("long").as("n_tokens"))
+        .withColumn("__h", pmod(Hashing.hash60(
+          concat(lit("qbudget:"), col("doc_id").cast("string"))), lit(1L << 50)))
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .filter(col("cum_tokens") <= budget(n))
+        .select(col("doc_id"), col("q_u"), col("n_tokens"), col("cum_tokens"))
+    }
+    for (n <- Seq(2000, 20000)) {
+      val got = Sampling.qualityTokenBudget(corpus(n), budget(n))
+      assert(got.count() == n / 2, s"n=$n: expected ${n / 2} kept docs")
+      assert(got.exceptAll(reference(n)).count() == 0 &&
+        reference(n).exceptAll(got).count() == 0,
+        s"n=$n: bucketed result diverged from the single-window reference")
+    }
+    // the constant-quality corpus must SPREAD across tasks
+    val byStage = scala.collection.concurrent.TrieMap[
+      Int, scala.collection.mutable.ArrayBuffer[Long]]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null && m.shuffleReadMetrics.recordsRead > 0)
+          byStage.getOrElseUpdate(t.stageId,
+            scala.collection.mutable.ArrayBuffer()) += m.shuffleReadMetrics.recordsRead
+      }
+    }
+    val conf = spark.conf
+    val oldCoalesce = conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      Sampling.qualityTokenBudget(corpus(20000), budget(20000)).count()
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (byStage.isEmpty && System.nanoTime() < deadline) Thread.sleep(100)
+      var last = -1; var same = 0
+      while (same < 3) {
+        Thread.sleep(100)
+        val c = byStage.values.map(_.size).sum
+        if (c == last) same += 1 else { same = 0; last = c }
+      }
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", oldCoalesce)
+    }
+    assert(byStage.nonEmpty, "no shuffle-read metrics captured")
+    val heaviest = byStage.values.maxBy(_.sum)
+    assert(heaviest.size >= 3,
+      s"the constant-quality corpus's window stage ran on ${heaviest.size} task(s) — " +
+        "quality-ordered capping funneled into one sort")
+    // flat job structure + linear wall
+    def run(n: Int): (Int, Double) = {
+      val t0 = System.nanoTime()
+      val jobs = countJobs(s"qbud10x-$n-${System.nanoTime()}") {
+        Sampling.qualityTokenBudget(corpus(n), budget(n)).count()
+      }
+      (jobs, (System.nanoTime() - t0) / 1e9)
+    }
+    run(2000)
+    val (j1, t1a) = run(2000); val (_, t1b) = run(2000)
+    val (j2, t2a) = run(20000); val (_, t2b) = run(20000)
+    assert(j2 <= j1 + 4, s"10x docs grew the qualityBudget job count $j1 -> $j2")
+    val ratio = math.min(t2a, t2b) / math.min(t1a, t1b)
+    assert(ratio <= 30.0,
+      f"10x docs grew qualityBudget wall-time $ratio%.1fx " +
         f"(t1=${math.min(t1a, t1b)}%.2fs t2=${math.min(t2a, t2b)}%.2fs)")
   }
 
