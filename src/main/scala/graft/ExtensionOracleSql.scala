@@ -186,6 +186,27 @@ object ExtensionOracleSql {
        |pb AS (SELECT lang AS pb_lang, prior_ll AS pb_score FROM pri
        |       ORDER BY prior_ll DESC, lang LIMIT 1)""".stripMargin
 
+  /** Composite-quality score in integer micro-units over `documents` — in
+    * lock-step with graft.operators.TextAnalysis.qualityScore composed with
+    * round(·×1e6) (exact: the round-6 double times 1e6 sits within 2⁻⁴⁰ of
+    * an integer). Ends with CTE `q(doc_id, q_u, n_tokens)`. CTE names are
+    * prefixed `q` to compose with the MinHash chain without collisions.
+    */
+  private lazy val qualityQuCtes: String =
+    s"""qt AS (SELECT doc_id, $toksOf AS toks FROM documents),
+       |qs AS (
+       |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+       |    len(list_filter(toks, x -> list_contains(
+       |      ['the','a','and','of','to','in','is','for','on','with'], x))) AS n_stop
+       |  FROM qt),
+       |q AS (
+       |  SELECT doc_id, n_tokens,
+       |    CAST(round((CASE WHEN n_tokens > 0 THEN round(
+       |      least(CAST(n_tokens AS DOUBLE) / 200.0, 1.0) *
+       |      (1.0 - least(CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE), 0.5)), 6)
+       |      ELSE 0.0 END) * 1000000) AS BIGINT) AS q_u
+       |  FROM qs)""".stripMargin
+
   /** The full-corpus MinHash-LSH pair pipeline (64 perms, 16 bands of 4),
     * ending at CTE `j(doc_a, doc_b, jaccard)` with doc_a < doc_b — shared
     * by dedup_minhash_lsh and dedup_incremental (which keeps only cross
@@ -258,13 +279,13 @@ object ExtensionOracleSql {
     * integer-quantized sums — in lock-step with
     * graft.operators.Similarity.lloydCentroids.
     */
-  private def lloydIterCte(n: Int): String =
+  private def lloydIterCte(n: Int, src: String = "embeddings"): String =
     s"""asg$n AS (
        |  SELECT vec_id, embedding, centroid_id FROM (
        |    SELECT e.vec_id, e.embedding, c.centroid_id,
        |      row_number() OVER (PARTITION BY e.vec_id
        |        ORDER BY round(${cos("e.embedding", "c.cvec")}, 6) DESC, c.centroid_id) AS rn
-       |    FROM embeddings e CROSS JOIN cent${n - 1} c) WHERE rn = 1),
+       |    FROM $src e CROSS JOIN cent${n - 1} c) WHERE rn = 1),
        |cent$n AS (
        |  SELECT centroid_id, list(cval ORDER BY idx) AS cvec FROM (
        |    SELECT centroid_id, idx, CAST(SUM(q) AS DOUBLE) / (1e9 * COUNT(*)) AS cval
@@ -278,7 +299,7 @@ object ExtensionOracleSql {
     */
   private def lloydBestCtesN(iters: Int): String =
     s"""WITH cent0 AS (SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings WHERE vec_id < 4),
-       |${(1 to iters).map(lloydIterCte).mkString(",\n")},
+       |${(1 to iters).map(n => lloydIterCte(n)).mkString(",\n")},
        |cent AS (SELECT * FROM cent$iters),
        |asn AS (
        |  SELECT e.vec_id, c.centroid_id,
@@ -976,6 +997,115 @@ object ExtensionOracleSql {
          |SELECT doc_id, q_u, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
          |FROM c WHERE cum_tokens <= 20000
          |ORDER BY doc_id""".stripMargin,
+
+    // quality-aware dedup application: each MinHash-LSH component keeps its
+    // highest-quality member (ties to the lower id) — in lock-step with
+    // graft.operators.Dedup.applyDedupQuality
+    "dedup_apply_quality" ->
+      s"""${minhashPairsCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |p AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.5),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM p
+         |  UNION ALL SELECT doc_b, doc_a FROM p),
+         |reach AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |labels AS (SELECT src AS doc_id, least(src, MIN(dst)) AS cluster_id
+         |           FROM reach GROUP BY src),
+         |$qualityQuCtes,
+         |keepc AS (
+         |  SELECT cluster_id, doc_id AS keep FROM (
+         |    SELECT l.cluster_id, l.doc_id, q.q_u
+         |    FROM labels l JOIN q USING (doc_id))
+         |  QUALIFY row_number() OVER (PARTITION BY cluster_id
+         |    ORDER BY q_u DESC, doc_id) = 1),
+         |dropped AS (
+         |  SELECT l.doc_id FROM labels l JOIN keepc k USING (cluster_id)
+         |  WHERE l.doc_id <> k.keep)
+         |SELECT d.doc_id, d.source FROM documents d
+         |WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // exact-dedup application: one copy (lowest id) per byte-identical text
+    // — in lock-step with graft.operators.Dedup.applyExactDedup
+    "dedup_exact_apply" ->
+      """SELECT d.doc_id, d.source FROM documents d
+        |JOIN (SELECT text, MIN(doc_id) AS k FROM documents GROUP BY text) c
+        |  ON d.text = c.text AND d.doc_id = c.k
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // chunker round-trip: drop each non-first chunk's 16-token overlap,
+    // re-concatenate in chunk order, compare to the normalized original —
+    // in lock-step with graft.operators.TextAnalysis.reassembleChunks
+    "doc_chunk_reassemble" ->
+      s"""WITH t AS (SELECT doc_id, $toksOf AS toks FROM documents),
+         |d AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+         |c AS (
+         |  SELECT doc_id, toks, n,
+         |    unnest(generate_series(0,
+         |      GREATEST(1, CAST(ceil((n - 16) / 48.0) AS INT)) - 1)) AS i
+         |  FROM d),
+         |parts AS (
+         |  SELECT doc_id, i,
+         |    CASE WHEN i = 0 THEN array_to_string(toks[1:64], ' ')
+         |         ELSE array_to_string(toks[i*48+17 : i*48+64], ' ') END AS part
+         |  FROM c),
+         |r AS (
+         |  SELECT doc_id, COUNT(*) AS n_chunks,
+         |    string_agg(part, ' ' ORDER BY i) AS rebuilt
+         |  FROM parts GROUP BY doc_id)
+         |SELECT r.doc_id, r.n_chunks,
+         |  CAST(len(list_filter(string_split(r.rebuilt, ' '), x -> x <> '')) AS BIGINT)
+         |    AS n_tokens,
+         |  r.rebuilt = array_to_string(d.toks, ' ') AS matches_original
+         |FROM r JOIN d USING (doc_id) ORDER BY r.doc_id""".stripMargin,
+
+    // per-(source, quality-decile) composition report — in lock-step with
+    // graft.operators.TextAnalysis.qualityHistogram
+    "text_quality_histogram" ->
+      s"""WITH $qualityQuCtes
+         |SELECT d.source, least(q.q_u // 100000, 9) AS decile,
+         |  COUNT(*) AS n_docs, CAST(SUM(q.n_tokens) AS BIGINT) AS n_tokens
+         |FROM q JOIN documents d USING (doc_id)
+         |GROUP BY d.source, least(q.q_u // 100000, 9)
+         |ORDER BY source, decile""".stripMargin,
+
+    // IVF staleness: per-bucket occupancy of the trained-on (even) snapshot
+    // vs a new (odd) snapshot against the SAME centroids, integer-ppm
+    // shares — in lock-step with graft.operators.Similarity.indexDrift
+    "simsearch_index_drift" ->
+      s"""WITH ea AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),
+         |eb AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 1),
+         |cent0 AS (SELECT vec_id AS centroid_id, embedding AS cvec FROM ea WHERE vec_id < 8),
+         |${lloydIterCte(1, "ea")},
+         |${lloydIterCte(2, "ea")},
+         |cent AS (SELECT * FROM cent2),
+         |aa AS (
+         |  SELECT vec_id, centroid_id FROM (
+         |    SELECT e.vec_id, c.centroid_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY round(${cos("e.embedding", "c.cvec")}, 6) DESC, c.centroid_id) AS rn
+         |    FROM ea e CROSS JOIN cent c) WHERE rn = 1),
+         |ab AS (
+         |  SELECT vec_id, centroid_id FROM (
+         |    SELECT e.vec_id, c.centroid_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY round(${cos("e.embedding", "c.cvec")}, 6) DESC, c.centroid_id) AS rn
+         |    FROM eb e CROSS JOIN cent c) WHERE rn = 1),
+         |oa AS (SELECT centroid_id, COUNT(*) AS n_old FROM aa GROUP BY centroid_id),
+         |ob AS (SELECT centroid_id, COUNT(*) AS n_new FROM ab GROUP BY centroid_id),
+         |m AS (
+         |  SELECT centroid_id,
+         |    COALESCE(n_old, 0) AS n_old, COALESCE(n_new, 0) AS n_new
+         |  FROM oa FULL JOIN ob USING (centroid_id)),
+         |tt AS (SELECT SUM(n_old) AS t_old, SUM(n_new) AS t_new FROM m)
+         |SELECT m.centroid_id, m.n_old, m.n_new,
+         |  CASE WHEN tt.t_old > 0 THEN m.n_old * 1000000 // tt.t_old ELSE 0 END AS ppm_old,
+         |  CASE WHEN tt.t_new > 0 THEN m.n_new * 1000000 // tt.t_new ELSE 0 END AS ppm_new,
+         |  (CASE WHEN tt.t_new > 0 THEN m.n_new * 1000000 // tt.t_new ELSE 0 END) -
+         |  (CASE WHEN tt.t_old > 0 THEN m.n_old * 1000000 // tt.t_old ELSE 0 END) AS shift_ppm
+         |FROM m CROSS JOIN tt ORDER BY m.centroid_id""".stripMargin,
 
     // per-source duplicate-mass report over the MinHash-LSH component
     // structure (recursive reachability over the verified pairs, min-id

@@ -410,6 +410,39 @@ object ExtensionQueries {
       // FineWeb-style cut: the 20k-token budget buys the highest-quality
       // docs (quality DESC, hash, id), bucketed prefix sums keyed (q_u, b)
       Sampling.qualityTokenBudget(docs(s, dir), budget = 20000L)),
+    "dedup_apply_quality" -> { (s, dir) =>
+      import org.apache.spark.sql.functions.col
+      // quality-aware canonical selection: each near-dup cluster keeps its
+      // HIGHEST-quality member (ties to the lower id), not the lowest id
+      Dedup.applyDedupQuality(docs(s, dir), "doc_id", "text",
+          k = 3, numPerm = 64, bands = 16, threshold = 0.5)
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")
+    },
+    "dedup_exact_apply" -> { (s, dir) =>
+      import org.apache.spark.sql.functions.col
+      // keep one copy (lowest id) of every byte-identical text
+      Dedup.applyExactDedup(docs(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")
+    },
+    "doc_chunk_reassemble" -> ((s, dir) =>
+      // round-trip audit of the chunker: drop each non-first chunk's
+      // overlap, re-concatenate, compare to the normalized original
+      TextAnalysis.reassembleChunks(docs(s, dir), chunkSize = 64, overlap = 16)),
+    "text_quality_histogram" -> ((s, dir) =>
+      // per-(source, quality-decile) docs + tokens — the composition report
+      // a mixture designer reads before setting budgets
+      TextAnalysis.qualityHistogram(docs(s, dir))),
+    "simsearch_index_drift" -> { (s, dir) =>
+      import org.apache.spark.sql.functions.col
+      // staleness report: evens play the trained-on snapshot, odds the new
+      // crawl; per-bucket occupancy shift in signed ppm
+      val e = emb(s, dir)
+      Similarity.indexDrift(
+        e.filter(col("vec_id") % 2 === 0), e.filter(col("vec_id") % 2 === 1),
+        nlist = 8, iters = 2)
+    },
     "dedup_cluster_stats" -> ((s, dir) =>
       // per-source duplicate-mass report over the MinHash-LSH components —
       // the "which sources pay for the dedup pass" number

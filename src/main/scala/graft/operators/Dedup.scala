@@ -873,6 +873,54 @@ object Dedup {
     df.join(dropIds, col(idCol) === col("__drop_id"), "left_anti")
   }
 
+  /** QUALITY-aware dedup application — the canonical-selection rule real
+    * pipelines actually want: within each near-dup cluster keep the
+    * HIGHEST-QUALITY copy (composite quality score, ties to the lower id),
+    * not the lowest id. A crawl usually sees the cleanest copy of a page
+    * neither first nor last — min-id selection keeps whichever mirror was
+    * crawled first, this keeps the best one. Same pair + component
+    * composition as [[applyDedup]] (bounded LSH fan-out, pointer-jumping
+    * CC); quality is the integer micro-unit composite of
+    * `TextAnalysis.qualityScore`, joined onto cluster members only (the
+    * engaged-doc set, a small fraction of the corpus), and the keep-rule is
+    * one per-cluster `min_by` aggregate.
+    */
+  def applyDedupQuality(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int = 3, numPerm: Int = 64, bands: Int = 16,
+                        threshold: Double = 0.5,
+                        checkpointDir: Option[String] = None): DataFrame = {
+    val pairs = minHashLshPairs(docs, idCol, textCol, k, numPerm, bands,
+      threshold, checkpointDir = checkpointDir)
+    val comps = ConnectedComponents.components(pairs, "doc_a", "doc_b",
+      checkpointDir = checkpointDir, inputMaterialized = true)
+    val quality = TextAnalysis.qualityScore(docs)
+      .select(col("doc_id").as("node"),
+        round(col("quality_score") * 1e6).cast("long").as("q_u"))
+    val keep = comps.join(quality, "node")
+      .groupBy(col("cluster_id"))
+      .agg(min_by(col("node"), struct((-col("q_u")).as("nq"), col("node"))).as("keep"))
+    val drop = comps.join(keep, "cluster_id")
+      .filter(col("node") =!= col("keep"))
+      .select(col("node").as("__drop_id"))
+    docs.join(drop, col(idCol) === col("__drop_id"), "left_anti")
+  }
+
+  /** EXACT-dedup application — the apply sibling of [[exactCanonical]]:
+    * keep exactly one copy (the lowest id) of every byte-identical text,
+    * drop the rest. The canonical table groups on the text itself, in
+    * lock-step with [[exactCanonical]]'s dedup_exact report (at 100 TB the
+    * production form prefilters on a 60-bit hash so only hash-colliding
+    * texts travel — [[graft.operators.TextAnalysis.normalizedDedup]]
+    * documents that shape; here the report and the apply must agree
+    * byte-for-byte, so both key on text).
+    */
+  def applyExactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val canon = docs.groupBy(col(textCol)).agg(min(col(idCol)).as("__keep"))
+    docs.join(canon, Seq(textCol))
+      .filter(col(idCol) === col("__keep"))
+      .drop("__keep")
+  }
+
   /** Per-SOURCE duplicate-mass report over the MinHash-LSH cluster
     * structure — the "which sources are paying for the dedup pass" number a
     * corpus curator reads next to [[sourceOverlap]]'s cross-source matrix:

@@ -1058,6 +1058,44 @@ object Similarity {
       .orderBy("centroid_id")
   }
 
+  /** IVF index STALENESS / embedding-drift report — the maintenance signal
+    * that schedules [[ivfStore]] rebuilds: assign an OLD snapshot (the one
+    * the centroids were trained on) and a NEW snapshot against the same
+    * stored centroids and compare per-bucket occupancy. A bucket whose
+    * share shifts hard means the embedding distribution moved (new domain,
+    * changed encoder, drifting crawl mix) and recall is quietly decaying —
+    * rebuild before serving degrades. Occupancies are integer ppm of each
+    * snapshot's own total (exact cross-engine), `shift_ppm` is the signed
+    * difference.
+    *
+    * Shape at scale: training is the deterministic Lloyd chain over the OLD
+    * snapshot only; each assignment is the [[assignScored]] narrow pass;
+    * the report is two map-side-combined per-bucket counts, a full-outer
+    * merge of two nlist-row tables, and a one-row totals broadcast —
+    * nlist output rows at any corpus size.
+    */
+  def indexDrift(embOld: DataFrame, embNew: DataFrame,
+                 nlist: Int = 8, iters: Int = 2): DataFrame = {
+    val cents = lloydCentroidsLocalValues(embOld, nlist, iters)
+    def occ(e: DataFrame, n: String) = assignScored(e, cents)
+      .groupBy(col("centroid_id")).agg(count(lit(1)).as(n))
+    val merged = occ(embOld, "n_old")
+      .join(occ(embNew, "n_new"), Seq("centroid_id"), "full")
+      .select(col("centroid_id"),
+        coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+    val totals = broadcast(merged.agg(
+      sum(col("n_old")).as("t_old"), sum(col("n_new")).as("t_new")))
+    merged.crossJoin(totals)
+      .select(col("centroid_id"), col("n_old"), col("n_new"),
+        expr("CASE WHEN t_old > 0 THEN n_old * 1000000 DIV t_old ELSE 0 END")
+          .as("ppm_old"),
+        expr("CASE WHEN t_new > 0 THEN n_new * 1000000 DIV t_new ELSE 0 END")
+          .as("ppm_new"))
+      .withColumn("shift_ppm", col("ppm_new") - col("ppm_old"))
+      .orderBy("centroid_id")
+  }
+
   /** Per-cluster LABEL-coherence audit over the deterministic Lloyd index —
     * the "are my embedding clusters semantically meaningful" check run
     * before trusting cluster-based curation (SemDeDup caps, cluster-balanced

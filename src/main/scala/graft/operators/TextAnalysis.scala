@@ -761,6 +761,70 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Chunk REASSEMBLY — the inverse of [[chunkDocuments]], run as a
+    * round-trip audit before trusting chunked data downstream (an
+    * off-by-one in overlap handling silently duplicates or drops tokens in
+    * every training example; the reassembly equality catches it): chunk 0
+    * contributes all its tokens, every later chunk drops its first
+    * `overlap` tokens (exactly the span the previous chunk already
+    * carries — the chunker guarantees every non-first chunk is longer than
+    * the overlap), parts concatenate in chunk order, and the rebuilt token
+    * stream is compared to the whitespace-normalized original.
+    * `matches_original` must be TRUE for every document (suite-gated).
+    *
+    * Shape at scale: the chunker is the narrow codegen explode; reassembly
+    * is ONE doc-keyed aggregation (collect_list of (idx, part), sorted
+    * in-memory per doc — bounded by document size, the same class as the
+    * chunker's per-doc arrays) plus a doc-keyed join back to the original.
+    * Token-less docs have no chunks and drop, like the chunker.
+    */
+  def reassembleChunks(docs: DataFrame, chunkSize: Int = 64,
+                       overlap: Int = 16): DataFrame = {
+    val chunks = chunkCore(docs, chunkSize, overlap, carry = Nil)
+    val ctoks = Text.tokens(col("chunk_text"))
+    val part = when(col("chunk_idx") === 0, col("chunk_text"))
+      .otherwise(array_join(
+        slice(ctoks, lit(overlap + 1), greatest(size(ctoks) - overlap, lit(0))), " "))
+    val rebuilt = chunks
+      .select(col("doc_id"), col("chunk_idx"), part.as("part"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("chunk_idx"), col("part")))),
+          x => x.getField("part")), " ").as("rebuilt"))
+    docs
+      .select(col("doc_id"), array_join(Text.tokens(col("text")), " ").as("norm"))
+      .join(rebuilt, "doc_id")
+      .select(
+        col("doc_id"),
+        col("n_chunks"),
+        size(Text.tokens(col("rebuilt"))).cast("long").as("n_tokens"),
+        (col("rebuilt") === col("norm")).as("matches_original"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-SOURCE quality-decile histogram — the corpus-composition report a
+    * mixture designer reads before setting [[graft.operators.Sampling]]
+    * budgets (how much of each source sits in which quality band, in docs
+    * AND tokens): composite quality in integer micro-units, decile =
+    * q_u div 100000 (a perfect 1.0 folds into the top decile). Shape at
+    * scale: one narrow quality pass + one map-side-combined
+    * (source, decile) aggregation — ≤ nSources·10 output rows at any
+    * corpus size.
+    */
+  def qualityHistogram(docs: DataFrame): DataFrame =
+    qualityScore(docs)
+      .select(col("doc_id"),
+        round(col("quality_score") * 1e6).cast("long").as("q_u"),
+        col("n_tokens").cast("long").as("n_tokens"))
+      .select(col("doc_id"), expr("least(q_u DIV 100000, 9)").as("decile"),
+        col("n_tokens"))
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source"), col("decile"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .orderBy("source", "decile")
+
   /** Per-SOURCE mislabel-rate report over the [[naiveBayesLang]]
     * classifier — the aggregated quality gate a curator actually reads
     * (per-doc disagreement is noise; a SOURCE whose declared language

@@ -2034,6 +2034,92 @@ class OperatorSpec extends SparkSpec {
     assert(ratios.forall(_ >= 1000L), s"fertility below 1 symbol/word: ${ratios.toSeq}")
   }
 
+  test("applyDedupQuality: cluster keeps the highest-quality member, ties to lower id") {
+    import graft.operators.Dedup
+    val t = "q w e r t y u i o p"
+    val docs = Seq(
+      (1L, "s", t),                 // near-dup cluster {1, 2}: 2 is longer ->
+      (2L, "s", t + " extra more"), // higher quality -> kept despite higher id
+      (3L, "s", "m n b v c x z l k j"), // exact-dup cluster {3, 4}: same text,
+      (4L, "s", "m n b v c x z l k j"), // same quality -> tie keeps lower id 3
+      (5L, "s", "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10")) // singleton survives
+      .toDF("doc_id", "source", "text")
+      .withColumn("n_chars", length(col("text")))
+    val kept = Dedup.applyDedupQuality(docs, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(2L, 3L, 5L), s"kept: ${kept.toSeq}")
+  }
+
+  test("applyExactDedup: one copy per byte-identical text, lowest id wins") {
+    import graft.operators.Dedup
+    val docs = Seq((5L, "same text"), (2L, "same text"), (9L, "unique"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.applyExactDedup(docs, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(2L, 9L), s"kept: ${kept.toSeq}")
+  }
+
+  test("reassembleChunks: round-trip matches the original for every length class") {
+    import graft.operators.TextAnalysis
+    def txt(n: Int) = (1 to n).map(i => s"t$i").mkString(" ")
+    val docs = Seq((1L, txt(1)), (2L, txt(10)), (3L, txt(64)), (4L, txt(65)),
+        (5L, txt(100)), (6L, txt(200)), (7L, ""))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.reassembleChunks(docs, chunkSize = 64, overlap = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    // expected chunk counts: max(1, ceil((n-16)/48))
+    val expChunks = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 2L, 6L -> 4L)
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L, 5L, 6L),
+      s"token-less doc must drop: ${got.toSeq}")
+    got.foreach { g =>
+      assert(g._2 == expChunks(g._1), s"chunk count: $g")
+      assert(g._4, s"round-trip mismatch: $g")
+    }
+    val ns = Map(1L -> 1L, 2L -> 10L, 3L -> 64L, 4L -> 65L, 5L -> 100L, 6L -> 200L)
+    got.foreach(g => assert(g._3 == ns(g._1), s"token count: $g"))
+    // corpus-wide invariant on the fixture: every document round-trips
+    val corpus = Tables.table(spark, sf0001, "documents")
+    val bad = TextAnalysis.reassembleChunks(corpus)
+      .filter(!col("matches_original")).count()
+    assert(bad == 0, s"$bad fixture docs fail the chunk round-trip")
+  }
+
+  test("qualityHistogram: per-source decile masses cover the corpus exactly") {
+    import graft.operators.TextAnalysis
+    val docs = Tables.table(spark, sf0001, "documents")
+    val got = TextAnalysis.qualityHistogram(docs).collect()
+    val totalDocs = got.map(_.getLong(2)).sum
+    assert(totalDocs == docs.count(), s"histogram covers $totalDocs docs")
+    assert(got.forall(r => r.getLong(1) >= 0 && r.getLong(1) <= 9),
+      "decile out of range")
+    // token mass matches the corpus token count
+    val totalTokens = got.map(_.getLong(3)).sum
+    val want = docs
+      .select(size(graft.functions.Text.tokens(col("text"))).cast("long").as("nt"))
+      .agg(sum("nt")).head.getLong(0)
+    assert(totalTokens == want, s"token mass $totalTokens != corpus $want")
+  }
+
+  test("indexDrift: identical snapshots report zero shift; ppm shares sum to ~1e6") {
+    import graft.operators.Similarity
+    val emb = Tables.table(spark, sf0001, "embeddings")
+    val same = Similarity.indexDrift(emb, emb, nlist = 8, iters = 2).collect()
+    assert(same.nonEmpty)
+    same.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2), s"counts diverge on identical snapshots: $r")
+      assert(r.getLong(5) == 0L, s"shift nonzero on identical snapshots: $r")
+    }
+    val drift = Similarity.indexDrift(
+      emb.filter(col("vec_id") % 2 === 0), emb.filter(col("vec_id") % 2 === 1),
+      nlist = 8, iters = 2).collect()
+    val sumOld = drift.map(_.getLong(3)).sum
+    val sumNew = drift.map(_.getLong(4)).sum
+    // integer floor per bucket: each sum within nlist of exactly 1e6
+    assert(math.abs(sumOld - 1000000L) <= drift.length, s"ppm_old sums to $sumOld")
+    assert(math.abs(sumNew - 1000000L) <= drift.length, s"ppm_new sums to $sumNew")
+    assert(drift.map(_.getLong(5)).sum == sumNew - sumOld)
+  }
+
   test("qualityTokenBudget: budget buys quality order; nBuckets-invariant") {
     import graft.operators.Sampling
     // composite quality = min(n/200,1)·(1−min(stop_ratio,0.5)):
