@@ -1936,6 +1936,57 @@ object ExtensionOracleSql {
         |  CAST(((doc_id*13 + 7) % 256) * 1024 AS BIGINT) AS sum_b
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // ordered 3-step funnel with a 7-day per-step gap bound, first-touch
+    // step times — in lock-step with graft.operators.EventAnalytics.funnel
+    "events_funnel" ->
+      """WITH t1 AS (
+        |  SELECT user_id, MIN(ts) AS ts1 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |t2 AS (
+        |  SELECT e.user_id, MIN(e.ts) AS ts2 FROM events e
+        |  JOIN t1 ON e.user_id = t1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > t1.ts1
+        |    AND epoch_us(e.ts) - epoch_us(t1.ts1) <= 604800000000
+        |  GROUP BY e.user_id),
+        |t3 AS (
+        |  SELECT e.user_id, MIN(e.ts) AS ts3 FROM events e
+        |  JOIN t2 ON e.user_id = t2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > t2.ts2
+        |    AND epoch_us(e.ts) - epoch_us(t2.ts2) <= 604800000000
+        |  GROUP BY e.user_id),
+        |c AS (SELECT (SELECT COUNT(*) FROM t1) AS n1,
+        |             (SELECT COUNT(*) FROM t2) AS n2,
+        |             (SELECT COUNT(*) FROM t3) AS n3)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS INT) AS step, 'view' AS event_type, n1 AS n_users,
+        |    CASE WHEN n1 > 0 THEN n1 * 1000 // n1 ELSE 0 END AS conv_permille FROM c
+        |  UNION ALL SELECT CAST(2 AS INT), 'click', n2,
+        |    CASE WHEN n1 > 0 THEN n2 * 1000 // n1 ELSE 0 END FROM c
+        |  UNION ALL SELECT CAST(3 AS INT), 'purchase', n3,
+        |    CASE WHEN n1 > 0 THEN n3 * 1000 // n1 ELSE 0 END FROM c)
+        |ORDER BY step""".stripMargin,
+
+    // weekly signup-cohort retention matrix, Monday-aligned weeks, integer
+    // per-mille — in lock-step with graft.operators.EventAnalytics.retention
+    "events_retention" ->
+      """WITH su AS (
+        |  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |cs AS (SELECT cohort_week, COUNT(*) AS cohort_size FROM su GROUP BY cohort_week),
+        |act AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+        |        FROM events),
+        |r AS (
+        |  SELECT su.cohort_week,
+        |    CAST(date_diff('day', su.cohort_week, act.week) // 7 AS INT) AS week_offset,
+        |    COUNT(DISTINCT su.user_id) AS n_active
+        |  FROM su JOIN act USING (user_id)
+        |  WHERE act.week >= su.cohort_week
+        |  GROUP BY su.cohort_week, date_diff('day', su.cohort_week, act.week) // 7)
+        |SELECT r.cohort_week, r.week_offset, r.n_active,
+        |  r.n_active * 1000 // cs.cohort_size AS retention_permille
+        |FROM r JOIN cs USING (cohort_week)
+        |ORDER BY cohort_week, week_offset""".stripMargin,
+
     "grouped_topk" ->
       """SELECT c_mktsegment, CAST(rk AS INT) AS rank, o_orderkey, o_totalprice FROM (
         |  SELECT c_mktsegment, o_orderkey, o_totalprice,

@@ -515,6 +515,19 @@ object ExtensionQueries {
       val e = emb(s, dir)
       Similarity.hardNegatives(e, e.filter(col("vec_id") % 100 === 0), k = 3)
     },
+    "events_funnel" -> ((s, dir) =>
+      // ordered conversion funnel view -> click -> purchase, each step
+      // within 7 days of the previous; first-touch attribution
+      graft.operators.EventAnalytics.funnel(
+        Tables.table(s, dir, "events"), "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"),
+        maxGapMicros = 7L * 24 * 3600 * 1000000L)),
+    "events_retention" -> ((s, dir) =>
+      // weekly cohort retention: cohort = week of first signup, retained =
+      // any event in cohort_week + offset
+      graft.operators.EventAnalytics.retention(
+        Tables.table(s, dir, "events"), "user_id", "event_type", "ts",
+        cohortType = "signup")),
     "grouped_topk" -> { (s, dir) =>
       import org.apache.spark.sql.functions._
       import s.implicits._

@@ -925,6 +925,34 @@ object Similarity {
       .parquet(s"$dir/invlists")
   }
 
+  /** Incrementally extend a stored IVFADC index ([[ivfPqStore]]) with NEW
+    * vectors — the ingest-maintenance mirror of [[ivfAppend]] and
+    * `Dedup.minhashIndexAppend`: assign the batch against the STORED
+    * centroids and encode it against the STORED codebooks (no retraining of
+    * either quantizer), append the resulting (vec_id, centroid_id, code)
+    * rows to the partitioned inverted lists. Quantizer drift is handled by
+    * periodic [[ivfPqStore]] rebuilds, scheduled from the
+    * [[indexDrift]] report — never per batch. Appended rows match a fresh
+    * assignment+encode against the same stored artifacts by construction
+    * (asserted in the suite).
+    */
+  def ivfPqAppend(spark: org.apache.spark.sql.SparkSession, dir: String,
+                  newVecs: DataFrame): Unit = {
+    val cents = spark.read.parquet(s"$dir/centroids").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq.sortBy(_._1)
+    val bookRows = spark.read.parquet(s"$dir/codebooks").collect()
+      .map(r => (r.getInt(0), (r.getLong(1), r.getSeq[Double](2).toArray)))
+    val m = if (bookRows.isEmpty) 0 else bookRows.map(_._1).max + 1
+    val books = (0 until m).map(s =>
+      bookRows.filter(_._1 == s).map(_._2).sortBy(_._1).toSeq)
+    assignScored(newVecs, cents)
+      .select(col("vec_id"), col("centroid_id"))
+      .join(encodeWithBooks(newVecs, books).select(col("vec_id"), col("code")), "vec_id")
+      .select(col("vec_id"), col("centroid_id"), col("code"))
+      .write.mode("append").partitionBy("centroid_id")
+      .parquet(s"$dir/invlists")
+  }
+
   /** Steady-state IVFADC search over a stored index ([[ivfPqStore]]): the
     * plan reads the probe row, the nlist-row centroid table, the m·k-row
     * codebooks, and the `nprobe` probed inverted-list partitions — and

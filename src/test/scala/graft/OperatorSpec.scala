@@ -2034,6 +2034,82 @@ class OperatorSpec extends SparkSpec {
     assert(ratios.forall(_ >= 1000L), s"fertility below 1 symbol/word: ${ratios.toSeq}")
   }
 
+  test("funnel: ordered steps, strict succession, gap bound, first-touch times") {
+    import graft.operators.EventAnalytics
+    val day = 86400L
+    val ev = Seq(
+      // u1: full funnel within gaps
+      (1L, "view", 0L), (1L, "click", day), (1L, "purchase", 2 * day),
+      // u2: skips click -> stops after step 1 (purchase can't count)
+      (2L, "view", 0L), (2L, "purchase", day),
+      // u3: click BEFORE view only -> succession violated, stops at step 1
+      (3L, "click", 0L), (3L, "view", day),
+      // u4: click 8 days after view -> over the 7-day gap, stops at step 1
+      (4L, "view", 0L), (4L, "click", 8 * day),
+      // u5: never views -> not even step 1
+      (5L, "click", 0L), (5L, "purchase", day))
+      .toDF("user_id", "event_type", "tsec")
+      .select(col("user_id"), col("event_type"), col("tsec").cast("timestamp").as("ts"))
+    val got = EventAnalytics.funnel(ev, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"), maxGapMicros = 7L * day * 1000000L)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1, "view", 4L, 1000L), (2, "click", 1L, 250L), (3, "purchase", 1L, 250L)),
+      s"got: ${got.toSeq}")
+  }
+
+  test("retention: weekly cohorts, signup week counts as offset 0, exact per-mille") {
+    import graft.operators.EventAnalytics
+    // 2024-01-01 and 2024-01-08 are Mondays
+    val ev = Seq(
+      (1L, "signup", "2024-01-01 10:00:00"), (1L, "click", "2024-01-16 10:00:00"),
+      (2L, "signup", "2024-01-02 10:00:00"),
+      (3L, "signup", "2024-01-08 10:00:00"), (3L, "view", "2024-01-15 10:00:00"))
+      .toDF("user_id", "event_type", "tstr")
+      .select(col("user_id"), col("event_type"), col("tstr").cast("timestamp").as("ts"))
+    val got = EventAnalytics.retention(ev, "user_id", "event_type", "ts", "signup")
+      .collect().map(r => (r.getDate(0).toString, r.getInt(1), r.getLong(2), r.getLong(3)))
+    // cohort 2024-01-01 (u1, u2): both active offset 0; u1 again offset 2
+    // cohort 2024-01-08 (u3): active offsets 0 and 1
+    assert(got.toSeq == Seq(
+      ("2024-01-01", 0, 2L, 1000L), ("2024-01-01", 2, 1L, 500L),
+      ("2024-01-08", 0, 1L, 1000L), ("2024-01-08", 1, 1L, 1000L)),
+      s"got: ${got.toSeq}")
+  }
+
+  test("ivfPqAppend: appended rows match stored-artifact assignment+encode; search sees them") {
+    import graft.operators.Similarity
+    val emb = Tables.table(spark, sf0001, "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-app").toString
+    Similarity.ivfPqStore(emb, dir, nlist = 4, ivfIters = 2, m = 8, k = 8, pqIters = 2)
+    // batch = copies of vectors 0..4 under fresh ids (id 1000000 + i): the
+    // id-0 copy is an exact probe duplicate the search must then surface
+    val batch = emb.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    Similarity.ivfPqAppend(spark, dir, batch)
+    val appended = spark.read.parquet(s"$dir/invlists")
+      .filter(col("vec_id") >= 1000000L)
+    assert(appended.count() == 5, "append row count")
+    // codes must equal the stored-codebook encode of the same batch
+    val wantCodes = Similarity.pqEncodeStored(spark, dir, batch)
+      .select(col("vec_id"), col("code").as("want"))
+    assert(appended.join(wantCodes, "vec_id")
+      .filter(col("code") =!= col("want")).count() == 0,
+      "appended codes diverge from pqEncodeStored")
+    // buckets must equal a fresh assignment against the stored centroids
+    val wantBuckets = Similarity.assignAll(batch,
+        spark.read.parquet(s"$dir/centroids"))
+      .select(col("vec_id"), col("centroid_id").as("wantc"))
+    assert(appended.join(wantBuckets, "vec_id")
+      .filter(col("centroid_id") =!= col("wantc")).count() == 0,
+      "appended buckets diverge from assignAll on stored centroids")
+    // the appended exact duplicate of probe 0 must now rank first
+    val top = Similarity.ivfPqSearchStored(spark, dir, emb, probeId = 0L,
+      topK = 3, nprobe = 3).collect()
+    assert(top.head.getLong(0) == 1000000L,
+      s"appended duplicate not surfaced: ${top.map(_.getLong(0)).toSeq}")
+  }
+
   test("applyDedupQuality: cluster keeps the highest-quality member, ties to lower id") {
     import graft.operators.Dedup
     val t = "q w e r t y u i o p"
