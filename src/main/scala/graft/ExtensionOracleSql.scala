@@ -1936,6 +1936,59 @@ object ExtensionOracleSql {
         |  CAST(((doc_id*13 + 7) % 256) * 1024 AS BIGINT) AS sum_b
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // last-touch attribution via DuckDB's native backward ASOF JOIN, touch
+    // dedup per (user, ts) to the greatest payload (AsOfJoin's LatestPerKey
+    // rule), DECIMAL(18,2)-exact revenue — in lock-step with
+    // graft.operators.EventAnalytics.attribution
+    "events_attribution" ->
+      """WITH p AS (
+        |  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
+        |tch AS (
+        |  SELECT user_id, ts AS touch_ts, event_type AS touch_type FROM events
+        |  WHERE event_type IN ('view', 'click')
+        |  QUALIFY row_number() OVER (PARTITION BY user_id, ts
+        |    ORDER BY event_type DESC) = 1),
+        |m AS (
+        |  SELECT p.value, t.touch_type, p.ts, t.touch_ts
+        |  FROM p ASOF JOIN tch t
+        |    ON p.user_id = t.user_id AND p.ts >= t.touch_ts),
+        |mt AS (SELECT * FROM m
+        |       WHERE epoch_us(ts) - epoch_us(touch_ts) <= 604800000000),
+        |att AS (
+        |  SELECT touch_type, COUNT(*) AS n_conversions,
+        |    SUM(CAST(value AS DECIMAL(18,2))) AS v
+        |  FROM mt GROUP BY touch_type),
+        |tot AS (SELECT COUNT(*) AS nt, SUM(CAST(value AS DECIMAL(18,2))) AS vt FROM p),
+        |una AS (
+        |  SELECT 'unattributed' AS touch_type,
+        |    tot.nt - COALESCE((SELECT SUM(n_conversions) FROM att), 0) AS n_conversions,
+        |    COALESCE(tot.vt, CAST(0 AS DECIMAL(18,2))) -
+        |      COALESCE((SELECT SUM(v) FROM att), CAST(0 AS DECIMAL(18,2))) AS v
+        |  FROM tot)
+        |SELECT touch_type, n_conversions, CAST(v AS DOUBLE) AS value_total
+        |FROM (SELECT * FROM att UNION ALL SELECT * FROM una)
+        |ORDER BY touch_type""".stripMargin,
+
+    // epoch-aware global shuffle: sample_upsample's copies ordered by a
+    // seeded hash of (doc, copy) — in lock-step with
+    // graft.operators.Sampling.epochShuffle
+    "sample_epoch_shuffle" ->
+      s"""WITH w(source, whole, thr) AS (VALUES
+         |  ('src0', 2, 5000), ('src1', 0, 5000), ('src2', 3, 0), ('src3', 0, 0)),
+         |d AS (
+         |  SELECT doc_id, documents.source,
+         |    COALESCE(w.whole, 1) + CASE
+         |      WHEN ${h60("'epoch:' || CAST(doc_id AS VARCHAR)")} % 10000 < COALESCE(w.thr, 0)
+         |      THEN 1 ELSE 0 END AS n
+         |  FROM documents LEFT JOIN w ON documents.source = w.source),
+         |c AS (
+         |  SELECT doc_id, source, CAST(copy_idx AS BIGINT) AS copy_idx FROM (
+         |    SELECT doc_id, source, unnest(range(1, n + 1)) AS copy_idx
+         |    FROM d WHERE n >= 1))
+         |SELECT doc_id, source, copy_idx,
+         |  ${h60("'eshuffle:7:' || CAST(doc_id AS VARCHAR) || ':' || CAST(copy_idx AS VARCHAR)")} AS shuffle_key
+         |FROM c ORDER BY shuffle_key, doc_id, copy_idx""".stripMargin,
+
     // ordered 3-step funnel with a 7-day per-step gap bound, first-touch
     // step times — in lock-step with graft.operators.EventAnalytics.funnel
     "events_funnel" ->

@@ -515,6 +515,21 @@ object ExtensionQueries {
       val e = emb(s, dir)
       Similarity.hardNegatives(e, e.filter(col("vec_id") % 100 === 0), k = 3)
     },
+    "events_attribution" -> ((s, dir) =>
+      // last-touch revenue attribution: purchases credited to the latest
+      // preceding view/click of the same user within 7 days; conversions
+      // with no touch report under 'unattributed' (value conservation)
+      graft.operators.EventAnalytics.attribution(
+        Tables.table(s, dir, "events"), "user_id", "event_type", "ts", "value",
+        conversionType = "purchase", touchTypes = Seq("view", "click"),
+        maxGapMicros = 7L * 24 * 3600 * 1000000L)),
+    "sample_epoch_shuffle" -> ((s, dir) =>
+      // the shipped training order: upsample-mix copies interleaved by a
+      // seeded hash of (doc, copy) — same weights as sample_upsample
+      Sampling.epochShuffle(docs(s, dir).select("doc_id", "source"),
+        "doc_id", "source",
+        Map("src0" -> 2.5, "src1" -> 0.5, "src2" -> 3.0, "src3" -> 0.0),
+        seed = 7L)),
     "events_funnel" -> ((s, dir) =>
       // ordered conversion funnel view -> click -> purchase, each step
       // within 7 days of the previous; first-touch attribution

@@ -52,6 +52,53 @@ object EventAnalytics {
       .orderBy("step")
   }
 
+  /** LAST-TOUCH revenue ATTRIBUTION: every conversion event is credited to
+    * the most recent preceding touch event (any type in `touchTypes`) of
+    * the same user within `maxGapMicros` — the classic marketing
+    * attribution rule, and a direct composition of the sort-based
+    * [[AsOfJoin]] (conversions probe backward into the touch stream; the
+    * tolerance IS the attribution window). Conversions with no qualifying
+    * touch report under 'unattributed', so the value column always sums to
+    * the total conversion revenue (conservation is the audit).
+    *
+    * Value sums run in DECIMAL(18,2) (the fixture's values are exact
+    * cents), so totals are exact cross-engine. Shape at scale: one as-of
+    * sweep (one key exchange + per-key sort — no range join), one hash
+    * aggregation over |touchTypes|+1 groups, a one-row totals aggregate.
+    */
+  def attribution(events: DataFrame, userCol: String, typeCol: String,
+                  tsCol: String, valueCol: String, conversionType: String,
+                  touchTypes: Seq[String], maxGapMicros: Long): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val conversions = events.filter(col(typeCol) === conversionType)
+      .select(col(userCol), col(tsCol), col(valueCol))
+    val touches = events.filter(col(typeCol).isin(touchTypes: _*))
+      .select(col(userCol), col(tsCol).as("__touch_ts"),
+        col(typeCol).as("touch_type"))
+    val attributed = AsOfJoin.asOf(conversions, touches, userCol,
+        tsCol, "__touch_ts", toleranceMicros = Some(maxGapMicros))
+      .groupBy(col("touch_type"))
+      .agg(count(lit(1)).as("n_conversions"),
+        sum(col(valueCol).cast(DecimalType(18, 2))).as("__v"))
+    val totals = conversions.agg(count(lit(1)).as("__nt"),
+      sum(col(valueCol).cast(DecimalType(18, 2))).as("__vt"))
+    val unattributed = attributed
+      .agg(sum(col("n_conversions")).as("__na"), sum(col("__v")).as("__va"))
+      .crossJoin(broadcast(totals))
+      .select(
+        lit("unattributed").as("touch_type"),
+        (col("__nt") - coalesce(col("__na"), lit(0L))).as("n_conversions"),
+        (coalesce(col("__vt"), lit(0).cast(DecimalType(18, 2))) -
+          coalesce(col("__va"), lit(0).cast(DecimalType(18, 2)))).as("__v"))
+    attributed.select(col("touch_type"), col("n_conversions"),
+        col("__v").cast(DecimalType(28, 2)).as("__v"))
+      .union(unattributed.select(col("touch_type"), col("n_conversions"),
+        col("__v").cast(DecimalType(28, 2)).as("__v")))
+      .select(col("touch_type"), col("n_conversions"),
+        col("__v").cast("double").as("value_total"))
+      .orderBy("touch_type")
+  }
+
   /** Weekly COHORT-RETENTION matrix: users cohorted by the week of their
     * first `cohortType` event; a cohort member is retained in week-offset w
     * when ANY event of theirs falls in cohort_week + w. Weeks are

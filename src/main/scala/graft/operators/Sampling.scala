@@ -101,6 +101,29 @@ object Sampling {
         Hashing.hash60(concat(lit(s"shuffle:$seed:"), col(idCol).cast("string"))))
       .orderBy(col("shuffle_key"), col(idCol))
 
+  /** EPOCH-aware deterministic shuffle — the global training order a
+    * pipeline ships after mixing: [[upsampleMix]]'s per-source repeat
+    * factors produce the copies, then every (doc, copy) gets a seeded
+    * 60-bit hash and the corpus orders by it — so the epochs of an
+    * up-weighted source INTERLEAVE through the whole training run instead
+    * of repeating back-to-back (back-to-back epochs of the same shard are
+    * the classic repetition artifact), and the order is a pure function of
+    * (seed, doc, copy): reproducible across reruns, resumes, engines, and
+    * cluster sizes, like [[deterministicShuffle]].
+    *
+    * Shape at scale: the weight explode is narrow; the global order is ONE
+    * range exchange + per-partition sort (no window, no driver
+    * materialization — plan-locked like sample_shuffle).
+    */
+  def epochShuffle(df: DataFrame, idCol: String, srcCol: String,
+                   weights: Map[String, Double], seed: Long,
+                   salt: String = "epoch"): DataFrame =
+    upsampleMix(df, idCol, srcCol, weights, salt)
+      .withColumn("shuffle_key",
+        Hashing.hash60(concat(lit(s"eshuffle:$seed:"), col(idCol).cast("string"),
+          lit(":"), col("copy_idx").cast("string"))))
+      .orderBy(col("shuffle_key"), col(idCol), col("copy_idx"))
+
   /** bucket in [0, 10000): four decimal digits of rate resolution. */
   private def bucket(keyCol: Column, salt: String): Column =
     pmod(Hashing.hash60(concat(lit(salt), lit(":"), keyCol.cast("string"))), lit(10000L))

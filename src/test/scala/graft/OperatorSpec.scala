@@ -2034,6 +2034,90 @@ class OperatorSpec extends SparkSpec {
     assert(ratios.forall(_ >= 1000L), s"fertility below 1 symbol/word: ${ratios.toSeq}")
   }
 
+  test("attribution: last touch wins, window bounds, unattributed conserves value") {
+    import graft.operators.EventAnalytics
+    val day = 86400L
+    val ev = Seq(
+      // u1: view then click then purchase -> credited to the LATER click
+      (1L, "view", 0L, 0.0), (1L, "click", day, 0.0), (1L, "purchase", 2 * day, 10.0),
+      // u2: touch 8 days before purchase -> outside the 7-day window
+      (2L, "view", 0L, 0.0), (2L, "purchase", 8 * day, 5.0),
+      // u3: purchase with no touch at all
+      (3L, "purchase", 0L, 2.5),
+      // u4: view only (no conversion) must not appear anywhere
+      (4L, "view", 0L, 0.0))
+      .toDF("user_id", "event_type", "tsec", "value")
+      .select(col("user_id"), col("event_type"),
+        col("tsec").cast("timestamp").as("ts"), col("value"))
+    val got = EventAnalytics.attribution(ev, "user_id", "event_type", "ts", "value",
+        conversionType = "purchase", touchTypes = Seq("view", "click"),
+        maxGapMicros = 7L * day * 1000000L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq(("click", 1L, 10.0), ("unattributed", 2L, 7.5)),
+      s"got: ${got.toSeq}")
+    // conservation on the real fixture: attributed + unattributed value
+    // equals total purchase revenue exactly
+    val events = Tables.table(spark, sf0001, "events")
+    val rep = EventAnalytics.attribution(events, "user_id", "event_type", "ts",
+      "value", "purchase", Seq("view", "click"), 7L * day * 1000000L).collect()
+    val total = events.filter(col("event_type") === "purchase")
+      .agg(sum(col("value").cast(org.apache.spark.sql.types.DataTypes
+        .createDecimalType(18, 2)))).head.getDecimal(0).doubleValue
+    assert(rep.map(_.getDouble(2)).sum == total,
+      s"value not conserved: ${rep.map(_.getDouble(2)).sum} vs $total")
+    assert(rep.map(_.getLong(1)).sum ==
+      events.filter(col("event_type") === "purchase").count())
+  }
+
+  test("epochShuffle: copy multiset equals upsampleMix; order is the seeded hash, reproducible") {
+    import graft.operators.Sampling
+    val docs = Tables.table(spark, sf0001, "documents").select("doc_id", "source")
+    val w = Map("src0" -> 2.5, "src1" -> 0.5, "src2" -> 3.0, "src3" -> 0.0)
+    val got = Sampling.epochShuffle(docs, "doc_id", "source", w, seed = 7L).collect()
+    val mix = Sampling.upsampleMix(docs, "doc_id", "source", w).collect()
+    assert(got.length == mix.length, "copy multiset size diverges from upsampleMix")
+    assert(got.map(r => (r.getLong(0), r.getLong(2))).toSet ==
+      mix.map(r => (r.getLong(0), r.getLong(2))).toSet,
+      "copy multiset diverges from upsampleMix")
+    val keys = got.map(_.getLong(3))
+    assert(keys.zip(keys.tail).forall { case (a, b) => a <= b }, "not hash-ordered")
+    // different seed -> different permutation (same multiset)
+    val other = Sampling.epochShuffle(docs, "doc_id", "source", w, seed = 8L).collect()
+    assert(other.map(r => (r.getLong(0), r.getLong(2))).toSet ==
+      got.map(r => (r.getLong(0), r.getLong(2))).toSet)
+    assert(other.map(_.getLong(0)).toSeq != got.map(_.getLong(0)).toSeq,
+      "seed must change the permutation")
+  }
+
+  test("ivfPqTopK recall: bucket prune + ADC hold recall@5 >= 0.8 on the clustered fixture") {
+    import graft.operators.Similarity
+    // the pqTopK recall fixture: 66 near-duplicate groups of 6 (sibling
+    // cosine ~0.94, cross-group ~0); exact top-5 of a member is its group.
+    // The composition must survive BOTH approximations: the probe's
+    // siblings land in its probed buckets (they embed ~identically) and
+    // ADC ranks them up at m=8/k=16
+    val emb = spark.range(396).select(col("id").as("vec_id"),
+      expr("transform(sequence(0, 63), d -> CAST(" +
+        "(CASE WHEN pmod(hash(CAST(id DIV 6 AS BIGINT) * 64 + d), 2) = 0 THEN 1.0 ELSE -1.0 END) * " +
+        "(CASE WHEN d = CAST(id % 6 AS INT) THEN -1.0 ELSE 1.0 END) " +
+        "AS FLOAT))").as("embedding"))
+    emb.cache(); emb.count()
+    try {
+      val probes = Seq(0L, 21L, 107L, 333L)
+      val recalls = probes.map { p =>
+        val exact = Similarity.bruteForceTopK(emb, p, 5)
+          .collect().map(_.getLong(0)).toSet
+        val got = Similarity.ivfPqTopK(emb, p, topK = 5, nlist = 8, nprobe = 3,
+            ivfIters = 4, m = 8, k = 16, pqIters = 4)
+          .collect().map(_.getLong(0)).toSet
+        exact.intersect(got).size.toDouble / 5
+      }
+      val mean = recalls.sum / recalls.size
+      info(f"IVFPQ mean recall@5 over ${probes.size} probes: $mean%.2f")
+      assert(mean >= 0.8, s"IVFPQ recall@5 degraded: $mean (${recalls.mkString(",")})")
+    } finally { emb.unpersist(); () }
+  }
+
   test("funnel: ordered steps, strict succession, gap bound, first-touch times") {
     import graft.operators.EventAnalytics
     val day = 86400L

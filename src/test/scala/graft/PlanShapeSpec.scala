@@ -285,6 +285,36 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CollectLimit"), "no driver collection")
   }
 
+  test("sample_epoch_shuffle: one global range sort over the copies, no window, no driver") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val df = ExtensionQueries.all("sample_epoch_shuffle")(spark, sf0001)
+    val exec = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val shuffles = exec.collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.size == 1, s"exactly one exchange expected:\n$exec")
+    assert(shuffles.head.outputPartitioning.toString.toLowerCase.contains("range"),
+      s"the shuffle must be the range exchange of a global sort:\n$exec")
+    val p = exec.toString
+    assert(!p.contains("Window"), "no single-partition window sort")
+    assert(!p.contains("CollectLimit"), "no driver collection")
+    assert(p.contains("Generate") || p.contains("explode"),
+      "the upsample copy explode must stay a narrow generator")
+  }
+
+  test("events funnel/retention: hash-agg pipelines, no window over the event stream") {
+    for (name <- Seq("events_funnel", "events_retention")) {
+      val p = plan(ExtensionQueries.all(name)(spark, sf0001))
+      assert(!p.contains("Window"),
+        s"$name must stay window-free (per-user aggregates, not stream sorts):\n$p")
+      assert(p.contains("partial_min") || p.contains("partial_count") ||
+        p.contains("HashAggregate"),
+        s"$name must aggregate with map-side combine:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$name planned a cartesian:\n$p")
+    }
+  }
+
   test("sample_token_budget: corpus running-sum window is bucketed, never one-task-per-source") {
     val df = ExtensionQueries.all("sample_token_budget")(spark, sf0001)
     val exec = df.queryExecution.executedPlan match {
