@@ -207,6 +207,39 @@ object ExtensionOracleSql {
        |      ELSE 0.0 END) * 1000000) AS BIGINT) AS q_u
        |  FROM qs)""".stripMargin
 
+  /** Lee-et-al exact-substring decontamination (TRUE-run semantics: exact
+    * string matches, runs stitch along each (hold_id, pos − hpos) diagonal,
+    * n_spans counts maximal runs per counterpart, n_hit_ngrams distinct
+    * matched positions) — shared verbatim by decontaminate_exact and
+    * decontaminate_stored (the stored-registry path must be bit-identical).
+    */
+  private lazy val decontaminateExactSql: String =
+    s"""WITH t AS (SELECT doc_id, $toksOf AS toks FROM documents),
+       |ht AS (SELECT doc_id AS hold_id, list_slice(toks, 6, 26) AS toks
+       |       FROM t WHERE doc_id % 97 = 0),
+       |hsh AS (SELECT hold_id, ${shinglesOf(13)} AS sh FROM ht),
+       |hx AS (SELECT hold_id, generate_subscripts(sh, 1) - 1 AS hpos, unnest(sh) AS hg
+       |       FROM hsh WHERE len(sh) > 0),
+       |ts AS (SELECT doc_id, ${shinglesOf(13)} AS sh FROM t),
+       |ex0 AS (SELECT doc_id, generate_subscripts(sh, 1) - 1 AS pos, unnest(sh) AS g
+       |        FROM ts WHERE len(sh) > 0),
+       |m AS (SELECT DISTINCT e.doc_id, e.pos, hx.hold_id, hx.hpos
+       |      FROM ex0 e JOIN hx ON e.g = hx.hg),
+       |r AS (SELECT doc_id, pos, hold_id, pos - hpos AS diag,
+       |        pos - row_number() OVER (
+       |          PARTITION BY doc_id, hold_id, pos - hpos ORDER BY pos) AS grp
+       |      FROM m),
+       |runs AS (SELECT doc_id, hold_id, diag, grp, COUNT(*) AS run
+       |         FROM r GROUP BY doc_id, hold_id, diag, grp),
+       |spans AS (SELECT doc_id, COUNT(*) AS n_spans, MAX(run) + 12 AS longest
+       |          FROM runs GROUP BY doc_id),
+       |hits AS (SELECT doc_id, COUNT(DISTINCT pos) AS n_hits FROM m GROUP BY doc_id)
+       |SELECT hits.doc_id, CAST(n_hits AS BIGINT) AS n_hit_ngrams,
+       |  CAST(n_spans AS BIGINT) AS n_spans,
+       |  CAST(longest AS BIGINT) AS longest_span
+       |FROM hits JOIN spans USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   /** The full-corpus MinHash-LSH pair pipeline (64 perms, 16 bands of 4),
     * ending at CTE `j(doc_a, doc_b, jaccard)` with doc_a < doc_b — shared
     * by dedup_minhash_lsh and dedup_incremental (which keeps only cross
@@ -653,32 +686,9 @@ object ExtensionOracleSql {
     // TRUE-run semantics: matches are exact strings, runs stitch along each
     // (hold_id, pos - hpos) diagonal, n_spans counts maximal runs per
     // holdout counterpart, n_hit_ngrams counts distinct matched positions
-    "decontaminate_exact" ->
-      s"""WITH t AS (SELECT doc_id, $toksOf AS toks FROM documents),
-         |ht AS (SELECT doc_id AS hold_id, list_slice(toks, 6, 26) AS toks
-         |       FROM t WHERE doc_id % 97 = 0),
-         |hsh AS (SELECT hold_id, ${shinglesOf(13)} AS sh FROM ht),
-         |hx AS (SELECT hold_id, generate_subscripts(sh, 1) - 1 AS hpos, unnest(sh) AS hg
-         |       FROM hsh WHERE len(sh) > 0),
-         |ts AS (SELECT doc_id, ${shinglesOf(13)} AS sh FROM t),
-         |ex0 AS (SELECT doc_id, generate_subscripts(sh, 1) - 1 AS pos, unnest(sh) AS g
-         |        FROM ts WHERE len(sh) > 0),
-         |m AS (SELECT DISTINCT e.doc_id, e.pos, hx.hold_id, hx.hpos
-         |      FROM ex0 e JOIN hx ON e.g = hx.hg),
-         |r AS (SELECT doc_id, pos, hold_id, pos - hpos AS diag,
-         |        pos - row_number() OVER (
-         |          PARTITION BY doc_id, hold_id, pos - hpos ORDER BY pos) AS grp
-         |      FROM m),
-         |runs AS (SELECT doc_id, hold_id, diag, grp, COUNT(*) AS run
-         |         FROM r GROUP BY doc_id, hold_id, diag, grp),
-         |spans AS (SELECT doc_id, COUNT(*) AS n_spans, MAX(run) + 12 AS longest
-         |          FROM runs GROUP BY doc_id),
-         |hits AS (SELECT doc_id, COUNT(DISTINCT pos) AS n_hits FROM m GROUP BY doc_id)
-         |SELECT hits.doc_id, CAST(n_hits AS BIGINT) AS n_hit_ngrams,
-         |  CAST(n_spans AS BIGINT) AS n_spans,
-         |  CAST(longest AS BIGINT) AS longest_span
-         |FROM hits JOIN spans USING (doc_id)
-         |ORDER BY doc_id""".stripMargin,
+    "decontaminate_exact" -> decontaminateExactSql,
+    // the stored-registry path must be bit-identical to the one-shot path
+    "decontaminate_stored" -> decontaminateExactSql,
 
     // decontaminate_exact's span geometry + threshold-20 gate + anti-join:
     // documents whose longest TRUE verbatim run reaches 20 tokens drop out

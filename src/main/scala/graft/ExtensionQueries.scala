@@ -174,6 +174,24 @@ object ExtensionQueries {
           array_join(slice(graft.functions.Text.tokens(col("text")), 6, 21), " ").as("text"))
       Dedup.exactSubstringContamination(d, holdout, "doc_id", "text", n = 13)
     },
+    "decontaminate_stored" -> { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      // decontamination against a STORED benchmark registry: the same
+      // quoting holdout as decontaminate_exact, indexed ONCE per fixture
+      // (fingerprint-keyed /tmp cache like the other stored queries) —
+      // identical output and oracle, but the plan only READS the registry
+      val srcFp = java.lang.Long.toHexString(
+        treeFingerprint(new java.io.File(s"$dir/documents.parquet")))
+      val storeDir = s"/tmp/graft_holdout_index_v1_${dir.replaceAll("[^A-Za-z0-9]", "_")}_$srcFp"
+      val d = docs(s, dir)
+      if (!new java.io.File(s"$storeDir/grams/_SUCCESS").exists()) {
+        val holdout = d.filter(col("doc_id") % 97 === 0)
+          .select(col("doc_id"),
+            array_join(slice(graft.functions.Text.tokens(col("text")), 6, 21), " ").as("text"))
+        Dedup.holdoutIndexStore(holdout, storeDir, "doc_id", "text", n = 13)
+      }
+      Dedup.decontaminateStored(s, storeDir, d, "doc_id", "text", n = 13)
+    },
     "dedup_apply" -> { (s, dir) =>
       import org.apache.spark.sql.functions.col
       // the end-to-end shape a corpus pipeline ships: MinHash-LSH pairs ->

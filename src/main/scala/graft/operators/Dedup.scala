@@ -233,12 +233,61 @@ object Dedup {
                                   idCol: String, textCol: String, n: Int = 13,
                                   hashFn: Column => Column = Hashing.hash60,
                                   materialize: Boolean = true,
-                                  checkpointDir: Option[String] = None): DataFrame = {
-    // benchmark sets are tiny at any scale: broadcasting the n-gram TEXT
-    // alongside (hold_id, hpos, h) costs nothing and enables exact verify
-    val holdSh = shingleTextPositional(holdout, idCol, textCol, n)
+                                  checkpointDir: Option[String] = None): DataFrame =
+    contaminationWithIndex(train, holdoutGramIndex(holdout, idCol, textCol, n, hashFn),
+      idCol, textCol, n, hashFn, materialize, checkpointDir)
+
+  /** The positional holdout n-gram index `(hold_id, hpos, hg, h)` — the
+    * benchmark-registry artifact the decontamination serves from.
+    * Benchmark sets are tiny at any scale: carrying the n-gram TEXT
+    * alongside the hash costs nothing and enables exact verify.
+    */
+  private def holdoutGramIndex(holdout: DataFrame, idCol: String,
+                               textCol: String, n: Int,
+                               hashFn: Column => Column): DataFrame =
+    shingleTextPositional(holdout, idCol, textCol, n)
       .select(col("doc_id").as("hold_id"), col("pos").as("hpos"), col("g").as("hg"))
       .withColumn("h", hashFn(col("hg")))
+
+  /** Persist the holdout n-gram index as parquet — the build-once half of
+    * STORED decontamination, the same registry pattern as `bpeStore`/
+    * `ivfStore`/`minhashIndexStore`: a pipeline maintains ONE index per
+    * benchmark suite and checks every ingest batch against it with
+    * [[decontaminateStored]]; re-shingling the benchmark registry per batch
+    * is wasted work and a drift risk (two jobs disagreeing on the registry
+    * version). The index is bounded by the benchmark suite size.
+    */
+  def holdoutIndexStore(holdout: DataFrame, dir: String, idCol: String,
+                        textCol: String, n: Int = 13,
+                        hashFn: Column => Column = Hashing.hash60): Unit =
+    holdoutGramIndex(holdout, idCol, textCol, n, hashFn)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/grams")
+
+  /** Lee-et-al exact-substring decontamination against a STORED holdout
+    * index ([[holdoutIndexStore]]): identical output (and oracle) as
+    * [[exactSubstringContamination]] with the same parameters, but the plan
+    * reads the registry parquet instead of re-deriving the holdout's
+    * positional n-grams. `n` must match the stored index's build value (it
+    * parameterizes the span arithmetic, not the index read).
+    */
+  def decontaminateStored(spark: org.apache.spark.sql.SparkSession, dir: String,
+                          train: DataFrame, idCol: String, textCol: String,
+                          n: Int = 13,
+                          hashFn: Column => Column = Hashing.hash60,
+                          materialize: Boolean = true,
+                          checkpointDir: Option[String] = None): DataFrame =
+    contaminationWithIndex(train, spark.read.parquet(s"$dir/grams"),
+      idCol, textCol, n, hashFn, materialize, checkpointDir)
+
+  /** The shared decontamination body: candidate join against a (broadcast)
+    * positional holdout index, exact-text verification over the remnant,
+    * lockstep diagonal stitching.
+    */
+  private def contaminationWithIndex(train: DataFrame, holdSh: DataFrame,
+                                     idCol: String, textCol: String, n: Int,
+                                     hashFn: Column => Column,
+                                     materialize: Boolean,
+                                     checkpointDir: Option[String]): DataFrame = {
     // materialized: the matched remnant feeds the remnant-id derivation,
     // the text verify, and two aggregations — left lazy, the corpus scan
     // re-executes per consumer (materialize=false keeps the raw dataflow

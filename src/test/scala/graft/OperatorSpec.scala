@@ -2034,6 +2034,27 @@ class OperatorSpec extends SparkSpec {
     assert(ratios.forall(_ >= 1000L), s"fertility below 1 symbol/word: ${ratios.toSeq}")
   }
 
+  test("holdoutIndexStore/decontaminateStored: stored registry == one-shot contamination") {
+    import graft.operators.Dedup
+    val d = Tables.table(spark, sf0001, "documents")
+    val holdout = d.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id"),
+        array_join(slice(graft.functions.Text.tokens(col("text")), 6, 21), " ").as("text"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-holdout").toString
+    Dedup.holdoutIndexStore(holdout, dir, "doc_id", "text", n = 13)
+    val stored = Dedup.decontaminateStored(spark, dir, d, "doc_id", "text", n = 13)
+      .collect().map(_.toSeq)
+    val oneShot = Dedup.exactSubstringContamination(d, holdout, "doc_id", "text", n = 13)
+      .collect().map(_.toSeq)
+    assert(stored.nonEmpty, "quoting holdout must flag documents")
+    assert(stored.toSeq == oneShot.toSeq,
+      "stored-registry decontamination diverges from the one-shot path")
+    // the registry layout: positional grams with text for exact verify
+    val grams = spark.read.parquet(s"$dir/grams")
+    assert(grams.columns.sorted.toSeq == Seq("h", "hg", "hold_id", "hpos"),
+      s"registry columns: ${grams.columns.toSeq}")
+  }
+
   test("attribution: last touch wins, window bounds, unattributed conserves value") {
     import graft.operators.EventAnalytics
     val day = 86400L
