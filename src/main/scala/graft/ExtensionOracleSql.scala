@@ -504,6 +504,26 @@ object ExtensionOracleSql {
     "simsearch_ivf" -> simsearchIvfSql,
     "simsearch_ivf_search" -> simsearchIvfSql,
 
+    // symmetric int8 top-5: per-vector round-half-up quantization, cosine of
+    // the quantized vectors (scales cancel; integer products exact), exact
+    // cosine riding as the error report — in lock-step with
+    // graft.operators.Similarity.int8TopK
+    "simsearch_int8_topk" ->
+      s"""WITH qv AS (
+         |  SELECT vec_id, embedding,
+         |    list_transform(embedding, v -> floor(CAST(v AS DOUBLE) *
+         |      (127.0 / list_max(list_transform(embedding, w -> abs(CAST(w AS DOUBLE))))) + 0.5)) AS qc
+         |  FROM embeddings
+         |  WHERE list_max(list_transform(embedding, w -> abs(CAST(w AS DOUBLE)))) > 0),
+         |probe AS (SELECT embedding AS pv, qc AS qp FROM qv WHERE vec_id = 0)
+         |SELECT e.vec_id,
+         |  round(${dot("e.qc", "p.qp")} /
+         |        (sqrt(${dot("e.qc", "e.qc")}) * sqrt(${dot("p.qp", "p.qp")})), 6) AS approx_sim,
+         |  round(${cos("e.embedding", "p.pv")}, 6) AS exact_sim
+         |FROM qv e CROSS JOIN probe p
+         |WHERE e.vec_id <> 0
+         |ORDER BY approx_sim DESC, e.vec_id LIMIT 5""".stripMargin,
+
     // IVFADC (IVF bucket prune × PQ asymmetric distance) — composition of a
     // Lloyd IVF index (nlist=4, iters=2 — the one-shot query trains BOTH
     // quantizers jointly at equal round counts) and the canonical PQ

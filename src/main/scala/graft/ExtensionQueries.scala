@@ -261,6 +261,11 @@ object ExtensionQueries {
       Sampling.temperatureMix(docs(s, dir), "doc_id", "source")),
     "embedding_quantize" -> ((s, dir) =>
       Similarity.quantizeInt8(emb(s, dir))),
+    "simsearch_int8_topk" -> ((s, dir) =>
+      // symmetric int8 retrieval: per-vector scales cancel in the cosine,
+      // so scoring is pure integer arithmetic; exact_sim rides as the
+      // quantization-error report
+      Similarity.int8TopK(emb(s, dir), probeId = 0L, topK = 5)),
     "simsearch_ivf" -> ((s, dir) =>
       Similarity.ivfTopK(emb(s, dir), probeId = 0L, k = 5, nlist = 4, nprobe = 3, iters = 4)),
     "simsearch_ivf_search" -> { (s, dir) =>

@@ -297,6 +297,49 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Symmetric INT8 top-k search — the quantized-serving sibling of
+    * [[bruteForceTopK]] and the retrieval-side consumer of
+    * [[quantizeInt8]]'s compression report: both probe and corpus vectors
+    * are quantized to int8 with their own per-vector scale
+    * (q_i = round-half-up(x_i · 127/amax)), and similarity is the cosine of
+    * the QUANTIZED vectors — the per-vector scales cancel in the cosine, so
+    * the score needs no dequantization at all and the dot/norms are sums of
+    * integer products (≤ 127²·dim, exactly representable: the arithmetic is
+    * bit-identical across engines by construction, not by rounding
+    * discipline). `exact_sim` rides along as the quantization-error report,
+    * like [[pqTopK]]'s ADC error.
+    *
+    * Shape at scale: ONE narrow codegen pass — quantization is a per-row
+    * projection, the integer dot rides the same codegen [[VecF.dot]] as the
+    * float path (values exact in double), ranking is
+    * `TakeOrderedAndProject`. Zero/empty vectors are unquantizable and drop,
+    * like [[quantizeInt8]]. At 4× memory compression this is the cheapest
+    * serving downgrade — the report tells you whether recall survives it.
+    */
+  def int8TopK(emb: DataFrame, probeId: Long, topK: Int): DataFrame = {
+    def q(x: Column): Column = {
+      val amax = array_max(transform(x, v => abs(v.cast("double"))))
+      val scale = lit(127.0) / amax
+      transform(x, v => floor(v.cast("double") * scale + lit(0.5)).cast("double"))
+    }
+    val probeVec = emb.filter(col("vec_id") === probeId)
+      .filter(array_max(transform(col("embedding"), v => abs(v.cast("double")))) > 0)
+      .select(col("embedding").as("probe"), q(col("embedding")).as("qp"))
+    emb.filter(col("vec_id") =!= probeId)
+      .filter(array_max(transform(col("embedding"), v => abs(v.cast("double")))) > 0)
+      .crossJoin(broadcast(probeVec))
+      .select(col("vec_id"), col("embedding"), col("probe"), col("qp"),
+        q(col("embedding")).as("qc"))
+      .select(
+        col("vec_id"),
+        round(VecF.dot(col("qc"), col("qp")) /
+          (sqrt(VecF.dot(col("qc"), col("qc"))) * sqrt(VecF.dot(col("qp"), col("qp")))), 6)
+          .as("approx_sim"),
+        round(VecF.cosine(col("embedding"), col("probe")), 6).as("exact_sim"))
+      .orderBy(col("approx_sim").desc, col("vec_id"))
+      .limit(topK)
+  }
+
   /** Nearest-centroid assignment: max cosine, ties toward the lower
     * centroid id. One broadcast of the (tiny) centroid set, one narrow pass.
     *

@@ -44,4 +44,47 @@ class NullTextSpec extends SparkSpec {
     // BPE training sees only the non-null word mass
     assert(graft.operators.TextAnalysis.bpeTrain(docs, 3).count() == 3)
   }
+
+  test("round-12 text operators tolerate null text") {
+    val good = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, good, "en", "s1"), (2L, null.asInstanceOf[String], "en", "s1"),
+      (3L, good, "de", "s2"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", coalesce(length(col("text")), lit(0L)))
+
+    // bigram LM: null text has no bigrams and drops, like empty docs
+    val bg = graft.operators.TextAnalysis.bigramLogprob(docs)
+      .collect().map(_.getLong(0)).toSet
+    assert(bg == Set(1L, 3L), s"bigram docs: $bg")
+
+    // quality budget: a null doc contributes no tokens and is never
+    // selected — the same documented semantics as tokenBudgetPerSource
+    val qb = graft.operators.Sampling.qualityTokenBudget(docs, budget = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(qb.keySet == Set(1L, 3L), s"quality budget: $qb")
+
+    // quality histogram: the null doc lands in decile 0 with 0 tokens
+    val qh = graft.operators.TextAnalysis.qualityHistogram(docs)
+      .collect().map(r => ((r.getString(0), r.getLong(1)), (r.getLong(2), r.getLong(3)))).toMap
+    assert(qh.values.map(_._1).sum == 3, s"histogram covers all docs: $qh")
+
+    // chunk reassembly: the null doc has no chunks and drops; others round-trip
+    val ra = graft.operators.TextAnalysis.reassembleChunks(docs)
+      .collect().map(r => (r.getLong(0), r.getBoolean(3)))
+    assert(ra.map(_._1).toSet == Set(1L, 3L) && ra.forall(_._2), s"reassembly: ${ra.toSeq}")
+
+    // NB mislabel report: the null doc takes the prior-only argmax and still
+    // counts in its source's denominator
+    val mr = graft.operators.TextAnalysis.mislabelRate(docs)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(mr == Map("s1" -> 2L, "s2" -> 1L), s"mislabel rate: $mr")
+
+    // quality-aware dedup apply: the (1, 3) near-dup pair resolves by
+    // quality (tie -> lower id since texts are identical); the null doc
+    // survives untouched
+    val adq = graft.operators.Dedup.applyDedupQuality(docs, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(adq == Set(1L, 2L), s"quality dedup kept: $adq")
+  }
 }

@@ -2034,6 +2034,35 @@ class OperatorSpec extends SparkSpec {
     assert(ratios.forall(_ >= 1000L), s"fertility below 1 symbol/word: ${ratios.toSeq}")
   }
 
+  test("int8TopK: integer-exact symmetric scoring, high recall vs brute force, zero vectors drop") {
+    import graft.operators.Similarity
+    val emb = Tables.table(spark, sf0001, "embeddings")
+    val got = Similarity.int8TopK(emb, probeId = 0L, topK = 10).collect()
+    assert(got.length == 10)
+    assert(!got.map(_.getLong(0)).contains(0L), "probe excluded")
+    val approx = got.map(_.getDouble(1))
+    assert(approx.zip(approx.tail).forall { case (a, b) => a >= b }, "not sorted desc")
+    // int8 quantization barely perturbs cosine: top-10 must recover most of
+    // the exact top-10 (deterministic on the fixture)
+    val exact = Similarity.bruteForceTopK(emb, probeId = 0L, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    val recall = got.map(_.getLong(0)).count(exact.contains).toDouble / 10
+    info(f"int8 recall@10 vs brute force: $recall%.2f")
+    assert(recall >= 0.8, s"int8 recall@10 degraded: $recall")
+    // per-row quantization error must be small
+    got.foreach { r =>
+      assert(math.abs(r.getDouble(1) - r.getDouble(2)) <= 0.02,
+        s"quantization error too large: $r")
+    }
+    // zero vectors are unquantizable on either side: a zero probe yields an
+    // empty result instead of NaN scores
+    val withZero = emb.select("vec_id", "embedding")
+      .union(Seq((999999L, Seq.fill(64)(0.0f))).toDF("vec_id", "embedding"))
+    assert(Similarity.int8TopK(withZero, probeId = 999999L, topK = 5).count() == 0)
+    val gotZ = Similarity.int8TopK(withZero, probeId = 0L, topK = 1000000).collect()
+    assert(!gotZ.map(_.getLong(0)).contains(999999L), "zero corpus vector must drop")
+  }
+
   test("holdoutIndexStore/decontaminateStored: stored registry == one-shot contamination") {
     import graft.operators.Dedup
     val d = Tables.table(spark, sf0001, "documents")
