@@ -290,6 +290,44 @@ object ExtensionOracleSql {
        |GROUP BY tok.doc_id
        |ORDER BY tok.doc_id""".stripMargin
 
+  /** Shared CTE chain for the perceptual-hash family (in lock-step with
+    * graft.operators.Multimodal.imagePhash): closed-form 8×8 pixel grid
+    * (seed-mixed mod-prime channels, planted dup/near-dup seeds, the white
+    * (0,0) perturbation), integer ITU-R 601 luminance, exact integer mean
+    * test, 64-bit hash assembled with bit_or. Ends with CTE
+    * `h(doc_id, phash)`. All arithmetic stays far inside BIGINT range —
+    * DuckDB errors on overflow rather than wrapping, so the formula was
+    * chosen to never overflow (prime modulus 16777213 < 2^24).
+    */
+  private val phashCtes: String =
+    """WITH g AS (
+      |  SELECT d.doc_id,
+      |    CASE WHEN d.doc_id % 10 = 0 THEN d.doc_id + 5 ELSE d.doc_id END AS seed,
+      |    xs.x, ys.y
+      |  FROM documents d
+      |  CROSS JOIN (SELECT unnest(range(0, 8)) AS x) xs
+      |  CROSS JOIN (SELECT unnest(range(0, 8)) AS y) ys),
+      |hv0 AS (
+      |  SELECT doc_id, x, y, y * 8 + x AS i,
+      |    ((seed * 64 + y * 8 + x + 1) % 16777213) AS v
+      |  FROM g),
+      |hv AS (SELECT doc_id, x, y, i, (v * v + v * 7919) % 16777213 AS hv FROM hv0),
+      |px AS (
+      |  SELECT doc_id, i,
+      |    CASE WHEN doc_id % 20 = 0 AND x = 0 AND y = 0 THEN 255 ELSE hv % 256 END AS r,
+      |    CASE WHEN doc_id % 20 = 0 AND x = 0 AND y = 0 THEN 255 ELSE (hv // 256) % 256 END AS cg,
+      |    CASE WHEN doc_id % 20 = 0 AND x = 0 AND y = 0 THEN 255 ELSE (hv // 65536) % 256 END AS cb
+      |  FROM hv),
+      |lu AS (SELECT doc_id, i, (299 * r + 587 * cg + 114 * cb) // 1000 AS lum FROM px),
+      |tot AS (SELECT doc_id, SUM(lum) AS s FROM lu GROUP BY doc_id),
+      |h AS (
+      |  SELECT lu.doc_id,
+      |    bit_or(CASE WHEN lu.lum * 64 > t.s THEN
+      |      CASE WHEN lu.i = 63 THEN (-9223372036854775807 - 1)
+      |           ELSE (1::BIGINT << CAST(lu.i AS INT)) END
+      |      ELSE 0 END) AS phash
+      |  FROM lu JOIN tot t USING (doc_id) GROUP BY lu.doc_id)""".stripMargin
+
   private def dot(a: String, b: String) =
     s"list_sum(list_transform(range(1, len($a) + 1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
   private def nrm(a: String) = s"sqrt(${dot(a, a)})"
@@ -2070,6 +2108,124 @@ object ExtensionOracleSql {
         |FROM r JOIN cs USING (cohort_week)
         |ORDER BY cohort_week, week_offset""".stripMargin,
 
+    // in lock-step with graft.operators.EventAnalytics.transitionMatrix
+    "events_transition" ->
+      """WITH st AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |cnt AS (
+        |  SELECT prev_type, event_type AS next_type, COUNT(*) AS n_steps
+        |  FROM st WHERE prev_type IS NOT NULL GROUP BY prev_type, event_type),
+        |tot AS (SELECT prev_type, CAST(SUM(n_steps) AS BIGINT) AS out_total
+        |        FROM cnt GROUP BY prev_type)
+        |SELECT c.prev_type, c.next_type, c.n_steps,
+        |  c.n_steps * 1000 // t.out_total AS prob_permille
+        |FROM cnt c JOIN tot t USING (prev_type)
+        |ORDER BY prev_type, next_type""".stripMargin,
+
+    // in lock-step with graft.operators.EventAnalytics.rollingActive
+    "events_rolling_active" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |dau AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY day),
+        |contrib AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(unnest(generate_series(CAST(day AS TIMESTAMP),
+        |      CAST(day AS TIMESTAMP) + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM ud),
+        |roll AS (
+        |  SELECT c.day, COUNT(*) AS active_7d
+        |  FROM contrib c JOIN (SELECT day FROM dau) d USING (day)
+        |  GROUP BY c.day)
+        |SELECT dau.day, dau.dau, roll.active_7d
+        |FROM dau JOIN roll USING (day)
+        |ORDER BY day""".stripMargin,
+
+    // in lock-step with graft.operators.EventAnalytics.valueAnomalies —
+    // the z-test runs in exact integer centi-units (HUGEINT here, exact
+    // DECIMAL(38,0) on the Spark side), so no float variance epsilon
+    "events_anomaly" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(round(value * 100) AS HUGEINT) AS q FROM events),
+        |m AS (
+        |  SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n, SUM(q) AS s,
+        |    SUM(q * q) AS qq
+        |  FROM ev GROUP BY event_type),
+        |fl AS (
+        |  SELECT ev.event_type,
+        |    CASE WHEN (ev.q * m.n - m.s) * (ev.q * m.n - m.s) * 100 >
+        |              400 * (m.n * m.qq - m.s * m.s)
+        |      THEN 1 ELSE 0 END AS is_outlier
+        |  FROM ev JOIN m USING (event_type))
+        |SELECT event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(is_outlier) AS BIGINT) AS n_outliers,
+        |  CAST(SUM(is_outlier) AS BIGINT) * 1000 // COUNT(*) AS outlier_permille
+        |FROM fl GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // in lock-step with graft.operators.TextAnalysis.pmiBigrams — every
+    // operand cast to DOUBLE before the one left-associated ratio, ln,
+    // round-6 (identical IEEE sequence to the Spark column expression)
+    "text_pmi" ->
+      s"""WITH t AS (SELECT doc_id, $toksOf AS toks FROM documents),
+         |bg AS (
+         |  SELECT unnest(list_slice(toks, 1, len(toks) - 1)) AS term_a,
+         |         unnest(list_slice(toks, 2, len(toks))) AS term_b
+         |  FROM t WHERE len(toks) >= 2),
+         |bc AS (SELECT term_a, term_b, COUNT(*) AS n_ab FROM bg GROUP BY 1, 2),
+         |uni AS (SELECT unnest(toks) AS term FROM t),
+         |uc AS (SELECT term, COUNT(*) AS n_t FROM uni GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(n_t) AS BIGINT) AS t_total FROM uc),
+         |btot AS (SELECT CAST(SUM(n_ab) AS BIGINT) AS b_total FROM bc)
+         |SELECT bc.term_a, bc.term_b, bc.n_ab,
+         |  round(ln(CAST(bc.n_ab AS DOUBLE) * CAST(t.t_total AS DOUBLE) * CAST(t.t_total AS DOUBLE) /
+         |    (CAST(b.b_total AS DOUBLE) * CAST(ua.n_t AS DOUBLE) * CAST(ub.n_t AS DOUBLE))), 6) AS pmi
+         |FROM bc
+         |JOIN uc ua ON ua.term = bc.term_a
+         |JOIN uc ub ON ub.term = bc.term_b
+         |CROSS JOIN tot t CROSS JOIN btot b
+         |WHERE bc.n_ab >= 5
+         |ORDER BY pmi DESC, term_a, term_b""".stripMargin,
+
+    // in lock-step with graft.operators.TextAnalysis.coverageCurve
+    "text_coverage_curve" ->
+      s"""WITH toks AS (SELECT unnest($toksOf) AS term FROM documents),
+         |c AS (SELECT term, COUNT(*) AS cnt FROM toks GROUP BY term),
+         |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t_total, COUNT(*) AS v_types FROM c),
+         |r AS (
+         |  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, term) AS rank,
+         |    CAST(SUM(cnt) OVER (ORDER BY cnt DESC, term ROWS UNBOUNDED PRECEDING)
+         |         AS BIGINT) AS cum
+         |  FROM c QUALIFY rank <= 1000),
+         |ks AS (SELECT unnest([10, 100, 1000]) AS k)
+         |SELECT ks.k, CAST(r.rank AS INT) AS n_types,
+         |  r.cum * 1000000 // t.t_total AS coverage_ppm
+         |FROM ks CROSS JOIN tot t JOIN r ON r.rank = least(ks.k, t.v_types)
+         |ORDER BY k""".stripMargin,
+
+    // in lock-step with graft.operators.Similarity.labelMargin — label
+    // centroids via the same exact integer-quantized means as lloydIterCte
+    "embedding_label_margin" ->
+      s"""WITH cent AS (
+         |  SELECT label, list(cval ORDER BY idx) AS cvec FROM (
+         |    SELECT label, idx, CAST(SUM(q) AS DOUBLE) / (1e9 * COUNT(*)) AS cval
+         |    FROM (SELECT label, generate_subscripts(embedding, 1) AS idx,
+         |            CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1e9) AS BIGINT) AS q
+         |          FROM embeddings)
+         |    GROUP BY label, idx) GROUP BY label),
+         |sc AS (
+         |  SELECT e.vec_id, e.label, c.label AS clabel,
+         |    round(${cos("e.embedding", "c.cvec")}, 6) AS csim
+         |  FROM embeddings e CROSS JOIN cent c),
+         |own AS (SELECT vec_id, label, csim AS own_sim FROM sc WHERE label = clabel),
+         |oth AS (
+         |  SELECT vec_id, clabel AS best_other_label, csim AS best_other_sim FROM sc
+         |  WHERE label <> clabel
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, clabel) = 1)
+         |SELECT o.vec_id, o.label, o.own_sim, t.best_other_label, t.best_other_sim,
+         |  round(o.own_sim - t.best_other_sim, 6) AS margin
+         |FROM own o JOIN oth t USING (vec_id)
+         |ORDER BY vec_id""".stripMargin,
+
     "grouped_topk" ->
       """SELECT c_mktsegment, CAST(rk AS INT) AS rank, o_orderkey, o_totalprice FROM (
         |  SELECT c_mktsegment, o_orderkey, o_totalprice,
@@ -2296,6 +2452,32 @@ object ExtensionOracleSql {
         |  CAST(((doc_id*11 + fi*37 + 5) % 256) * w * h AS BIGINT) AS sum_g,
         |  CAST(((doc_id*13 + fi*41 + 7) % 256) * w * h AS BIGINT) AS sum_b
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // in lock-step with graft.operators.Multimodal.imagePhash — the hash is
+    // recomputed in CLOSED FORM from the fixture's pixel formula (the engine
+    // must really decode the PNG to reproduce it); bit 63 is the min-long
+    // literal because DuckDB ERRORS on 1<<63 instead of wrapping
+    "multimodal_phash" ->
+      s"""$phashCtes
+         |SELECT doc_id, phash FROM h ORDER BY doc_id""".stripMargin,
+
+    // in lock-step with graft.operators.Multimodal.phashPairs: same 4×16-bit
+    // banding (arithmetic shift + mask reads the same bits in both engines),
+    // exact bit_count(xor) verify
+    "multimodal_phash_pairs" ->
+      s"""$phashCtes,
+         |ch AS (
+         |  SELECT doc_id, phash, cs.c AS chunk_id,
+         |    (phash >> CAST(cs.c * 16 AS INT)) & 65535 AS chunk_val
+         |  FROM h CROSS JOIN (SELECT unnest(range(0, 4)) AS c) cs),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    a.phash AS ha, b.phash AS hb
+         |  FROM ch a JOIN ch b ON a.chunk_id = b.chunk_id
+         |    AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+         |FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     // full recompute over the whole changelog — the delta-maintained
     // aggregate must land on exactly this

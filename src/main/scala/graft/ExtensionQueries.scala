@@ -417,6 +417,14 @@ object ExtensionQueries {
     "multimodal_frames" -> ((s, dir) =>
       // multi-page TIFF "video", stride-sampled, per-frame exact pixel sums
       Multimodal.imageioFrames(s, docs(s, dir), stride = 2)),
+    "multimodal_phash" -> ((s, dir) =>
+      // 64-bit average-hash over REAL decoded pixels; the closed-form
+      // fixture lets the oracle recompute the hash without decoding
+      Multimodal.imagePhash(s, docs(s, dir))),
+    "multimodal_phash_pairs" -> ((s, dir) =>
+      // image-level near-dup sweep: 16-bit-banded hamming join over the
+      // perceptual hashes, exact bit_count verify at maxDist=3
+      Multimodal.phashPairs(s, docs(s, dir), maxDist = 3)),
     "sample_stratified" -> ((s, dir) =>
       Sampling.stratifiedSample(docs(s, dir), "doc_id", "lang",
         Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.1))
@@ -566,6 +574,34 @@ object ExtensionQueries {
       graft.operators.EventAnalytics.retention(
         Tables.table(s, dir, "events"), "user_id", "event_type", "ts",
         cohortType = "signup")),
+    "events_transition" -> ((s, dir) =>
+      // Markov next-event matrix: per-user (ts, event_id)-ordered steps,
+      // exact per-mille share of each prev_type's outgoing transitions
+      graft.operators.EventAnalytics.transitionMatrix(
+        Tables.table(s, dir, "events"), "user_id", "event_type", "ts",
+        tieCol = "event_id")),
+    "events_rolling_active" -> ((s, dir) =>
+      // per-day DAU + exact trailing-7-day active users (rolling COUNT
+      // DISTINCT via the bounded contribute-forward explode)
+      graft.operators.EventAnalytics.rollingActive(
+        Tables.table(s, dir, "events"), "user_id", "ts", windowDays = 7)),
+    "events_anomaly" -> ((s, dir) =>
+      // per-type value outliers at |z| > 2, tested in exact integer
+      // centi-unit arithmetic (no float variance epsilon cross-engine)
+      graft.operators.EventAnalytics.valueAnomalies(
+        Tables.table(s, dir, "events"), "event_type", "value", zTimes10 = 20)),
+    "text_pmi" -> ((s, dir) =>
+      // adjacent-bigram collocations: PMI over exact corpus counts,
+      // rare bigrams pruned before the vocabulary joins
+      TextAnalysis.pmiBigrams(docs(s, dir), minCount = 5)),
+    "text_coverage_curve" -> ((s, dir) =>
+      // token-mass coverage of the top-k vocabulary (k = 10/100/1000),
+      // exact integer ppm — the vocabulary-sizing curve
+      TextAnalysis.coverageCurve(docs(s, dir), ks = Seq(10, 100, 1000))),
+    "embedding_label_margin" -> ((s, dir) =>
+      // geometric mislabel audit: own-label centroid cosine minus best
+      // other-label centroid cosine, negative = likely mislabeled
+      Similarity.labelMargin(emb(s, dir))),
     "grouped_topk" -> { (s, dir) =>
       import org.apache.spark.sql.functions._
       import s.implicits._

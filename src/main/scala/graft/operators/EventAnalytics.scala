@@ -132,4 +132,102 @@ object EventAnalytics {
         expr("n_active * 1000 DIV cohort_size").as("retention_permille"))
       .orderBy("cohort_week", "week_offset")
   }
+
+  /** Markov TRANSITION matrix: per user, events ordered by (ts, tiebreaker);
+    * every consecutive (prev_type → next_type) step is counted, and each
+    * row reports the transition's share of all steps leaving `prev_type`
+    * (exact integer per-mille). The classic behavioral-sequence summary —
+    * what users do NEXT after each action.
+    *
+    * Shape at scale: ONE user-keyed exchange feeding a per-user sort (the
+    * lag window — per-user event counts are the bounded dimension, never
+    * the corpus), then a hash aggregation over ≤ |types|² groups and a
+    * bounded broadcast of the per-prev totals. No global sort, no
+    * self-join of the event stream.
+    */
+  def transitionMatrix(events: DataFrame, userCol: String, typeCol: String,
+                       tsCol: String, tieCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    val steps = events
+      .select(col(userCol), col(typeCol), col(tsCol), col(tieCol))
+      .withColumn("prev_type", lag(col(typeCol), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col(typeCol).as("next_type"))
+      .agg(count(lit(1)).as("n_steps"))
+    val outTotals = steps.groupBy("prev_type")
+      .agg(sum(col("n_steps")).as("__out"))
+    steps.join(broadcast(outTotals), "prev_type") // ≤ |types| rows — bounded
+      .select(col("prev_type"), col("next_type"), col("n_steps"),
+        expr("n_steps * 1000 DIV __out").as("prob_permille"))
+      .orderBy("prev_type", "next_type")
+  }
+
+  /** Rolling ACTIVE-USER report: per calendar day, the exact count of
+    * distinct users active that day (DAU) and in the trailing `windowDays`
+    * days (WAU with windowDays=7). Exact rolling COUNT DISTINCT without a
+    * per-day rescan: dedup to (user, day) once, then each activity day
+    * contributes itself to the next `windowDays` report days (a bounded
+    * `windowDays`-way explode of the ALREADY-DEDUPED pairs — never of the
+    * raw stream), and the per-(report day, user) dedup + count is one hash
+    * aggregation. Report days are restricted to days with any activity.
+    *
+    * Shape at scale: distinct (user, day) is map-side combined; the explode
+    * multiplies |user-days| by windowDays (a constant); the final distinct
+    * count is again map-side combined. No day×stream range join, no state
+    * kept per user.
+    */
+  def rollingActive(events: DataFrame, userCol: String, tsCol: String,
+                    windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    val userDays = events
+      .select(col(userCol).as("u"), to_date(col(tsCol)).as("day"))
+      .distinct()
+    val dau = userDays.groupBy("day").agg(count(lit(1)).as("dau"))
+    val contrib = userDays
+      .select(col("u"), explode(expr(
+        s"sequence(day, date_add(day, ${windowDays - 1}))")).as("day"))
+      .distinct()
+    val rolling = contrib.join(dau.select("day"), "day") // only real report days
+      .groupBy("day").agg(count(lit(1)).as(s"active_${windowDays}d"))
+    dau.join(rolling, "day").orderBy("day")
+  }
+
+  /** Per-type VALUE-ANOMALY report: events whose value sits more than
+    * `zTimes10/10` population standard deviations from their type's mean.
+    * The z-test is evaluated in EXACT integer arithmetic on centi-units
+    * (values are exact 2-dp): with q=round(100·value), n, S=Σq, Q=Σq²,
+    * the flag is (q·n − S)² > z²·(n·Q − S²) — both sides exact
+    * DECIMAL(38,0), so the report is bit-identical cross-engine with no
+    * float variance epsilon. (At petabyte row counts the decimal widths
+    * still hold: 38 digits cover n·Q for n up to ~10¹² events per type.)
+    *
+    * Shape at scale: one map-side-combined per-type moment aggregation
+    * (|types| rows, broadcast back), one filtered re-scan, one final
+    * |types|-group count. Two narrow passes over the stream, zero windows.
+    */
+  def valueAnomalies(events: DataFrame, typeCol: String, valueCol: String,
+                     zTimes10: Int = 20): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val q = round(col(valueCol) * 100).cast(dec)
+    val ev = events.select(col(typeCol).as("event_type"), q.as("q"))
+    val moments = ev.groupBy("event_type").agg(
+      count(lit(1)).cast(dec).as("n"),
+      sum(col("q")).as("s"),
+      sum(col("q") * col("q")).as("qq"))
+    ev.join(broadcast(moments), "event_type") // |types| rows — bounded
+      .withColumn("dev", col("q") * col("n") - col("s"))
+      .withColumn("is_outlier",
+        col("dev") * col("dev") * lit(100).cast(dec) >
+          lit(zTimes10.toLong * zTimes10).cast(dec) *
+            (col("n") * col("qq") - col("s") * col("s")))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("is_outlier"), 1L).otherwise(0L)).as("n_outliers"))
+      .withColumn("outlier_permille",
+        expr("n_outliers * 1000 DIV n_events"))
+      .orderBy("event_type")
+  }
 }

@@ -116,7 +116,7 @@ object Multimodal {
     // runs on first use in each executor JVM, so this holds on a cluster).
     ImageIO.setUseCache(false)
 
-    private def decode(payload: Array[Byte]): BufferedImage = {
+    private[operators] def decode(payload: Array[Byte]): BufferedImage = {
       val img = ImageIO.read(new ByteArrayInputStream(payload))
       require(img != null, "payload is not a decodable image (PNG/BMP/GIF/JPEG/TIFF)")
       img
@@ -349,6 +349,127 @@ object Multimodal {
       }
       .toDF("doc_id", "frame_idx", "width", "height", "sum_r", "sum_g", "sum_b")
       .orderBy("doc_id", "frame_idx")
+  }
+
+  /** Seed-mixed procedural 8×8 fixture image for the perceptual-hash
+    * family: every pixel derives from `h = (seed·48271 + x·7919 + y·104729)
+    * mod 16777213` (prime; no 64-bit overflow anywhere, so DuckDB — which
+    * ERRORS on BIGINT overflow rather than wrapping — replays it exactly),
+    * r/g/b = byte slices of h. Unlike [[ImageIoCodec.patternImage]] (whose
+    * per-channel `% 256` makes all seeds congruent mod 256 collide), seeds
+    * are injective mod the prime, so distinct doc_ids give distinct images
+    * and the ONLY near-dup pairs are the planted ones.
+    */
+  private[operators] def mixedImage(seed: Long, w: Int, h: Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        // quadratic mixing: a LINEAR per-pixel formula leaves the 64
+        // above/below-mean bits correlated across seeds (measured: 543
+        // accidental hamming<=3 pairs in a 500-doc corpus); squaring the
+        // pre-reduced pixel index decorrelates them (2 accidentals).
+        // v < 16777213 keeps v*v < 2.9e14 — far inside BIGINT for the
+        // DuckDB replay (which errors on overflow rather than wrapping).
+        val v = (seed * 64L + y * 8L + x + 1L) % 16777213L
+        val hv = (v * v + v * 7919L) % 16777213L
+        val r = (hv % 256L).toInt
+        val g = ((hv / 256L) % 256L).toInt
+        val b = ((hv / 65536L) % 256L).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  /** 64-bit AVERAGE-HASH (aHash) over REAL decoded pixels — the standard
+    * cheap perceptual image fingerprint (resize-to-8×8 → luminance → bit i
+    * set when pixel i is brighter than the image mean). The fixture is
+    * already 8×8 ([[mixedImage]]), so the hash IS the canonical aHash with
+    * the resample step elided; luminance is the integer ITU-R 601 form
+    * `(299r + 587g + 114b) / 1000`, and the mean test is the exact integer
+    * cross-multiplication `lum·64 > Σlum` (no division, no float).
+    *
+    * Dup planting (closed-form, so the DuckDB oracle recomputes the hash
+    * WITHOUT decoding — while the engine must really decode the PNG to
+    * reproduce it): docs with id % 10 == 0 reuse doc id+5's seed (exact
+    * duplicate image); the id % 20 == 0 half additionally whites out pixel
+    * (0,0) — a near-duplicate at small hamming distance.
+    *
+    * Shape at scale: spread partitions + one mapPartitions codec pass
+    * (encode/decode is the honest per-row cost of a real image pipeline),
+    * output one (id, hash) row per doc.
+    */
+  def imagePhash(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    PartitionUtil.spread(docs.select("doc_id"), "doc_id").as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val seed = if (id % 10 == 0) id + 5 else id
+          val img0 = mixedImage(seed, 8, 8)
+          if (id % 20 == 0) img0.setRGB(0, 0, 0xFFFFFF)
+          val img = ImageIoCodec.decode(ImageIoCodec.encodePng(img0))
+          val lums = new Array[Long](64)
+          var s = 0L
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              val rgb = img.getRGB(x, y)
+              val l = (299L * ((rgb >> 16) & 255) + 587L * ((rgb >> 8) & 255) +
+                114L * (rgb & 255)) / 1000L
+              lums(y * 8 + x) = l
+              s += l
+              x += 1
+            }
+            y += 1
+          }
+          var hash = 0L
+          var i = 0
+          while (i < 64) {
+            if (lums(i) * 64 > s) hash |= (1L << i)
+            i += 1
+          }
+          (id, hash)
+        }
+      }
+      .toDF("doc_id", "phash")
+      .orderBy("doc_id")
+  }
+
+  /** Perceptual-hash NEAR-DUP pairs: [[imagePhash]] hashes banded into 4
+    * 16-bit chunks and equi-joined per chunk (pigeonhole: hamming ≤ 3 ⇒
+    * some chunk equal, so recall is EXACT for `maxDist` < 4 while shuffling
+    * only chunk-keyed rows — the [[Dedup.simHashPairs]] discipline applied
+    * to images; 16-bit bands keep the per-bucket candidate fan-in at
+    * |corpus|/65536, where byte-wide bands would collide every ~256 docs).
+    * Exact `bit_count(xor)` verification closes the sweep. This is
+    * image-level dedup — the multimodal sibling of the text
+    * MinHash/SimHash family.
+    */
+  def phashPairs(spark: SparkSession, docs: DataFrame, maxDist: Int = 3): DataFrame = {
+    val chunks = 4
+    require(maxDist < chunks, "pigeonhole recall requires maxDist < chunks")
+    val hashed = imagePhash(spark, docs)
+    val chunked = hashed.select(col("doc_id"), col("phash"),
+      posexplode(array((0 until chunks).map(c =>
+        shiftright(col("phash"), c * 16).bitwiseAND(65535L)): _*))
+        .as(Seq("chunk_id", "chunk_val")))
+    chunked.as("a")
+      .join(chunked.as("b"),
+        col("a.chunk_id") === col("b.chunk_id") &&
+          col("a.chunk_val") === col("b.chunk_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.phash").as("ha"), col("b.phash").as("hb"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("int"))
+      .filter(col("hamming") <= maxDist)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
   }
 
   /** Payload-sniffing codec: PNG magic bytes route to the real

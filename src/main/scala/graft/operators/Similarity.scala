@@ -1372,4 +1372,47 @@ object Similarity {
       .select(col("vec_id"), col("centroid_id"))
       .orderBy("vec_id")
   }
+
+  /** LABEL-MARGIN audit — the embedding-space mislabel detector: each
+    * vector's cosine to its OWN label's centroid minus its best cosine to
+    * any OTHER label's centroid. A negative margin means the vector sits
+    * closer to a foreign class center than its own — the standard
+    * cheap-pass flag for annotation errors before training a classifier
+    * head. (The NB-chain sibling [[TextAnalysis.mislabelRate]] audits
+    * declared language labels from token evidence; this audits arbitrary
+    * labels from geometry.)
+    *
+    * Centroids use [[lloydCentroids]]' exact integer-quantized means
+    * (floor(x·1e9) summed as decimal, divided once), so they are
+    * bit-identical cross-engine; cosines are round-6 like every scorer in
+    * this file; the margin is a round-6 difference of two round-6 doubles.
+    *
+    * Shape at scale: one (label, dim) partial aggregation builds the
+    * centroid table (|labels|·dim rows — bounded index metadata), which
+    * broadcasts onto a single narrow scoring pass; own/best-other reduce in
+    * one |labels|-wide per-vector aggregation. No pair join, no window.
+    */
+  def labelMargin(emb: DataFrame): DataFrame = {
+    val cent = emb
+      .select(col("label"), posexplode(col("embedding")).as(Seq("idx", "comp")))
+      .withColumn("q", floor(col("comp").cast("double") * lit(1e9)).cast(DecimalType(38, 0)))
+      .groupBy(col("label"), col("idx"))
+      .agg((sum(col("q")).cast("double") / (lit(1e9) * count(lit(1)))).as("cval"))
+      .groupBy(col("label"))
+      .agg(transform(sort_array(collect_list(struct(col("idx"), col("cval")))),
+        x => x.getField("cval")).as("cvec"))
+    val scored = emb
+      .crossJoin(broadcast(cent.select(col("label").as("clabel"), col("cvec"))))
+      .withColumn("csim", round(VecF.cosine(col("embedding"), col("cvec")), 6))
+    scored.groupBy(col("vec_id"), col("label"))
+      .agg(
+        max(when(col("label") === col("clabel"), col("csim"))).as("own_sim"),
+        max_by(struct(col("clabel").as("l"), col("csim").as("s")),
+          when(col("label") =!= col("clabel"), struct(col("csim"), -col("clabel"))))
+          .as("best"))
+      .select(col("vec_id"), col("label"), col("own_sim"),
+        col("best.l").as("best_other_label"), col("best.s").as("best_other_sim"),
+        round(col("own_sim") - col("best.s"), 6).as("margin"))
+      .orderBy("vec_id")
+  }
 }

@@ -919,6 +919,83 @@ object TextAnalysis {
     * all until whatever consumes the chunks. Output rows ≈ input tokens /
     * (chunkSize - overlap), each carrying only its own slice of text.
     */
+  /** Pointwise-mutual-information COLLOCATIONS: adjacent-token bigrams
+    * scored by pmi = ln(P(ab) / (P(a)·P(b))) over corpus counts — the
+    * classic collocation extractor (and a cheap multi-word-entity signal
+    * for vocab construction). `minCount` prunes rare bigrams BEFORE the
+    * vocabulary joins, so the joined side is the already-thresholded
+    * collocation table, not the raw bigram space.
+    *
+    * Determinism: counts are exact integers; the pmi ratio is evaluated in
+    * ONE fixed left-associated double expression (every operand cast to
+    * double first, so neither engine pre-reduces in integer space), then
+    * ln + round-6 — identical IEEE sequence cross-engine.
+    *
+    * Shape at scale: bigrams come from a per-row array zip (no positional
+    * self-join of the token stream), both count aggregations are map-side
+    * combined, totals are one-row broadcasts, and the two vocabulary joins
+    * are term-keyed with NO forced broadcast (vocabulary is Heaps-law
+    * unbounded — AQE decides, like tfidfTopTerms).
+    */
+  def pmiBigrams(docs: DataFrame, minCount: Int = 5): DataFrame = {
+    val toks = docs.select(Text.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val bi = toks.select(explode(zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (a, b) => struct(a.as("term_a"), b.as("term_b")))).as("bg"))
+      .select(col("bg.term_a"), col("bg.term_b"))
+      .groupBy("term_a", "term_b").agg(count(lit(1)).as("n_ab"))
+    val uni = docs.select(explode(Text.tokens(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("n_t"))
+    val totals = broadcast(uni.agg(sum(col("n_t")).as("t_total"))
+      .crossJoin(bi.agg(sum(col("n_ab")).as("b_total")))) // 1 row
+    bi.filter(col("n_ab") >= minCount)
+      .join(uni.select(col("term").as("term_a"), col("n_t").as("n_a")), "term_a")
+      .join(uni.select(col("term").as("term_b"), col("n_t").as("n_b")), "term_b")
+      .crossJoin(totals)
+      .withColumn("pmi", round(log(
+        col("n_ab").cast("double") * col("t_total").cast("double") * col("t_total").cast("double") /
+          (col("b_total").cast("double") * col("n_a").cast("double") * col("n_b").cast("double"))), 6))
+      .select(col("term_a"), col("term_b"), col("n_ab"), col("pmi"))
+      .orderBy(col("pmi").desc, col("term_a"), col("term_b"))
+  }
+
+  /** Vocabulary COVERAGE CURVE: for each k in `ks`, the fraction of the
+    * corpus token mass (exact integer ppm) covered by the top-k most
+    * frequent terms — the curve that sizes a vocabulary (and flags
+    * boilerplate when tiny k covers huge mass). When the corpus has fewer
+    * than k types, the row reports the whole-vocabulary coverage with
+    * `n_types` = V.
+    *
+    * Shape at scale: term counts are one map-side-combined aggregation;
+    * the top-max(ks) selection is `TakeOrderedAndProject` (per-partition
+    * heaps, never a global sort of the vocabulary); the ranking window
+    * then runs over ≤ max(ks) rows — a bounded single partition by
+    * construction, not a corpus-sized one.
+    */
+  def coverageCurve(docs: DataFrame, ks: Seq[Int] = Seq(10, 100, 1000)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(ks.nonEmpty && ks.forall(_ > 0), s"ks must be positive, got $ks")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val counts = docs.select(explode(Text.tokens(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+    val totals = broadcast(counts.agg(
+      sum(col("cnt")).as("t_total"), count(lit(1)).as("v_types"))) // 1 row
+    val top = counts.orderBy(col("cnt").desc, col("term")).limit(ks.max)
+    val w = Window.orderBy(col("cnt").desc, col("term")) // ≤ max(ks) rows
+    val ranked = top
+      .withColumn("rank", row_number().over(w))
+      .withColumn("cum", sum(col("cnt")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    ranked.crossJoin(totals)
+      .join(broadcast(ks.toDF("k")), col("rank") === least(col("k"), col("v_types")))
+      .select(col("k"), col("rank").as("n_types"),
+        expr("cum * 1000000 DIV t_total").as("coverage_ppm"))
+      .orderBy("k")
+  }
+
   def chunkDocuments(docs: DataFrame, chunkSize: Int = 64, overlap: Int = 16): DataFrame =
     chunkCore(docs, chunkSize, overlap, carry = Nil).orderBy("doc_id", "chunk_idx")
 

@@ -2589,4 +2589,141 @@ class OperatorSpec extends SparkSpec {
       .count(_.getName.startsWith("centroid_id="))
     assert(partDirs >= 2, s"expected per-bucket partition dirs, found $partDirs")
   }
+
+  test("transitionMatrix: per-user order, event_id tiebreak, per-prev per-mille") {
+    import graft.operators.EventAnalytics
+    val ev = Seq(
+      // u1: A -> B -> A (two transitions)
+      (1L, "A", 0L, 1L), (1L, "B", 10L, 2L), (1L, "A", 20L, 3L),
+      // u2: same-ts pair ordered by event_id: A -> A
+      (2L, "A", 0L, 4L), (2L, "A", 0L, 5L),
+      // u3: single event, contributes nothing
+      (3L, "B", 0L, 6L))
+      .toDF("user_id", "event_type", "tsec", "event_id")
+      .select(col("user_id"), col("event_type"),
+        col("tsec").cast("timestamp").as("ts"), col("event_id"))
+    val got = EventAnalytics.transitionMatrix(ev, "user_id", "event_type", "ts", "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      ("A", "A", 1L, 500L), ("A", "B", 1L, 500L), ("B", "A", 1L, 1000L)),
+      s"got: ${got.toSeq}")
+  }
+
+  test("rollingActive: exact trailing-window distinct, only real activity days report") {
+    import graft.operators.EventAnalytics
+    val ev = Seq(
+      (1L, "2024-01-01 08:00:00"), (1L, "2024-01-01 09:00:00"), // same user-day twice
+      (1L, "2024-01-02 08:00:00"),
+      (2L, "2024-01-01 23:00:00"),
+      (3L, "2024-01-04 01:00:00"))
+      .toDF("user_id", "tstr")
+      .select(col("user_id"), col("tstr").cast("timestamp").as("ts"))
+    val got = EventAnalytics.rollingActive(ev, "user_id", "ts", windowDays = 3)
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+    // 01-03 has no activity -> no row; 01-04's window [01-02..01-04] sees u1+u3;
+    // u2's 01-01 contribution to 01-03 never surfaces (not a report day)
+    assert(got.toSeq == Seq(
+      ("2024-01-01", 2L, 2L), ("2024-01-02", 1L, 2L), ("2024-01-04", 1L, 2L)),
+      s"got: ${got.toSeq}")
+  }
+
+  test("valueAnomalies: exact integer z-test flags the planted spike, zero-variance group clean") {
+    import graft.operators.EventAnalytics
+    // X: nine 1.00s + one 100.00 -> z(100.00) = 3 exactly, z(1.00) < 2
+    // Y: constant value -> zero variance, strict > keeps everything in
+    val ev = ((1 to 9).map(_ => ("X", 1.00)) ++ Seq(("X", 100.00)) ++
+      (1 to 3).map(_ => ("Y", 7.50)))
+      .toDF("event_type", "value")
+    val got = EventAnalytics.valueAnomalies(ev, "event_type", "value", zTimes10 = 20)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(("X", 10L, 1L, 100L), ("Y", 3L, 0L, 0L)),
+      s"got: ${got.toSeq}")
+  }
+
+  test("pmiBigrams: exact adjacent counts; pmi matches independent scala-side math") {
+    val docs = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "z")) // z: no bigrams
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.pmiBigrams(docs, minCount = 1)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    // counts: ab=3 ba=1 bc=1 (B=5); unigrams a=3 b=3 c=1 z=1 (T=8)
+    val cnt = got.map(t => ((t._1, t._2), t._3)).toMap
+    assert(cnt == Map(("a", "b") -> 3L, ("b", "a") -> 1L, ("b", "c") -> 1L), s"got: ${got.toSeq}")
+    def pmi(nab: Long, na: Long, nb: Long): Double =
+      BigDecimal(math.log(nab.toDouble * 8 * 8 / (5.0 * na * nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val byPair = got.map(t => ((t._1, t._2), t._4)).toMap
+    assert(byPair(("a", "b")) == pmi(3, 3, 3))
+    assert(byPair(("b", "c")) == pmi(1, 3, 1))
+    // output ordering: pmi desc, then term_a, term_b
+    assert(got.map(_._4).toSeq == got.map(_._4).sorted(Ordering[Double].reverse).toSeq)
+  }
+
+  test("coverageCurve: exact ppm at each k; k beyond V clamps to whole-vocabulary row") {
+    val docs = Seq((1L, "a a a b b"), (2L, "a a b c c")).toDF("doc_id", "text")
+    val got = TextAnalysis.coverageCurve(docs, ks = Seq(1, 2, 10))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    // counts a=5 b=3 c=2, T=10: top1=a 500000; top2=+b 800000; k=10 -> V=3, all
+    assert(got.toSeq == Seq((1, 1, 500000L), (2, 2, 800000L), (10, 3, 1000000L)),
+      s"got: ${got.toSeq}")
+  }
+
+  test("imagePhash: decoded-pixel hash equals the closed-form formula; pairs equal brute force") {
+    import graft.operators.Multimodal
+    // independent formula-side hash (no decode): if the operator's decode
+    // path dropped or permuted pixels, these would diverge
+    def formulaHash(id: Long): Long = {
+      val seed = if (id % 10 == 0) id + 5 else id
+      val lums = (0 until 64).map { i =>
+        val (x, y) = (i % 8, i / 8)
+        if (id % 20 == 0 && x == 0 && y == 0) (299L * 255 + 587L * 255 + 114L * 255) / 1000L
+        else {
+          val v = (seed * 64L + y * 8L + x + 1L) % 16777213L
+          val hv = (v * v + v * 7919L) % 16777213L
+          (299L * (hv % 256) + 587L * ((hv / 256) % 256) + 114L * ((hv / 65536) % 256)) / 1000L
+        }
+      }
+      val s = lums.sum
+      lums.zipWithIndex.foldLeft(0L) { case (h, (l, i)) =>
+        if (l * 64 > s) h | (1L << i) else h
+      }
+    }
+    val ids = (0L until 60L)
+    val docs = ids.map(i => (i, s"t$i")).toDF("doc_id", "text")
+    val got = Multimodal.imagePhash(spark, docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == ids.map(i => i -> formulaHash(i)).toMap,
+      "decoded hash != closed-form hash")
+    // pair sweep == brute force at maxDist=3 (pigeonhole recall is exact)
+    val gotPairs = Multimodal.phashPairs(spark, docs, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val want = (for {
+      a <- ids; b <- ids if a < b
+      d = java.lang.Long.bitCount(formulaHash(a) ^ formulaHash(b)) if d <= 3
+    } yield (a, b, d)).toSet
+    assert(gotPairs == want, s"pairs mismatch: got ${gotPairs.size}, want ${want.size}")
+    // the fixture plants both exact dups (d%10==0, d%20!=0 -> hamming 0)
+    // and perturbed near-dups; assert at least the exact ones surface
+    assert((0L until 60L by 10).filter(_ % 20 != 0)
+      .forall(d => gotPairs.exists(p => p._1 == d && p._2 == d + 5 && p._3 == 0)))
+  }
+
+  test("labelMargin: planted mislabel goes negative; clean vectors stay positive") {
+    import graft.operators.Similarity
+    val emb = Seq(
+      (1L, Array(1f, 0f), 0L), (2L, Array(1f, 0f), 0L),
+      (3L, Array(0f, 1f), 0L), // mislabeled: sits on label 1's axis
+      (4L, Array(0f, 1f), 1L), (5L, Array(0f, 1f), 1L))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.labelMargin(emb)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5)))
+    // centroid l0 = (2/3, 1/3) (exact integer-quantized mean), l1 = (0, 1)
+    assert(got.toSeq == Seq(
+      (1L, 0L, 0.894427, 1L, 0.0, 0.894427),
+      (2L, 0L, 0.894427, 1L, 0.0, 0.894427),
+      (3L, 0L, 0.447214, 1L, 1.0, -0.552786),
+      (4L, 1L, 1.0, 0L, 0.447214, 0.552786),
+      (5L, 1L, 1.0, 0L, 0.447214, 0.552786)),
+      s"got: ${got.toSeq}")
+  }
 }

@@ -315,6 +315,59 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("events transition/rolling/anomaly: user-partitioned window only; bounded broadcasts") {
+    // transition: the ONLY window is the per-user lag (partitioned by
+    // user_id, never a global sort); rolling/anomaly: window-free entirely.
+    val pTrans = plan(ExtensionQueries.all("events_transition")(spark, sf0001))
+    assert(pTrans.contains("Window"), "transition uses the per-user lag window")
+    assert(pTrans.contains("partitionBy") || pTrans.contains("user_id"),
+      s"transition window must partition by user:\n$pTrans")
+    for (name <- Seq("events_rolling_active", "events_anomaly")) {
+      val p = plan(ExtensionQueries.all(name)(spark, sf0001))
+      assert(!p.contains("Window"),
+        s"$name must stay window-free (hash aggregates only):\n$p")
+      assert(!p.contains("CartesianProduct"), s"$name planned a cartesian:\n$p")
+      assert(p.contains("HashAggregate"), s"$name must hash-aggregate:\n$p")
+    }
+  }
+
+  test("text_pmi: vocabulary joins never FORCE-broadcast; bigrams form in the scan") {
+    // same Heaps-law rule as sourceDivergence/bigramLogprob: the unigram
+    // table (one row per distinct corpus term) must not carry a broadcast
+    // hint — with auto-broadcast disabled, no term-keyed BroadcastHashJoin
+    // may survive. The bigram pairing itself must be the per-row array zip,
+    // never a positional self-join of the token stream.
+    val docs = Tables.table(spark, sf0001, "documents")
+    val conf = spark.conf
+    val oldBc = conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    val oldAqeBc = conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan(graft.operators.TextAnalysis.pmiBigrams(docs))
+      val termBroadcasts = p.linesIterator
+        .filter(l => l.contains("BroadcastHashJoin") &&
+          (l.contains("term_a#") || l.contains("term_b#"))).toSeq
+      assert(termBroadcasts.isEmpty,
+        s"pmiBigrams forces a broadcast on a vocabulary-sized join:\n${termBroadcasts.mkString("\n")}")
+      assert(p.contains("zip_with"), "bigrams must form as a per-row array zip")
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", oldBc)
+      oldAqeBc match {
+        case Some(v) => conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None => conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+    }
+  }
+
+  test("text_coverage_curve: vocabulary top-k is TakeOrdered, never a global vocabulary sort") {
+    val p = plan(ExtensionQueries.all("text_coverage_curve")(spark, sf0001))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-max(ks) must plan as per-partition heaps:\n$p")
+    // the one window is over the already-truncated <= max(ks) rows (fed by
+    // the TakeOrdered), which is bounded by construction
+  }
+
   test("sample_token_budget: corpus running-sum window is bucketed, never one-task-per-source") {
     val df = ExtensionQueries.all("sample_token_budget")(spark, sf0001)
     val exec = df.queryExecution.executedPlan match {
