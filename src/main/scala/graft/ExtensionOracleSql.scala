@@ -290,6 +290,32 @@ object ExtensionOracleSql {
        |GROUP BY tok.doc_id
        |ORDER BY tok.doc_id""".stripMargin
 
+  /** Shared langid CTE chain (in lock-step with
+    * graft.operators.TextAnalysis.langId and graft.functions.Text
+    * .stopwordProfiles): per-doc stopword-profile scores, argmax ties to
+    * the lexicographically smallest language, token-less/profile-less docs
+    * predict 'und'. Ends with CTE
+    * `pred(doc_id, pred_lang, score, actual_lang)`.
+    */
+  private lazy val langidCtes: String =
+    s"""WITH prof(lang, word) AS (VALUES
+       |  ('en','the'),('en','a'),('en','and'),('en','of'),('en','to'),('en','in'),('en','is'),('en','for'),('en','on'),('en','with'),
+       |  ('de','der'),('de','die'),('de','das'),('de','und'),('de','ist'),('de','nicht'),('de','mit'),('de','ein'),('de','zu'),('de','von'),
+       |  ('fr','le'),('fr','la'),('fr','les'),('fr','et'),('fr','des'),('fr','un'),('fr','une'),('fr','du'),('fr','est'),('fr','dans'),
+       |  ('es','el'),('es','los'),('es','las'),('es','de'),('es','y'),('es','en'),('es','que'),('es','un'),('es','es'),('es','por'),
+       |  ('zh','的'),('zh','是'),('zh','在'),('zh','了'),('zh','和'),('zh','有'),('zh','我'),('zh','不'),('zh','人'),('zh','这')),
+       |toks AS (SELECT doc_id, unnest($toksOf) AS t FROM documents),
+       |lscores AS (
+       |  SELECT doc_id, lang, COUNT(*) AS score
+       |  FROM toks JOIN prof ON t = word GROUP BY doc_id, lang),
+       |best AS (
+       |  SELECT doc_id, lang AS pred_lang, score FROM lscores
+       |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) = 1),
+       |pred AS (
+       |  SELECT d.doc_id, COALESCE(b.pred_lang, 'und') AS pred_lang,
+       |         COALESCE(b.score, 0) AS score, d.lang AS actual_lang
+       |  FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id)""".stripMargin
+
   /** Shared CTE chain for the perceptual-hash family (in lock-step with
     * graft.operators.Multimodal.imagePhash): closed-form 8×8 pixel grid
     * (seed-mixed mod-prime channels, planted dup/near-dup seeds, the white
@@ -541,6 +567,44 @@ object ExtensionOracleSql {
 
     "simsearch_ivf" -> simsearchIvfSql,
     "simsearch_ivf_search" -> simsearchIvfSql,
+
+    // in lock-step with graft.operators.Similarity.ivfRecallReport — brute
+    // vs IVF top-5 overlap per probe over the canonical iters=4 index; both
+    // top-k orders are strict (round-6 sim DESC, vec_id), so the sets and
+    // the recall are exact cross-engine
+    "simsearch_recall" ->
+      s"""$lloydBestCtes,
+         |pr AS (SELECT vec_id AS probe_id, embedding AS pv FROM embeddings
+         |       WHERE vec_id % 83 = 0),
+         |pbk AS (
+         |  SELECT probe_id, centroid_id FROM (
+         |    SELECT p.probe_id, c.centroid_id,
+         |      row_number() OVER (PARTITION BY p.probe_id
+         |        ORDER BY round(${cos("c.cvec", "p.pv")}, 6) DESC, c.centroid_id) AS rk
+         |    FROM cent c CROSS JOIN pr p) WHERE rk <= 3),
+         |ivfc AS (
+         |  SELECT k.probe_id, b.vec_id, round(${cos("e.embedding", "p.pv")}, 6) AS sim
+         |  FROM best b
+         |  JOIN pbk k USING (centroid_id)
+         |  JOIN embeddings e ON e.vec_id = b.vec_id
+         |  JOIN pr p ON p.probe_id = k.probe_id
+         |  WHERE b.vec_id <> k.probe_id),
+         |ivftop AS (
+         |  SELECT probe_id, vec_id FROM ivfc
+         |  QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) <= 5),
+         |br AS (
+         |  SELECT p.probe_id, e.vec_id, round(${cos("e.embedding", "p.pv")}, 6) AS sim
+         |  FROM embeddings e CROSS JOIN pr p WHERE e.vec_id <> p.probe_id),
+         |brtop AS (
+         |  SELECT probe_id, vec_id FROM br
+         |  QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) <= 5),
+         |ov AS (SELECT probe_id, COUNT(*) AS n_overlap FROM ivftop
+         |       JOIN brtop USING (probe_id, vec_id) GROUP BY probe_id),
+         |tt AS (SELECT probe_id, COUNT(*) AS n_true FROM brtop GROUP BY probe_id)
+         |SELECT tt.probe_id, tt.n_true, COALESCE(ov.n_overlap, 0) AS n_overlap,
+         |  COALESCE(ov.n_overlap, 0) * 1000 // tt.n_true AS recall_permille
+         |FROM tt LEFT JOIN ov USING (probe_id)
+         |ORDER BY probe_id""".stripMargin,
 
     // symmetric int8 top-5: per-vector round-half-up quantization, cosine of
     // the quantized vectors (scales cancel; integer products exact), exact
@@ -1880,23 +1944,23 @@ object ExtensionOracleSql {
          |FROM nbdoc GROUP BY source ORDER BY source""".stripMargin,
 
     "text_langid" ->
-      s"""WITH prof(lang, word) AS (VALUES
-         |  ('en','the'),('en','a'),('en','and'),('en','of'),('en','to'),('en','in'),('en','is'),('en','for'),('en','on'),('en','with'),
-         |  ('de','der'),('de','die'),('de','das'),('de','und'),('de','ist'),('de','nicht'),('de','mit'),('de','ein'),('de','zu'),('de','von'),
-         |  ('fr','le'),('fr','la'),('fr','les'),('fr','et'),('fr','des'),('fr','un'),('fr','une'),('fr','du'),('fr','est'),('fr','dans'),
-         |  ('es','el'),('es','los'),('es','las'),('es','de'),('es','y'),('es','en'),('es','que'),('es','un'),('es','es'),('es','por'),
-         |  ('zh','的'),('zh','是'),('zh','在'),('zh','了'),('zh','和'),('zh','有'),('zh','我'),('zh','不'),('zh','人'),('zh','这')),
-         |toks AS (SELECT doc_id, unnest($toksOf) AS t FROM documents),
-         |scores AS (
-         |  SELECT doc_id, lang, COUNT(*) AS score
-         |  FROM toks JOIN prof ON t = word GROUP BY doc_id, lang),
-         |best AS (
-         |  SELECT doc_id, lang AS pred_lang, score FROM scores
-         |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) = 1)
-         |SELECT d.doc_id, COALESCE(b.pred_lang, 'und') AS pred_lang,
-         |       COALESCE(b.score, 0) AS score, d.lang AS actual_lang
-         |FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
-         |ORDER BY d.doc_id""".stripMargin,
+      s"""$langidCtes
+         |SELECT doc_id, pred_lang, score, actual_lang FROM pred
+         |ORDER BY doc_id""".stripMargin,
+
+    // in lock-step with graft.operators.TextAnalysis.langConfusion — shares
+    // the langid CTE chain, rolls it up to declared × predicted
+    "text_lang_confusion" ->
+      s"""$langidCtes,
+         |cm AS (
+         |  SELECT actual_lang, pred_lang, COUNT(*) AS n_docs
+         |  FROM pred GROUP BY actual_lang, pred_lang),
+         |tot AS (SELECT actual_lang, CAST(SUM(n_docs) AS BIGINT) AS t
+         |        FROM cm GROUP BY actual_lang)
+         |SELECT cm.actual_lang, cm.pred_lang, cm.n_docs,
+         |  cm.n_docs * 1000 // tot.t AS share_permille
+         |FROM cm JOIN tot USING (actual_lang)
+         |ORDER BY actual_lang, pred_lang""".stripMargin,
 
     "text_quality" ->
       s"""WITH t AS (
@@ -2161,6 +2225,41 @@ object ExtensionOracleSql {
         |  CAST(SUM(is_outlier) AS BIGINT) AS n_outliers,
         |  CAST(SUM(is_outlier) AS BIGINT) * 1000 // COUNT(*) AS outlier_permille
         |FROM fl GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // in lock-step with graft.operators.EventAnalytics.cooccurrenceLift —
+    // pure integer ppm, so no float epsilon cross-engine
+    "events_lift" ->
+      """WITH ut AS (SELECT DISTINCT user_id AS u, event_type AS t FROM events),
+        |pt AS (SELECT t, COUNT(*) AS n FROM ut GROUP BY t),
+        |nu AS (SELECT COUNT(DISTINCT u) AS n_users FROM ut),
+        |bo AS (
+        |  SELECT a.t AS type_a, b.t AS type_b, COUNT(*) AS n_both
+        |  FROM ut a JOIN ut b ON a.u = b.u AND a.t < b.t
+        |  GROUP BY a.t, b.t)
+        |SELECT bo.type_a, bo.type_b, bo.n_both,
+        |  bo.n_both * nu.n_users * 1000000 // (pa.n * pb.n) AS lift_ppm
+        |FROM bo
+        |JOIN pt pa ON pa.t = bo.type_a
+        |JOIN pt pb ON pb.t = bo.type_b
+        |CROSS JOIN nu
+        |ORDER BY type_a, type_b""".stripMargin,
+
+    // in lock-step with graft.operators.EventAnalytics.valueHistogram —
+    // the order-of-magnitude bucket is a string-length integer (a float
+    // log10 would tie at exact powers of ten)
+    "events_value_histogram" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |    CAST(length(CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR)) - 1 AS INT) AS bucket
+        |  FROM events),
+        |c AS (SELECT event_type, bucket, COUNT(*) AS n_events
+        |      FROM b GROUP BY event_type, bucket),
+        |t AS (SELECT event_type, CAST(SUM(n_events) AS BIGINT) AS tt
+        |      FROM c GROUP BY event_type)
+        |SELECT c.event_type, c.bucket, c.n_events,
+        |  c.n_events * 1000 // t.tt AS share_permille
+        |FROM c JOIN t USING (event_type)
+        |ORDER BY event_type, bucket""".stripMargin,
 
     // in lock-step with graft.operators.TextAnalysis.pmiBigrams — every
     // operand cast to DOUBLE before the one left-associated ratio, ln,

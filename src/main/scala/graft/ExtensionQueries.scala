@@ -352,6 +352,11 @@ object ExtensionQueries {
         Similarity.pqStore(emb(s, dir), indexDir, m = 8, k = 8, iters = 2)
       Similarity.pqEncodeStored(s, indexDir, emb(s, dir))
     },
+    "simsearch_recall" -> ((s, dir) =>
+      // retrieval quality as an oracle-checked query: brute-force top-5 vs
+      // IVF nprobe=3 top-5 per probe, exact per-mille recall
+      Similarity.ivfRecallReport(emb(s, dir), k = 5, nlist = 4, nprobe = 3,
+        iters = 4, probeEvery = 83L)),
     "knn_join" -> { (s, dir) =>
       import org.apache.spark.sql.functions.col
       val e = emb(s, dir)
@@ -590,6 +595,20 @@ object ExtensionQueries {
       // centi-unit arithmetic (no float variance epsilon cross-engine)
       graft.operators.EventAnalytics.valueAnomalies(
         Tables.table(s, dir, "events"), "event_type", "value", zTimes10 = 20)),
+    "events_lift" -> ((s, dir) =>
+      // "users who do X also do Y": unordered type-pair co-occurrence lift
+      // over user sets, exact floor'd ppm via pure integer arithmetic
+      graft.operators.EventAnalytics.cooccurrenceLift(
+        Tables.table(s, dir, "events"), "user_id", "event_type")),
+    "events_value_histogram" -> ((s, dir) =>
+      // per-type order-of-magnitude value histogram (decimal-digit buckets
+      // on exact centi-units — no float log10 boundary ties)
+      graft.operators.EventAnalytics.valueHistogram(
+        Tables.table(s, dir, "events"), "event_type", "value")),
+    "text_lang_confusion" -> ((s, dir) =>
+      // declared-label x langid-prediction confusion matrix with per-actual
+      // integer per-mille shares — the labeling-quality one-pager
+      TextAnalysis.langConfusion(s, docs(s, dir))),
     "text_pmi" -> ((s, dir) =>
       // adjacent-bigram collocations: PMI over exact corpus counts,
       // rare bigrams pruned before the vocabulary joins

@@ -193,6 +193,64 @@ object EventAnalytics {
     dau.join(rolling, "day").orderBy("day")
   }
 
+  /** Event-type CO-OCCURRENCE LIFT: for every unordered type pair (a < b),
+    * how much more often users do BOTH than independence predicts —
+    * lift = P(a∧b) / (P(a)·P(b)) over user sets, reported as exact floor'd
+    * ppm via pure integer arithmetic (n_both·N·10⁶ ÷ (n_a·n_b), N = users
+    * with any event). The set-level sibling of [[transitionMatrix]]
+    * (which captures sequence; this captures portfolio — "users who do X
+    * also do Y").
+    *
+    * Shape at scale: one distinct (user, type) projection (map-side
+    * combined), a per-user self-join bounded by |types| per user (≤
+    * |types|² pairs per user, never corpus×corpus), two bounded
+    * aggregations, a one-row totals broadcast. Output ≤ |types|² rows.
+    */
+  def cooccurrenceLift(events: DataFrame, userCol: String,
+                       typeCol: String): DataFrame = {
+    val ut = events.select(col(userCol).as("u"), col(typeCol).as("t")).distinct()
+    val perType = ut.groupBy("t").agg(count(lit(1)).as("n"))
+    val nUsers = broadcast(ut.select("u").distinct()
+      .agg(count(lit(1)).as("n_users"))) // 1 row
+    val both = ut.as("a").join(ut.as("b"),
+        col("a.u") === col("b.u") && col("a.t") < col("b.t"))
+      .groupBy(col("a.t").as("type_a"), col("b.t").as("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    both
+      .join(broadcast(perType.select(col("t").as("type_a"), col("n").as("n_a"))), "type_a")
+      .join(broadcast(perType.select(col("t").as("type_b"), col("n").as("n_b"))), "type_b")
+      .crossJoin(nUsers)
+      .select(col("type_a"), col("type_b"), col("n_both"),
+        expr("n_both * n_users * 1000000 DIV (n_a * n_b)").as("lift_ppm"))
+      .orderBy("type_a", "type_b")
+  }
+
+  /** Per-type VALUE HISTOGRAM by order of magnitude: events bucketed by the
+    * decimal-digit count of their exact centi-unit value (bucket k ⇔ value
+    * in [10^k, 10^(k+1)) cents; 0-valued events land in bucket 0) — the
+    * skew/outlier profile read before choosing aggregation precision. The
+    * bucket is `length(CAST(q AS VARCHAR)) - 1`: a pure integer/string
+    * operation, bit-identical cross-engine (a float log10 would tie at
+    * exact powers of ten).
+    *
+    * Shape at scale: one narrow projection + one ≤ |types|·20-group
+    * map-side-combined aggregation + a |types|-row broadcast for shares.
+    */
+  def valueHistogram(events: DataFrame, typeCol: String,
+                     valueCol: String): DataFrame = {
+    val q = round(col(valueCol) * 100).cast("long")
+    val bucketed = events
+      .select(col(typeCol).as("event_type"),
+        (length(q.cast("string")) - 1).as("bucket"))
+      .groupBy("event_type", "bucket")
+      .agg(count(lit(1)).as("n_events"))
+    val totals = bucketed.groupBy("event_type").agg(sum(col("n_events")).as("__t"))
+    bucketed.join(broadcast(totals), "event_type") // |types| rows — bounded
+      .select(col("event_type"), col("bucket"), col("n_events"),
+        expr("n_events * 1000 DIV __t").as("share_permille"))
+      .orderBy("event_type", "bucket")
+  }
+
   /** Per-type VALUE-ANOMALY report: events whose value sits more than
     * `zTimes10/10` population standard deviations from their type's mean.
     * The z-test is evaluated in EXACT integer arithmetic on centi-units

@@ -1373,6 +1373,72 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** IVF RECALL report — retrieval quality as an ORACLE-CHECKED query, not
+    * just a suite gate: for every probe in a bounded modular batch, the
+    * exact brute-force cosine top-k is compared against the IVF
+    * (nlist/nprobe) top-k over the same deterministic index, reporting the
+    * overlap and integer per-mille recall@k. Both top-k sets are strictly
+    * ordered (round-6 sim desc, vec_id asc), so the overlap is exact
+    * cross-engine — the number an ANN deployment watches when tuning
+    * nprobe against latency.
+    *
+    * Shape at scale: the index builds once ([[ivfIndex]]); the probe batch
+    * is bounded (broadcast); IVF candidates are the probed buckets only;
+    * both top-k reductions ride the bounded-buffer [[TopKAggregator]]
+    * (map-side combine, no per-probe window over the corpus — the brute
+    * side IS corpus×probes, which is the point of the comparison and still
+    * one narrow codegen pass).
+    */
+  def ivfRecallReport(emb: DataFrame, k: Int = 5, nlist: Int = 4,
+                      nprobe: Int = 3, iters: Int = 4,
+                      probeEvery: Long = 83L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val probes = emb.filter(col("vec_id") % probeEvery === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+    val (centroids, assigned) = ivfIndex(emb, nlist, iters)
+    val pb = broadcast(
+      centroids.crossJoin(broadcast(probes))
+        .withColumn("csim", round(VecF.cosine(col("cvec"), col("pv")), 6))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("probe_id").orderBy(col("csim").desc, col("centroid_id"))))
+        .filter(col("rk") <= nprobe)
+        .select(col("probe_id"), col("centroid_id"), col("pv")))
+    val ivfTop = topKPerProbe(
+      assigned.join(pb, "centroid_id") // bucket pruning
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"),
+          round(VecF.cosine(col("embedding"), col("pv")), 6).as("sim")), k)
+    val bruteTop = topKPerProbe(
+      emb.crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"),
+          round(VecF.cosine(col("embedding"), col("pv")), 6).as("sim")), k)
+    val overlap = ivfTop.join(bruteTop, Seq("probe_id", "vec_id"))
+      .groupBy("probe_id").agg(count(lit(1)).as("__ov"))
+    bruteTop.groupBy("probe_id").agg(count(lit(1)).as("n_true"))
+      .join(overlap, Seq("probe_id"), "left")
+      .select(col("probe_id"), col("n_true"),
+        coalesce(col("__ov"), lit(0L)).as("n_overlap"))
+      .withColumn("recall_permille", expr("n_overlap * 1000 DIV n_true"))
+      .orderBy("probe_id")
+  }
+
+  /** Per-probe top-k ids over (probe_id, vec_id, sim) via the
+    * bounded-buffer aggregator (score desc, id asc — [[TopKAggregator]]'s
+    * deterministic order).
+    */
+  private def topKPerProbe(scored: DataFrame, k: Int): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    scored.as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(t => TopKAggregator.Scored(t._3, t._2))
+      .agg(TopKAggregator(k).toColumn.name("top"))
+      .toDF("probe_id", "top")
+      .select(col("probe_id"), explode(col("top")).as("s"))
+      .select(col("probe_id"), col("s.id").as("vec_id"))
+  }
+
   /** LABEL-MARGIN audit — the embedding-space mislabel detector: each
     * vector's cosine to its OWN label's centroid minus its best cosine to
     * any OTHER label's centroid. A negative margin means the vector sits

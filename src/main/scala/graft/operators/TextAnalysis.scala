@@ -42,6 +42,29 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Language-ID CONFUSION matrix: declared label × [[langId]] prediction
+    * with exact counts and integer per-mille of each declared language's
+    * row — the one-page audit that turns per-doc language predictions into
+    * a labeling-quality report (which declared languages the classifier
+    * systematically disagrees with, and toward what). A diagonal-heavy
+    * matrix certifies the labels; a hot off-diagonal cell is either a
+    * mislabeled dump or a profile gap.
+    *
+    * Shape at scale: [[langId]]'s one token pass + bounded stopword-profile
+    * broadcast, then a ≤ |langs|² hash aggregation and a |langs|-row
+    * broadcast of the per-actual totals.
+    */
+  def langConfusion(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val per = langId(spark, docs)
+      .groupBy(col("actual_lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+    val totals = per.groupBy("actual_lang").agg(sum(col("n_docs")).as("__t"))
+    per.join(broadcast(totals), "actual_lang") // ≤ |langs| rows — bounded
+      .select(col("actual_lang"), col("pred_lang"), col("n_docs"),
+        expr("n_docs * 1000 DIV __t").as("share_permille"))
+      .orderBy("actual_lang", "pred_lang")
+  }
+
   /** Quality signals per document: token count, mean token length, stopword
     * ratio, alpha-character ratio, and a fixed composite score. All ratios
     * are exact integer divisions in double, rounded to 6 decimals.

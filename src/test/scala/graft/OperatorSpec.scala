@@ -2168,6 +2168,32 @@ class OperatorSpec extends SparkSpec {
     } finally { emb.unpersist(); () }
   }
 
+  test("ivfRecallReport: nprobe=nlist reduces to brute force (1000pm); tight clusters at nprobe=1") {
+    import graft.operators.Similarity
+    // same clustered fixture family: a member's exact top-5 is its group
+    val emb = spark.range(96).select(col("id").as("vec_id"),
+      expr("transform(sequence(0, 63), d -> CAST(" +
+        "(CASE WHEN pmod(hash(CAST(id DIV 6 AS BIGINT) * 64 + d), 2) = 0 THEN 1.0 ELSE -1.0 END) * " +
+        "(CASE WHEN d = CAST(id % 6 AS INT) THEN -1.0 ELSE 1.0 END) " +
+        "AS FLOAT))").as("embedding"))
+    emb.cache(); emb.count()
+    try {
+      // unpruned search: IVF candidates == corpus, recall exactly 1000
+      val full = Similarity.ivfRecallReport(emb, k = 5, nlist = 4, nprobe = 4,
+          iters = 2, probeEvery = 13L)
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+      assert(full.nonEmpty && full.forall(t => t._2 == 5L && t._3 == 1000L),
+        s"nprobe=nlist must reduce to brute force: ${full.toSeq}")
+      // hard pruning on tight clusters: siblings co-assign, recall holds high
+      val pruned = Similarity.ivfRecallReport(emb, k = 5, nlist = 4, nprobe = 1,
+          iters = 2, probeEvery = 13L)
+        .collect().map(_.getLong(3))
+      val mean = pruned.sum.toDouble / (1000 * pruned.length)
+      info(f"IVF nprobe=1 mean recall@5: $mean%.2f")
+      assert(mean >= 0.8, s"nprobe=1 recall collapsed on the clustered fixture: ${pruned.toSeq}")
+    } finally { emb.unpersist(); () }
+  }
+
   test("funnel: ordered steps, strict succession, gap bound, first-touch times") {
     import graft.operators.EventAnalytics
     val day = 86400L
@@ -2664,6 +2690,44 @@ class OperatorSpec extends SparkSpec {
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
     // counts a=5 b=3 c=2, T=10: top1=a 500000; top2=+b 800000; k=10 -> V=3, all
     assert(got.toSeq == Seq((1, 1, 500000L), (2, 2, 800000L), (10, 3, 1000000L)),
+      s"got: ${got.toSeq}")
+  }
+
+  test("cooccurrenceLift: exact ppm vs independence; absent pairs emit no row") {
+    import graft.operators.EventAnalytics
+    val ev = Seq(
+      (1L, "A"), (1L, "B"), (1L, "B"), // duplicate (u,t) must not double-count
+      (2L, "A"), (2L, "B"),
+      (3L, "A"),
+      (4L, "C"))
+      .toDF("user_id", "event_type")
+    val got = EventAnalytics.cooccurrenceLift(ev, "user_id", "event_type")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // N=4 users; n_A=3 n_B=2 n_C=1; both(A,B)=2 -> 2*4*1e6/(3*2)=1333333
+    assert(got.toSeq == Seq(("A", "B", 2L, 1333333L)), s"got: ${got.toSeq}")
+  }
+
+  test("valueHistogram: decimal-digit buckets on exact centi-units, shares conserve") {
+    import graft.operators.EventAnalytics
+    val ev = Seq(("X", 0.00), ("X", 0.05), ("X", 0.10), ("X", 9.99), ("X", 10.00))
+      .toDF("event_type", "value")
+    val got = EventAnalytics.valueHistogram(ev, "event_type", "value")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      ("X", 0, 2L, 400L), ("X", 1, 1L, 200L), ("X", 2, 1L, 200L), ("X", 3, 1L, 200L)),
+      s"got: ${got.toSeq}")
+  }
+
+  test("langConfusion: planted disagreement shows off-diagonal; unmatched docs predict und") {
+    val docs = Seq(
+      (1L, "en", "the the a"),    // agrees
+      (2L, "en", "der und nicht"), // declared en, reads de
+      (3L, "fr", "zzz qqq"))       // no profile hit -> und
+      .toDF("doc_id", "lang", "text")
+    val got = TextAnalysis.langConfusion(spark, docs)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      ("en", "de", 1L, 500L), ("en", "en", 1L, 500L), ("fr", "und", 1L, 1000L)),
       s"got: ${got.toSeq}")
   }
 
