@@ -2261,6 +2261,45 @@ object ExtensionOracleSql {
         |FROM c JOIN t USING (event_type)
         |ORDER BY event_type, bucket""".stripMargin,
 
+    // in lock-step with graft.operators.EventAnalytics.churnProfile
+    "events_churn" ->
+      """WITH lw AS (
+        |  SELECT user_id, CAST(date_trunc('week', MAX(ts)) AS DATE) AS last_week
+        |  FROM events GROUP BY user_id),
+        |t AS (SELECT COUNT(*) AS n_users FROM lw)
+        |SELECT lw.last_week, COUNT(*) AS n_last_active,
+        |  COUNT(*) * 1000 // t.n_users AS share_permille
+        |FROM lw CROSS JOIN t GROUP BY lw.last_week, t.n_users
+        |ORDER BY last_week""".stripMargin,
+
+    // in lock-step with graft.operators.TextAnalysis.dupNgramMass
+    "text_dup_ngram_mass" ->
+      s"""WITH t AS (SELECT doc_id, $toksOf AS toks FROM documents),
+         |s AS (SELECT unnest(${shinglesOf(3)}) AS sh FROM t),
+         |c AS (SELECT sh, COUNT(*) AS cnt FROM s GROUP BY sh),
+         |th AS (SELECT unnest([1, 5, 20]) AS threshold)
+         |SELECT CAST(th.threshold AS INT) AS threshold,
+         |  CAST(SUM(CASE WHEN c.cnt > th.threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_over,
+         |  CAST(SUM(CASE WHEN c.cnt > th.threshold THEN c.cnt ELSE 0 END) AS BIGINT) AS mass_over,
+         |  CAST(SUM(c.cnt) AS BIGINT) AS total_mass,
+         |  CAST(SUM(CASE WHEN c.cnt > th.threshold THEN c.cnt ELSE 0 END) * 1000000
+         |       // SUM(c.cnt) AS BIGINT) AS dup_mass_ppm
+         |FROM c CROSS JOIN th GROUP BY th.threshold ORDER BY threshold""".stripMargin,
+
+    // in lock-step with graft.operators.Similarity.dimStats — mean/variance
+    // from exact integer-quantized moments (the Lloyd discipline)
+    "embedding_dim_stats" ->
+      """WITH x AS (
+        |  SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+        |    CAST(unnest(embedding) AS DOUBLE) AS c
+        |  FROM embeddings),
+        |q AS (SELECT dim, c, CAST(floor(c * 1e9) AS HUGEINT) AS q FROM x)
+        |SELECT CAST(dim AS INT) AS dim, COUNT(*) AS n, MIN(c) AS vmin, MAX(c) AS vmax,
+        |  CAST(SUM(q) AS DOUBLE) / (1e9 * COUNT(*)) AS mean,
+        |  CAST(COUNT(*) * SUM(q * q) - SUM(q) * SUM(q) AS DOUBLE) /
+        |    (1e18 * CAST(COUNT(*) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE)) AS variance
+        |FROM q GROUP BY dim ORDER BY dim""".stripMargin,
+
     // in lock-step with graft.operators.TextAnalysis.pmiBigrams — every
     // operand cast to DOUBLE before the one left-associated ratio, ln,
     // round-6 (identical IEEE sequence to the Spark column expression)

@@ -609,6 +609,19 @@ object ExtensionQueries {
       // declared-label x langid-prediction confusion matrix with per-actual
       // integer per-mille shares — the labeling-quality one-pager
       TextAnalysis.langConfusion(s, docs(s, dir))),
+    "text_dup_ngram_mass" -> ((s, dir) =>
+      // Lee-et-al duplication diagnostic: ppm of 3-shingle occurrence mass
+      // in shingles seen > T times, one pass, |thresholds| output rows
+      TextAnalysis.dupNgramMass(docs(s, dir), k = 3, thresholds = Seq(1, 5, 20))),
+    "embedding_dim_stats" -> ((s, dir) =>
+      // per-dimension health report: exact min/max + quantized-moment
+      // mean/variance — dead dims and scale imbalance before they break ANN
+      Similarity.dimStats(emb(s, dir))),
+    "events_churn" -> ((s, dir) =>
+      // last-active-week distribution of the user base (retention's
+      // complement), Monday-aligned weeks, integer per-mille shares
+      graft.operators.EventAnalytics.churnProfile(
+        Tables.table(s, dir, "events"), "user_id", "ts")),
     "text_pmi" -> ((s, dir) =>
       // adjacent-bigram collocations: PMI over exact corpus counts,
       // rare bigrams pruned before the vocabulary joins

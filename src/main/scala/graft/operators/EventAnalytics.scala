@@ -193,6 +193,27 @@ object EventAnalytics {
     dau.join(rolling, "day").orderBy("day")
   }
 
+  /** CHURN profile: users bucketed by the week of their LAST event, with
+    * integer per-mille of the user base — the "when did we lose them"
+    * distribution (the complement of [[retention]]'s cohort view: retention
+    * asks who comes back, churn asks when activity ends). Weeks are
+    * Monday-aligned `date_trunc` like retention's cohorts.
+    *
+    * Shape at scale: one per-user max (map-side combined), one
+    * ≤|weeks|-group count, a one-row totals broadcast.
+    */
+  def churnProfile(events: DataFrame, userCol: String,
+                   tsCol: String): DataFrame = {
+    val lastWeek = events.groupBy(col(userCol))
+      .agg(date_trunc("week", max(col(tsCol))).cast("date").as("last_week"))
+    val totals = broadcast(lastWeek.agg(count(lit(1)).as("n_users"))) // 1 row
+    lastWeek.groupBy("last_week").agg(count(lit(1)).as("n_last_active"))
+      .crossJoin(totals)
+      .select(col("last_week"), col("n_last_active"),
+        expr("n_last_active * 1000 DIV n_users").as("share_permille"))
+      .orderBy("last_week")
+  }
+
   /** Event-type CO-OCCURRENCE LIFT: for every unordered type pair (a < b),
     * how much more often users do BOTH than independence predicts —
     * lift = P(a∧b) / (P(a)·P(b)) over user sets, reported as exact floor'd

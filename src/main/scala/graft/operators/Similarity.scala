@@ -1373,6 +1373,37 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Per-DIMENSION embedding health report — the feature-QA pass run before
+    * trusting an embedding column at scale (dead dimensions, scale
+    * imbalance across dims, range outliers all break cosine geometry and
+    * quantization): for each dimension index, the vector count, exact
+    * min/max of the component, and mean/variance computed from exact
+    * integer-quantized moments (floor(x·1e9) summed as DECIMAL(38,0) — the
+    * Lloyd discipline, so both statistics are bit-identical cross-engine;
+    * variance = (n·Q − S²) / (1e18·n²) evaluated in one fixed expression).
+    *
+    * Shape at scale: posexplode + ONE (dim)-keyed map-side-combined
+    * aggregation; output is `dim` rows at any corpus size.
+    */
+  def dimStats(emb: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 0)
+    emb.select(posexplode(col("embedding")).as(Seq("dim", "comp")))
+      .withColumn("c", col("comp").cast("double"))
+      .withColumn("q", floor(col("c") * lit(1e9)).cast(dec))
+      .groupBy("dim")
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("c")).as("vmin"),
+        max(col("c")).as("vmax"),
+        sum(col("q")).as("__s"),
+        sum(col("q") * col("q")).as("__qq"))
+      .select(col("dim"), col("n"), col("vmin"), col("vmax"),
+        (col("__s").cast("double") / (lit(1e9) * col("n"))).as("mean"),
+        ((col("n").cast(dec) * col("__qq") - col("__s") * col("__s")).cast("double") /
+          (lit(1e18) * col("n").cast("double") * col("n").cast("double"))).as("variance"))
+      .orderBy("dim")
+  }
+
   /** IVF RECALL report — retrieval quality as an ORACLE-CHECKED query, not
     * just a suite gate: for every probe in a bounded modular batch, the
     * exact brute-force cosine top-k is compared against the IVF

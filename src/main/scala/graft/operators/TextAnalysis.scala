@@ -984,6 +984,41 @@ object TextAnalysis {
       .orderBy(col("pmi").desc, col("term_a"), col("term_b"))
   }
 
+  /** DUPLICATION-MASS diagnostic (the Lee et al. 2022 "Deduplicating
+    * Training Data" corpus statistic): for each threshold T, the fraction
+    * of the corpus's word-`k`-shingle OCCURRENCE mass carried by shingles
+    * seen more than T times — the one-number answer to "how duplicated is
+    * this crawl", read before deciding whether a dedup pass pays for
+    * itself. Reported in exact integer ppm.
+    *
+    * Shape at scale: ONE shingle-count hash aggregation (map-side
+    * combined), then one |thresholds|-row aggregate over the count table —
+    * no join back to the corpus, no sort; output is |thresholds| rows at
+    * any corpus size.
+    */
+  def dupNgramMass(docs: DataFrame, k: Int = 3,
+                   thresholds: Seq[Int] = Seq(1, 5, 20)): DataFrame = {
+    require(thresholds.nonEmpty && thresholds.forall(_ >= 1),
+      s"thresholds must be >= 1, got $thresholds")
+    val counts = docs
+      .select(explode(Text.wordShingles(Text.tokens(col("text")), k)).as("sh"))
+      .groupBy("sh").agg(count(lit(1)).as("cnt"))
+    // every threshold's pair of conditional sums rides ONE aggregate over
+    // the count table (not a |thresholds|-way fan-out join), then the
+    // single row unstacks to |thresholds| output rows
+    val aggs = sum(col("cnt")).as("total_mass") +: thresholds.flatMap(t => Seq(
+      sum(when(col("cnt") > t, 1L).otherwise(0L)).as(s"__n_$t"),
+      sum(when(col("cnt") > t, col("cnt")).otherwise(0L)).as(s"__m_$t")))
+    val stackExpr = s"stack(${thresholds.size}, " +
+      thresholds.map(t => s"$t, __n_$t, __m_$t").mkString(", ") +
+      ") AS (threshold, n_over, mass_over)"
+    counts.agg(aggs.head, aggs.tail: _*) // 1 row
+      .select(expr(stackExpr), col("total_mass"))
+      .select(col("threshold"), col("n_over"), col("mass_over"), col("total_mass"),
+        expr("mass_over * 1000000 DIV total_mass").as("dup_mass_ppm"))
+      .orderBy("threshold")
+  }
+
   /** Vocabulary COVERAGE CURVE: for each k in `ks`, the fraction of the
     * corpus token mass (exact integer ppm) covered by the top-k most
     * frequent terms — the curve that sizes a vocabulary (and flags

@@ -2731,6 +2731,41 @@ class OperatorSpec extends SparkSpec {
       s"got: ${got.toSeq}")
   }
 
+  test("dupNgramMass: exact shingle mass shares; threshold above max count reports zero") {
+    // "a b c a b c" -> shingles [a b c, b c a, c a b, a b c]: abc=2 others 1
+    val docs = Seq((1L, "a b c a b c")).toDF("doc_id", "text")
+    val got = TextAnalysis.dupNgramMass(docs, k = 3, thresholds = Seq(1, 2))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq((1, 1L, 2L, 4L, 500000L), (2, 0L, 0L, 4L, 0L)),
+      s"got: ${got.toSeq}")
+  }
+
+  test("dimStats: quantized-moment mean/variance exact on a hand fixture") {
+    import graft.operators.Similarity
+    val emb = Seq((1L, Array(1.0f, -0.5f)), (2L, Array(3.0f, -0.5f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.dimStats(emb)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(got.toSeq == Seq(
+      (0, 2L, 1.0, 3.0, 2.0, 1.0),      // mean 2, population variance 1
+      (1, 2L, -0.5, -0.5, -0.5, 0.0)),  // constant dim: variance exactly 0
+      s"got: ${got.toSeq}")
+  }
+
+  test("churnProfile: users bucket by LAST event week; shares conserve") {
+    import graft.operators.EventAnalytics
+    val ev = Seq(
+      (1L, "2024-01-01 10:00:00"), (1L, "2024-01-10 10:00:00"), // u1 last wk of 01-08
+      (2L, "2024-01-02 10:00:00"))                              // u2 last wk of 01-01
+      .toDF("user_id", "tstr")
+      .select(col("user_id"), col("tstr").cast("timestamp").as("ts"))
+    val got = EventAnalytics.churnProfile(ev, "user_id", "ts")
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("2024-01-01", 1L, 500L), ("2024-01-08", 1L, 500L)),
+      s"got: ${got.toSeq}")
+  }
+
   test("imagePhash: decoded-pixel hash equals the closed-form formula; pairs equal brute force") {
     import graft.operators.Multimodal
     // independent formula-side hash (no decode): if the operator's decode

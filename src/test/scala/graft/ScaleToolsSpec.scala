@@ -2246,4 +2246,39 @@ class ScaleToolsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       f"10x corpus grew hardNegatives wall-time $ratio%.1fx " +
         f"(t1=${math.min(t1a, t1b)}%.2fs t2=${math.min(t2a, t2b)}%.2fs)")
   }
+
+  test("multimodal phash pairs survive 10x images: planted exact dups found, flat jobs") {
+    import graft.operators.Multimodal
+    // the fixture's planted structure scales linearly: every d%10==0 doc
+    // reuses doc d+5's image. The codec pass (PNG encode+decode per row) is
+    // the honest linear cost; the banded join must stay chunk-keyed — a
+    // byte-wide band or a degenerate hash formula would blow candidate
+    // fan-in quadratically and trip the wall gate long before 100 TB would
+    def fixture(n: Int) = spark.range(n).toDF("doc_id")
+    def run(n: Int): (Set[(Long, Long)], Int, Double) = {
+      var pairs: Array[(Long, Long, Int)] = Array.empty
+      val t0 = System.nanoTime()
+      val jobs = countJobs(s"phash10x-$n-${System.nanoTime()}") {
+        pairs = Multimodal.phashPairs(spark, fixture(n), maxDist = 3)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      }
+      (pairs.filter(_._3 == 0).map(p => (p._1, p._2)).toSet, jobs,
+        (System.nanoTime() - t0) / 1e9)
+    }
+    run(600) // warm codegen/plan shapes
+    val (e1, j1, t1a) = run(600)
+    val (_, _, t1b) = run(600)
+    val (e2, j2, t2a) = run(6000)
+    val (_, _, t2b) = run(6000)
+    // every planted EXACT dup (seed reuse, unperturbed) surfaces at hamming 0
+    def planted(n: Int) = (0L until n.toLong by 10).filter(_ % 20 != 0)
+      .map(d => (d, d + 5)).toSet
+    assert(planted(600).subsetOf(e1), s"1x missing planted exact dups: ${(planted(600) -- e1).take(5)}")
+    assert(planted(6000).subsetOf(e2), s"10x missing planted exact dups: ${(planted(6000) -- e2).take(5)}")
+    assert(j2 <= j1 + 4, s"10x images grew the phash job count $j1 -> $j2")
+    val ratio = math.min(t2a, t2b) / math.min(t1a, t1b)
+    assert(ratio <= 30.0,
+      f"10x images grew phash-pair wall-time $ratio%.1fx " +
+        f"(t1=${math.min(t1a, t1b)}%.2fs t2=${math.min(t2a, t2b)}%.2fs)")
+  }
 }
