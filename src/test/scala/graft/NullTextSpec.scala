@@ -87,4 +87,35 @@ class NullTextSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(adq == Set(1L, 2L), s"quality dedup kept: $adq")
   }
+
+  test("late round-12 text/embedding operators tolerate null text") {
+    val good = "alpha beta alpha beta gamma"
+    val docs = Seq(
+      (1L, good, "en", "s1"), (2L, null.asInstanceOf[String], "en", "s1"),
+      (3L, good, "de", "s2"))
+      .toDF("doc_id", "text", "lang", "source")
+
+    // PMI: a null doc contributes no tokens and no bigrams — counts and
+    // totals come from the real docs only
+    val pmi = graft.operators.TextAnalysis.pmiBigrams(docs, minCount = 1)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(pmi(("alpha", "beta")) == 4L, s"pmi counts: $pmi")
+
+    // coverage curve: totals exclude the null doc's (nonexistent) tokens
+    val cov = graft.operators.TextAnalysis.coverageCurve(docs, ks = Seq(10))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    assert(cov.toSeq == Seq((10, 3, 1000000L)), s"coverage: ${cov.toSeq}") // 3 types
+
+    // duplication mass: null doc contributes no shingles
+    val dm = graft.operators.TextAnalysis.dupNgramMass(docs, k = 3, thresholds = Seq(1))
+      .collect().map(r => (r.getLong(2), r.getLong(3)))
+    assert(dm.toSeq == Seq((6L, 6L)), s"dup mass: ${dm.toSeq}") // all 3 shingles appear twice
+
+    // lang confusion: the null doc predicts 'und' and still counts in its
+    // declared language's row denominator
+    val lc = graft.operators.TextAnalysis.langConfusion(spark, docs)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(lc(("en", "und")) == 2L && lc(("de", "und")) == 1L,
+      s"confusion: $lc") // 'alpha beta...' hits no stopword profile either
+  }
 }
