@@ -7,6 +7,17 @@ package graft
   * generation and final output are bit-identical — the oracle validates the
   * cross-engine implementation, while exactness vs ground truth is covered by
   * the exact-Jaccard verification step inside the operator itself.
+  *
+  * TYPE DISCIPLINE (round-13 root cause of the six r12 hash-only reds):
+  * every emitted integer column must be EXPLICITLY BIGINT. DuckDB's
+  * SUM(BIGINT) returns HUGEINT (int128), and so does any arithmetic that
+  * touches one (`x * 1000 // SUM(...)`, `nt - (SELECT SUM ...)`, a UNION
+  * with one HUGEINT branch). Some DuckDB/pandas client versions render
+  * HUGEINT as float ("476.0" vs "476"), which passes a value-equality
+  * compare but fails the driver's stringify-then-hash compare — producing
+  * exactly the rows-green/schema-green/hash-red signature CORRECTNESS_r12
+  * showed on the only six queries whose final SELECT carried an un-cast
+  * HUGEINT. tools/verify_local.py now fails any oracle emitting HUGEINT.
   */
 object ExtensionOracleSql {
 
@@ -1233,10 +1244,13 @@ object ExtensionOracleSql {
          |  FROM oa FULL JOIN ob USING (centroid_id)),
          |tt AS (SELECT SUM(n_old) AS t_old, SUM(n_new) AS t_new FROM m)
          |SELECT m.centroid_id, m.n_old, m.n_new,
-         |  CASE WHEN tt.t_old > 0 THEN m.n_old * 1000000 // tt.t_old ELSE 0 END AS ppm_old,
-         |  CASE WHEN tt.t_new > 0 THEN m.n_new * 1000000 // tt.t_new ELSE 0 END AS ppm_new,
-         |  (CASE WHEN tt.t_new > 0 THEN m.n_new * 1000000 // tt.t_new ELSE 0 END) -
-         |  (CASE WHEN tt.t_old > 0 THEN m.n_old * 1000000 // tt.t_old ELSE 0 END) AS shift_ppm
+         |  CAST(CASE WHEN tt.t_old > 0 THEN m.n_old * 1000000 // tt.t_old ELSE 0 END
+         |       AS BIGINT) AS ppm_old,
+         |  CAST(CASE WHEN tt.t_new > 0 THEN m.n_new * 1000000 // tt.t_new ELSE 0 END
+         |       AS BIGINT) AS ppm_new,
+         |  CAST((CASE WHEN tt.t_new > 0 THEN m.n_new * 1000000 // tt.t_new ELSE 0 END) -
+         |       (CASE WHEN tt.t_old > 0 THEN m.n_old * 1000000 // tt.t_old ELSE 0 END)
+         |       AS BIGINT) AS shift_ppm
          |FROM m CROSS JOIN tt ORDER BY m.centroid_id""".stripMargin,
 
     // per-source duplicate-mass report over the MinHash-LSH component
@@ -1255,11 +1269,12 @@ object ExtensionOracleSql {
          |labels AS (SELECT src AS doc_id, least(src, MIN(dst)) AS cluster_id
          |           FROM reach GROUP BY src)
          |SELECT d.source, COUNT(*) AS n_docs,
-         |  SUM(CASE WHEN l.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS n_clustered,
-         |  SUM(CASE WHEN l.doc_id IS NOT NULL AND l.doc_id <> l.cluster_id
-         |      THEN 1 ELSE 0 END) AS n_duplicates,
-         |  SUM(CASE WHEN l.doc_id IS NOT NULL AND l.doc_id <> l.cluster_id
-         |      THEN 1 ELSE 0 END) * 1000 // COUNT(*) AS dup_permille
+         |  CAST(SUM(CASE WHEN l.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+         |       AS BIGINT) AS n_clustered,
+         |  CAST(SUM(CASE WHEN l.doc_id IS NOT NULL AND l.doc_id <> l.cluster_id
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_duplicates,
+         |  CAST(SUM(CASE WHEN l.doc_id IS NOT NULL AND l.doc_id <> l.cluster_id
+         |      THEN 1 ELSE 0 END) * 1000 // COUNT(*) AS BIGINT) AS dup_permille
          |FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id
          |GROUP BY d.source ORDER BY d.source""".stripMargin,
 
@@ -1271,16 +1286,17 @@ object ExtensionOracleSql {
          |vp AS (SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5),
          |est AS (
          |  SELECT vp.doc_a, vp.doc_b,
-         |    SUM(CASE WHEN ma.m = mb.m THEN 1 ELSE 0 END) AS sig_matches
+         |    CAST(SUM(CASE WHEN ma.m = mb.m THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS sig_matches
          |  FROM vp
          |  JOIN mins ma ON ma.doc_id = vp.doc_a
          |  JOIN mins mb ON mb.doc_id = vp.doc_b AND mb.i = ma.i
          |  GROUP BY vp.doc_a, vp.doc_b)
          |SELECT vp.doc_a, vp.doc_b, vp.jaccard,
          |  est.sig_matches,
-         |  est.sig_matches * 15625 AS est_ppm,
-         |  abs(est.sig_matches * 15625 -
-         |      CAST(round(vp.jaccard * 1000000) AS BIGINT)) AS err_ppm
+         |  CAST(est.sig_matches * 15625 AS BIGINT) AS est_ppm,
+         |  CAST(abs(est.sig_matches * 15625 -
+         |      CAST(round(vp.jaccard * 1000000) AS BIGINT)) AS BIGINT) AS err_ppm
          |FROM vp JOIN est USING (doc_a, doc_b)
          |ORDER BY doc_a, doc_b""".stripMargin,
 
@@ -1826,8 +1842,10 @@ object ExtensionOracleSql {
          |      CAST(MIN(tot.n) AS DOUBLE)) AS BIGINT) AS entropy_unats
          |  FROM cl JOIN tot USING (centroid_id)
          |  GROUP BY cl.centroid_id)
-         |SELECT a.centroid_id, a.n_vectors, a.n_labels, m.majority_label,
-         |  m.majority_c * 1000 // a.n_vectors AS purity_pm, a.entropy_unats
+         |SELECT a.centroid_id, CAST(a.n_vectors AS BIGINT) AS n_vectors,
+         |  a.n_labels, m.majority_label,
+         |  CAST(m.majority_c * 1000 // a.n_vectors AS BIGINT) AS purity_pm,
+         |  a.entropy_unats
          |FROM agg a JOIN maj m USING (centroid_id)
          |ORDER BY a.centroid_id""".stripMargin,
 
@@ -1939,8 +1957,9 @@ object ExtensionOracleSql {
          |    COALESCE(b.pred_lang, pb.pb_lang) = d.lang AS agree
          |  FROM documents d LEFT JOIN best b USING (doc_id) CROSS JOIN pb)
          |SELECT source, COUNT(*) AS n_docs,
-         |  SUM(CASE WHEN agree THEN 0 ELSE 1 END) AS n_mislabeled,
-         |  SUM(CASE WHEN agree THEN 0 ELSE 1 END) * 1000 // COUNT(*) AS mislabel_permille
+         |  CAST(SUM(CASE WHEN agree THEN 0 ELSE 1 END) AS BIGINT) AS n_mislabeled,
+         |  CAST(SUM(CASE WHEN agree THEN 0 ELSE 1 END) * 1000 // COUNT(*)
+         |       AS BIGINT) AS mislabel_permille
          |FROM nbdoc GROUP BY source ORDER BY source""".stripMargin,
 
     "text_langid" ->
@@ -2093,11 +2112,13 @@ object ExtensionOracleSql {
         |tot AS (SELECT COUNT(*) AS nt, SUM(CAST(value AS DECIMAL(18,2))) AS vt FROM p),
         |una AS (
         |  SELECT 'unattributed' AS touch_type,
-        |    tot.nt - COALESCE((SELECT SUM(n_conversions) FROM att), 0) AS n_conversions,
+        |    CAST(tot.nt - COALESCE((SELECT SUM(n_conversions) FROM att), 0)
+        |         AS BIGINT) AS n_conversions,
         |    COALESCE(tot.vt, CAST(0 AS DECIMAL(18,2))) -
         |      COALESCE((SELECT SUM(v) FROM att), CAST(0 AS DECIMAL(18,2))) AS v
         |  FROM tot)
-        |SELECT touch_type, n_conversions, CAST(v AS DOUBLE) AS value_total
+        |SELECT touch_type, CAST(n_conversions AS BIGINT) AS n_conversions,
+        |  CAST(v AS DOUBLE) AS value_total
         |FROM (SELECT * FROM att UNION ALL SELECT * FROM una)
         |ORDER BY touch_type""".stripMargin,
 
@@ -2237,7 +2258,8 @@ object ExtensionOracleSql {
         |  FROM ut a JOIN ut b ON a.u = b.u AND a.t < b.t
         |  GROUP BY a.t, b.t)
         |SELECT bo.type_a, bo.type_b, bo.n_both,
-        |  bo.n_both * nu.n_users * 1000000 // (pa.n * pb.n) AS lift_ppm
+        |  CAST(CAST(bo.n_both AS HUGEINT) * nu.n_users * 1000000
+        |       // (CAST(pa.n AS HUGEINT) * pb.n) AS BIGINT) AS lift_ppm
         |FROM bo
         |JOIN pt pa ON pa.t = bo.type_a
         |JOIN pt pb ON pb.t = bo.type_b

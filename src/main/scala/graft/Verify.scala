@@ -21,16 +21,56 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    new java.io.File(s"$outDir/canonical").mkdirs()
+    // Diagnosability (round-13, VERDICT task 1a): alongside each parquet
+    // dump, write a canonical text rendering — columns sorted by name,
+    // rows sorted lexicographically, one TAB-joined line per row — plus
+    // per-COLUMN sha256 hashes in hashes.tsv. If the driver ever reports
+    // a hash-only mismatch again, diffing two canonical dumps (or just
+    // the per-column hashes across engines/rounds) pinpoints the exact
+    // column and cell instead of leaving an opaque boolean.
+    def cell(v: Any): String = v match {
+      case null                => "NULL"
+      case a: Seq[_]           => a.map(cell).mkString("[", ",", "]")
+      case a: Array[_]         => a.map(x => cell(x)).mkString("[", ",", "]")
+      case m: scala.collection.Map[_, _] =>
+        m.toSeq.map { case (k, x) => s"${cell(k)}:${cell(x)}" }
+          .sorted.mkString("{", ",", "}")
+      case r: org.apache.spark.sql.Row =>
+        r.toSeq.map(cell).mkString("(", ",", ")")
+      case b: Array[Byte]      => b.map("%02x".format(_)).mkString
+      case other               => other.toString
+    }
+    def sha(s: String): String = java.security.MessageDigest
+      .getInstance("SHA-256").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val hashLines = new scala.collection.mutable.ArrayBuffer[String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        val cols = df.columns.sorted.toSeq
+        val rows = spark.read.parquet(s"$outDir/$name")
+          .selectExpr(cols: _*).collect()
+          .map(r => cols.indices.map(i => cell(r.get(i))))
+          .sortBy(_.mkString(""))
+        val body = rows.map(_.mkString("\t")).mkString("\n")
+        Files.writeString(Paths.get(s"$outDir/canonical/$name.txt"),
+          cols.mkString("\t") + "\n" + body + "\n")
+        hashLines += s"$name\tALL\t${rows.length}\t${sha(body)}"
+        cols.indices.foreach { i =>
+          hashLines += s"$name\t${cols(i)}\t${rows.length}\t" +
+            sha(rows.map(_(i)).mkString("\n"))
+        }
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       spark.catalog.clearCache() // free operator-internal persisted indexes
     }
+    Files.writeString(Paths.get(s"$outDir/hashes.tsv"),
+      hashLines.mkString("", "\n", "\n"))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -1245,13 +1245,17 @@ object Dedup {
         col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     val pairs = if (materialize) Materialize.barrier(pairs0, checkpointDir) else pairs0
-    def docCount(docCol: String, outCol: String) =
-      pairs.select(col("source_a"), col("source_b"), col(docCol)).distinct()
-        .groupBy("source_a", "source_b").agg(count(lit(1)).as(outCol))
+    // ONE consumer of the barriered pair set: the plain count and both
+    // distinct doc counts ride a single multi-distinct aggregation
+    // (Catalyst's Expand rewrite — still two-phase map-side-deduped per
+    // (source_a, source_b, gid, doc), so just as skew-safe as the former
+    // explicit distinct-then-count, but one exchange tree instead of three
+    // barrier reads stitched by two joins; this was the suite's most
+    // load-wave-sensitive query purely from consumer count).
     pairs.groupBy("source_a", "source_b")
-      .agg(count(lit(1)).as("n_cross_pairs"))
-      .join(docCount("doc_a", "n_docs_a"), Seq("source_a", "source_b"))
-      .join(docCount("doc_b", "n_docs_b"), Seq("source_a", "source_b"))
+      .agg(count(lit(1)).as("n_cross_pairs"),
+        countDistinct(col("doc_a")).as("n_docs_a"),
+        countDistinct(col("doc_b")).as("n_docs_b"))
       .select("source_a", "source_b", "n_cross_pairs", "n_docs_a", "n_docs_b")
       .orderBy("source_a", "source_b")
   }

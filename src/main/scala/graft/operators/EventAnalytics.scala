@@ -226,6 +226,15 @@ object EventAnalytics {
     * combined), a per-user self-join bounded by |types| per user (≤
     * |types|² pairs per user, never corpus×corpus), two bounded
     * aggregations, a one-row totals broadcast. Output ≤ |types|² rows.
+    *
+    * Numeric width: the multiply-divide runs in DECIMAL(38,0) (the
+    * [[valueAnomalies]] discipline — int64 would wrap silently once
+    * n_both·n_users·10⁶ exceeds ~9.2×10¹⁸, i.e. a few million users with
+    * common co-occurring types). DECIMAL(38,0) is exact up to ~3×10¹⁵
+    * users (N²·10⁶ < 10³⁸); the DuckDB oracle's HUGEINT has the same
+    * headroom. The emitted lift_ppm is back in BIGINT: it is bounded by
+    * N·10⁶/max(n_a,n_b) ≤ N·10⁶, far inside int64 at any N that fits the
+    * intermediate.
     */
   def cooccurrenceLift(events: DataFrame, userCol: String,
                        typeCol: String): DataFrame = {
@@ -242,7 +251,8 @@ object EventAnalytics {
       .join(broadcast(perType.select(col("t").as("type_b"), col("n").as("n_b"))), "type_b")
       .crossJoin(nUsers)
       .select(col("type_a"), col("type_b"), col("n_both"),
-        expr("n_both * n_users * 1000000 DIV (n_a * n_b)").as("lift_ppm"))
+        expr("CAST(CAST(n_both AS DECIMAL(38,0)) * n_users * 1000000" +
+          " DIV (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)").as("lift_ppm"))
       .orderBy("type_a", "type_b")
   }
 

@@ -352,10 +352,14 @@ object Multimodal {
   }
 
   /** Seed-mixed procedural 8×8 fixture image for the perceptual-hash
-    * family: every pixel derives from `h = (seed·48271 + x·7919 + y·104729)
-    * mod 16777213` (prime; no 64-bit overflow anywhere, so DuckDB — which
-    * ERRORS on BIGINT overflow rather than wrapping — replays it exactly),
-    * r/g/b = byte slices of h. Unlike [[ImageIoCodec.patternImage]] (whose
+    * family: every pixel derives from the quadratic seed-mix
+    * `v = (seed·64 + y·8 + x + 1) mod 16777213` then
+    * `hv = (v² + 7919·v) mod 16777213` (prime; v < 16777213 keeps v² well
+    * inside int64, so DuckDB — which ERRORS on BIGINT overflow rather than
+    * wrapping — replays it exactly), r/g/b = byte slices of hv. The
+    * quadratic step is load-bearing: see the inline comment (a linear
+    * formula leaves the above/below-mean bits correlated across seeds).
+    * Unlike [[ImageIoCodec.patternImage]] (whose
     * per-channel `% 256` makes all seeds congruent mod 256 collide), seeds
     * are injective mod the prime, so distinct doc_ids give distinct images
     * and the ONLY near-dup pairs are the planted ones.

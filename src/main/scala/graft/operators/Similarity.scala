@@ -1507,6 +1507,12 @@ object Similarity {
         max_by(struct(col("clabel").as("l"), col("csim").as("s")),
           when(col("label") =!= col("clabel"), struct(col("csim"), -col("clabel"))))
           .as("best"))
+      // degenerate-corpus guard: with a single distinct label there IS no
+      // "other" centroid — max_by over an all-null ordering key yields a
+      // null struct here, while the oracle's own×other inner join yields
+      // zero rows. Dropping null-best rows makes both engines agree (no
+      // effect on any corpus with ≥2 labels).
+      .where(col("best").isNotNull)
       .select(col("vec_id"), col("label"), col("own_sim"),
         col("best.l").as("best_other_label"), col("best.s").as("best_other_sim"),
         round(col("own_sim") - col("best.s"), 6).as("margin"))

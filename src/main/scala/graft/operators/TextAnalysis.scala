@@ -1016,6 +1016,12 @@ object TextAnalysis {
       .select(expr(stackExpr), col("total_mass"))
       .select(col("threshold"), col("n_over"), col("mass_over"), col("total_mass"),
         expr("mass_over * 1000000 DIV total_mass").as("dup_mass_ppm"))
+      // token-less-corpus guard: a global agg over an empty count table
+      // still yields one row (null sums → |thresholds| all-null rows),
+      // while the oracle's `counts CROSS JOIN thresholds` yields zero —
+      // drop the null-total rows so both engines produce the same (empty)
+      // shape. No effect on any corpus with at least one shingle.
+      .where(col("total_mass").isNotNull)
       .orderBy("threshold")
   }
 

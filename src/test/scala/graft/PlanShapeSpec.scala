@@ -320,8 +320,12 @@ class PlanShapeSpec extends SparkSpec {
     // user_id, never a global sort); rolling/anomaly: window-free entirely.
     val pTrans = plan(ExtensionQueries.all("events_transition")(spark, sf0001))
     assert(pTrans.contains("Window"), "transition uses the per-user lag window")
-    assert(pTrans.contains("partitionBy") || pTrans.contains("user_id"),
-      s"transition window must partition by user:\n$pTrans")
+    // assert on the Window SPEC itself: the lag's windowspecdefinition must
+    // lead with user_id (a bare `user_id` substring check is vacuous — any
+    // plan over the events table contains it; a regression to a global
+    // unpartitioned sort-window would still have passed)
+    assert("windowspecdefinition\\(user_id#\\d+".r.findFirstIn(pTrans).isDefined,
+      s"transition window spec must partition by user_id:\n$pTrans")
     for (name <- Seq("events_rolling_active", "events_anomaly")) {
       val p = plan(ExtensionQueries.all(name)(spark, sf0001))
       assert(!p.contains("Window"),

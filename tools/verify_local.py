@@ -26,6 +26,17 @@ for q, sql in sorted(oracle.items()):
     if not os.path.isdir(spark_path):
         fails.append((q, "no spark output")); continue
     try:
+        # HUGEINT gate: DuckDB SUM(BIGINT) yields int128, which some
+        # DuckDB/pandas client versions render as float ("476.0") — that
+        # passes this value compare but fails the driver's stringify-then-
+        # hash compare (the root cause of the six r12 hash-only reds).
+        # Any oracle emitting HUGEINT is therefore a failure HERE, before
+        # the driver ever sees it.
+        rel = con.sql(sql)
+        hug = [c for c, t in zip(rel.columns, rel.types)
+               if str(t) in ("HUGEINT", "UHUGEINT")]
+        if hug:
+            fails.append((q, f"HUGEINT output columns {hug}: cast to BIGINT")); continue
         odf = con.execute(sql).df()
     except Exception as e:
         fails.append((q, f"oracle error: {e}")); continue
