@@ -1178,6 +1178,189 @@ object ExtensionOracleSql {
         |  ON d.text = c.text AND d.doc_id = c.k
         |ORDER BY d.doc_id""".stripMargin,
 
+    // THE WHOLE PIPELINE as one oracle: the stage oracles composed verbatim
+    // (corpus_quality_apply -> dedup_apply_quality -> decontaminate_apply ->
+    // sample_token_budget -> doc_pack) with each stage reading the previous
+    // stage's survivor CTE instead of `documents` (the decontamination
+    // HOLDOUT still reads the raw corpus — a benchmark registry is defined
+    // against what was ingested, not against what survived), then the
+    // seeded bin-level shuffle tail. In lock-step with
+    // graft.operators.Pipeline.trainingManifest.
+    "pipeline_e2e" ->
+      s"""WITH RECURSIVE
+         |gm AS (
+         |  SELECT doc_id, n_chars,
+         |    len($toksOf) AS n_words,
+         |    COALESCE(list_sum(list_transform($toksOf, t -> len(t))), 0) AS sum_len,
+         |    len(string_split(text, chr(10))) AS n_lines,
+         |    len(regexp_extract_all(text, '(^|\\n)[-*] ')) AS n_bullet,
+         |    len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha
+         |  FROM documents),
+         |gr AS (
+         |  SELECT doc_id, n_words,
+         |    CASE WHEN n_words > 0
+         |      THEN round(CAST(sum_len AS DOUBLE) / CAST(n_words AS DOUBLE), 6) ELSE 0.0 END AS mean_word_len,
+         |    CASE WHEN n_chars > 0
+         |      THEN round(CAST(n_alpha AS DOUBLE) / CAST(n_chars AS DOUBLE), 6) ELSE 0.0 END AS alpha_ratio,
+         |    round(CAST(n_bullet AS DOUBLE) / CAST(n_lines AS DOUBLE), 6) AS bullet_ratio
+         |  FROM gm),
+         |gpass AS (
+         |  SELECT doc_id FROM gr
+         |  WHERE n_words >= 5 AND n_words <= 100000 AND mean_word_len >= 2.0
+         |    AND mean_word_len <= 12.0 AND bullet_ratio <= 0.9 AND alpha_ratio >= 0.6),
+         |gqs AS (
+         |  SELECT doc_id, CAST(len($toksOf) AS INT) AS n_tokens,
+         |    len(list_filter($toksOf, x -> list_contains(
+         |      ['the','a','and','of','to','in','is','for','on','with'], x))) AS n_stop
+         |  FROM documents),
+         |gqpass AS (
+         |  SELECT doc_id FROM gqs WHERE n_tokens > 0 AND round(
+         |    least(CAST(n_tokens AS DOUBLE) / 200.0, 1.0) *
+         |    (1.0 - least(CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE), 0.5)), 6) >= 0.2),
+         |gprof(lang, word) AS (VALUES
+         |  ('en','the'),('en','a'),('en','and'),('en','of'),('en','to'),('en','in'),('en','is'),('en','for'),('en','on'),('en','with'),
+         |  ('de','der'),('de','die'),('de','das'),('de','und'),('de','ist'),('de','nicht'),('de','mit'),('de','ein'),('de','zu'),('de','von'),
+         |  ('fr','le'),('fr','la'),('fr','les'),('fr','et'),('fr','des'),('fr','un'),('fr','une'),('fr','du'),('fr','est'),('fr','dans'),
+         |  ('es','el'),('es','los'),('es','las'),('es','de'),('es','y'),('es','en'),('es','que'),('es','un'),('es','es'),('es','por'),
+         |  ('zh','的'),('zh','是'),('zh','在'),('zh','了'),('zh','和'),('zh','有'),('zh','我'),('zh','不'),('zh','人'),('zh','这')),
+         |gltoks AS (SELECT doc_id, unnest($toksOf) AS tk FROM documents),
+         |glscores AS (
+         |  SELECT doc_id, lang, COUNT(*) AS score
+         |  FROM gltoks JOIN gprof ON tk = word GROUP BY doc_id, lang),
+         |glbest AS (
+         |  SELECT doc_id, lang AS pred_lang FROM glscores
+         |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) = 1),
+         |glok AS (
+         |  SELECT d.doc_id FROM documents d LEFT JOIN glbest b ON d.doc_id = b.doc_id
+         |  WHERE b.pred_lang IS NULL OR b.pred_lang = d.lang),
+         |p1 AS (
+         |  SELECT d.* FROM documents d
+         |  JOIN gpass USING (doc_id) JOIN gqpass USING (doc_id)
+         |  JOIN glok USING (doc_id)),
+         |t AS (SELECT doc_id, $toksOf AS toks FROM p1),
+         |shl AS (SELECT doc_id, ${shinglesOf(3)} AS sh FROM t),
+         |hs AS (SELECT doc_id, list_distinct(list_transform(sh, s -> ${h60("s")})) AS hs
+         |       FROM shl WHERE len(sh) > 0),
+         |ex AS (SELECT doc_id, unnest(hs) % 2147483647 AS hm FROM hs),
+         |perms AS (SELECT unnest(range(0, 64)) AS i),
+         |mins AS (
+         |  SELECT doc_id, i,
+         |    MIN((CAST(1 + 7919 * i AS BIGINT) * hm + (104729 * i) % 2147483647) % 2147483647) AS m
+         |  FROM ex CROSS JOIN perms GROUP BY doc_id, i),
+         |bands AS (
+         |  SELECT doc_id, i // 4 AS band_id, string_agg(CAST(m AS VARCHAR), '_' ORDER BY i) AS sig
+         |  FROM mins GROUP BY doc_id, i // 4),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_id = b.band_id AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         |j AS (
+         |  SELECT doc_a, doc_b,
+         |    round(CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE) /
+         |          (len(ha.hs) + len(hb.hs) - len(list_intersect(ha.hs, hb.hs))), 6) AS jaccard
+         |  FROM cand
+         |  JOIN hs ha ON ha.doc_id = doc_a
+         |  JOIN hs hb ON hb.doc_id = doc_b),
+         |p AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.5),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM p
+         |  UNION ALL SELECT doc_b, doc_a FROM p),
+         |reach AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |labels AS (SELECT src AS doc_id, least(src, MIN(dst)) AS cluster_id
+         |           FROM reach GROUP BY src),
+         |mqt AS (SELECT doc_id, $toksOf AS toks FROM p1),
+         |mqs AS (
+         |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |    len(list_filter(toks, x -> list_contains(
+         |      ['the','a','and','of','to','in','is','for','on','with'], x))) AS n_stop
+         |  FROM mqt),
+         |mq AS (
+         |  SELECT doc_id,
+         |    CAST(round((CASE WHEN n_tokens > 0 THEN round(
+         |      least(CAST(n_tokens AS DOUBLE) / 200.0, 1.0) *
+         |      (1.0 - least(CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE), 0.5)), 6)
+         |      ELSE 0.0 END) * 1000000) AS BIGINT) AS q_u
+         |  FROM mqs),
+         |keepc AS (
+         |  SELECT cluster_id, doc_id AS keep FROM (
+         |    SELECT l.cluster_id, l.doc_id, mq.q_u
+         |    FROM labels l JOIN mq USING (doc_id))
+         |  QUALIFY row_number() OVER (PARTITION BY cluster_id
+         |    ORDER BY q_u DESC, doc_id) = 1),
+         |dropped2 AS (
+         |  SELECT l.doc_id FROM labels l JOIN keepc k USING (cluster_id)
+         |  WHERE l.doc_id <> k.keep),
+         |p2 AS (SELECT p1.* FROM p1
+         |       WHERE doc_id NOT IN (SELECT doc_id FROM dropped2)),
+         |xht AS (SELECT doc_id AS hold_id, list_slice(toks, 6, 26) AS toks
+         |        FROM (SELECT doc_id, $toksOf AS toks FROM documents)
+         |        WHERE doc_id % 97 = 0),
+         |xhsh AS (SELECT hold_id, ${shinglesOf(13)} AS sh FROM xht),
+         |xhx AS (SELECT hold_id, generate_subscripts(sh, 1) - 1 AS hpos, unnest(sh) AS hg
+         |        FROM xhsh WHERE len(sh) > 0),
+         |xtt AS (SELECT doc_id, $toksOf AS toks FROM p2),
+         |xts AS (SELECT doc_id, ${shinglesOf(13)} AS sh FROM xtt),
+         |xex0 AS (SELECT doc_id, generate_subscripts(sh, 1) - 1 AS pos, unnest(sh) AS g
+         |         FROM xts WHERE len(sh) > 0),
+         |xm AS (SELECT DISTINCT e.doc_id, e.pos, hx.hold_id, hx.hpos
+         |       FROM xex0 e JOIN xhx hx ON e.g = hx.hg),
+         |xr AS (SELECT doc_id, pos, hold_id, pos - hpos AS diag,
+         |         pos - row_number() OVER (
+         |           PARTITION BY doc_id, hold_id, pos - hpos ORDER BY pos) AS grp
+         |       FROM xm),
+         |xruns AS (SELECT doc_id, MAX(cnt) AS max_run FROM (
+         |           SELECT doc_id, hold_id, diag, grp, COUNT(*) AS cnt
+         |           FROM xr GROUP BY doc_id, hold_id, diag, grp)
+         |         GROUP BY doc_id),
+         |xdrop AS (SELECT doc_id FROM xruns WHERE max_run + 12 >= 20),
+         |p3 AS (SELECT p2.* FROM p2
+         |       WHERE doc_id NOT IN (SELECT doc_id FROM xdrop)),
+         |bt AS (
+         |  SELECT doc_id, source, len($toksOf) AS n_tokens,
+         |    ${h60("'tokbudget:' || CAST(doc_id AS VARCHAR)")} % ${1L << 50} AS h
+         |  FROM p3),
+         |bc AS (
+         |  SELECT doc_id,
+         |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS cum_tokens
+         |  FROM bt),
+         |p4 AS (SELECT p3.* FROM p3
+         |       JOIN (SELECT doc_id FROM bc WHERE cum_tokens <= 800) USING (doc_id)),
+         |ct AS (SELECT doc_id, $toksOf AS toks FROM p4),
+         |cd AS (SELECT doc_id, len(toks) AS n FROM ct WHERE len(toks) > 0),
+         |cc AS (
+         |  SELECT doc_id, n,
+         |    unnest(generate_series(0,
+         |      GREATEST(1, CAST(ceil((n - 16) / 48.0) AS INT)) - 1)) AS i
+         |  FROM cd),
+         |ck AS (
+         |  SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+         |    CAST(LEAST(64, n - i * 48) AS INT) AS n_tokens,
+         |    ${h60("'pack:' || CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)")} AS h
+         |  FROM cc),
+         |cs AS (
+         |  SELECT doc_id, chunk_idx, n_tokens, h, CAST(h % 8 AS INT) AS shard,
+         |    row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id, chunk_idx) AS rn
+         |  FROM ck),
+         |cr AS (
+         |  SELECT shard, rn, doc_id, chunk_idx, n_tokens,
+         |    0 AS bin, n_tokens AS fill, 0 AS pack_pos
+         |  FROM cs WHERE rn = 1
+         |  UNION ALL
+         |  SELECT s.shard, s.rn, s.doc_id, s.chunk_idx, s.n_tokens,
+         |    CASE WHEN r.fill + s.n_tokens <= 512 THEN r.bin ELSE r.bin + 1 END,
+         |    CASE WHEN r.fill + s.n_tokens <= 512 THEN r.fill + s.n_tokens ELSE s.n_tokens END,
+         |    CASE WHEN r.fill + s.n_tokens <= 512 THEN r.pack_pos + 1 ELSE 0 END
+         |  FROM cr r JOIN cs s ON s.shard = r.shard AND s.rn = r.rn + 1)
+         |SELECT CAST(doc_id AS BIGINT) AS doc_id, chunk_idx, n_tokens, shard,
+         |  CAST(bin AS INT) AS bin, CAST(pack_pos AS INT) AS pack_pos,
+         |  ${h60("'binshuffle:7:' || CAST(shard AS VARCHAR) || ':' || CAST(bin AS VARCHAR)")} AS shuffle_key
+         |FROM cr
+         |ORDER BY shuffle_key, shard, bin, pack_pos""".stripMargin,
+
     // chunker round-trip: drop each non-first chunk's 16-token overlap,
     // re-concatenate in chunk order, compare to the normalized original —
     // in lock-step with graft.operators.TextAnalysis.reassembleChunks
@@ -2068,6 +2251,8 @@ object ExtensionOracleSql {
         |  GROUP BY doc_id, w, h)
         |SELECT d.doc_id,
         |  CASE WHEN d.doc_id % 3 = 0 THEN 'text' ELSE 'image' END AS modality,
+        |  CASE WHEN d.doc_id % 3 = 0 THEN 'stubbed:no-installed-codec'
+        |       ELSE 'decoded:png' END AS codec_status,
         |  CASE WHEN d.doc_id % 3 = 0 THEN
         |    array_to_string([CAST(octet_length(encode(d.text)) AS BIGINT),
         |      CAST(d.n_chars AS BIGINT), CAST(d.doc_id % 7 AS BIGINT)], '|')

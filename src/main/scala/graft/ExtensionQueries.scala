@@ -28,13 +28,39 @@ object ExtensionQueries {
       acc * 6364136223846793005L + treeFingerprint(c) + 1442695040888963407L)
   }
 
+  /** Session-shared MinHash-LSH pair surface at the CANONICAL parameters
+    * (k=3, 64 perms, 16 bands, threshold 0.5) — the build-once/serve-many
+    * intermediate for the five cluster-family queries (dedup_minhash_lsh,
+    * dedup_apply, dedup_apply_quality, dedup_cluster_stats,
+    * dedup_minhash_estimate): one session running several of them builds
+    * the LSH chain ONCE and each consumer reads the localCheckpoint blocks,
+    * exactly like the stored-index serving paths (bpe/ivf stores) but
+    * in-session. Keyed by (applicationId, fixture dir, fixture
+    * fingerprint), so a new session or a regenerated fixture can never
+    * serve stale pairs; values are pair lists (LSH-bounded — tiny), held
+    * for session lifetime.
+    */
+  private val lshPairsCache =
+    new scala.collection.concurrent.TrieMap[String, DataFrame]()
+  private def sharedLshPairs(s: SparkSession, dir: String): DataFrame = {
+    val fp = java.lang.Long.toHexString(
+      treeFingerprint(new java.io.File(s"$dir/documents.parquet")))
+    val key = s"${s.sparkContext.applicationId}|$dir|$fp|k3p64b16t05"
+    lshPairsCache.getOrElseUpdate(key,
+      operators.Materialize.barrier(
+        Dedup.minHashLshPairs(docs(s, dir), "doc_id", "text",
+          k = 3, numPerm = 64, bands = 16, threshold = 0.5), None))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, dir) =>
       Dedup.exactCanonical(docs(s, dir), "doc_id", "text")),
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", k = 3, threshold = 0.5)),
     "dedup_minhash_lsh" -> ((s, dir) =>
-      Dedup.minHashLshPairs(docs(s, dir), "doc_id", "text", k = 3, numPerm = 64, bands = 16, threshold = 0.5)),
+      // canonical-parameter pair surface; shared (build-once/serve-many)
+      // with the four cluster-family consumers below via sharedLshPairs
+      sharedLshPairs(s, dir)),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simHashPairs(docs(s, dir), "doc_id", "text", maxDist = 3)),
     "dedup_embedding" -> ((s, dir) =>
@@ -195,13 +221,11 @@ object ExtensionQueries {
     "dedup_apply" -> { (s, dir) =>
       import org.apache.spark.sql.functions.col
       // the end-to-end shape a corpus pipeline ships: MinHash-LSH pairs ->
-      // connected components -> drop non-canonical members -> corpus out
-      val d = docs(s, dir)
-      val pairs = Dedup.minHashLshPairs(d, "doc_id", "text",
-        k = 3, numPerm = 64, bands = 16, threshold = 0.5)
-      // the pair bracket already checkpointed its output — CC can skip its
-      // own edge-snapshot barrier and scan those blocks directly
-      Dedup.applyDedup(d, pairs, "doc_id", pairsMaterialized = true)
+      // connected components -> drop non-canonical members -> corpus out;
+      // the (already materialized) pair surface is session-shared, so CC
+      // scans its blocks directly with no second edge-snapshot barrier
+      Dedup.applyDedup(docs(s, dir), sharedLshPairs(s, dir), "doc_id",
+          pairsMaterialized = true)
         .select(col("doc_id"), col("source"))
         .orderBy("doc_id")
     },
@@ -449,9 +473,10 @@ object ExtensionQueries {
     "dedup_apply_quality" -> { (s, dir) =>
       import org.apache.spark.sql.functions.col
       // quality-aware canonical selection: each near-dup cluster keeps its
-      // HIGHEST-quality member (ties to the lower id), not the lowest id
-      Dedup.applyDedupQuality(docs(s, dir), "doc_id", "text",
-          k = 3, numPerm = 64, bands = 16, threshold = 0.5)
+      // HIGHEST-quality member (ties to the lower id), not the lowest id;
+      // pair surface session-shared with the other cluster-family queries
+      Dedup.applyDedupQuality(docs(s, dir), sharedLshPairs(s, dir),
+          "doc_id", "text", checkpointDir = None)
         .select(col("doc_id"), col("source"))
         .orderBy("doc_id")
     },
@@ -461,6 +486,20 @@ object ExtensionQueries {
       Dedup.applyExactDedup(docs(s, dir), "doc_id", "text")
         .select(col("doc_id"), col("source"))
         .orderBy("doc_id")
+    },
+    "pipeline_e2e" -> { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      // the WHOLE pipeline as one operator: quality gate -> quality-aware
+      // near-dup dedup -> exact-substring decontamination (raw-corpus
+      // holdout, the decontaminate_apply fixture) -> per-source token
+      // budget -> chunk -> next-fit pack -> seeded bin-level epoch shuffle.
+      // Every stage is individually green; THIS checks the composition
+      // (barriers, no cross-stage re-execution, the exact shipped order).
+      val d = docs(s, dir)
+      val holdout = d.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id"),
+          array_join(slice(graft.functions.Text.tokens(col("text")), 6, 21), " ").as("text"))
+      operators.Pipeline.trainingManifest(s, d, holdout)
     },
     "doc_chunk_reassemble" -> ((s, dir) =>
       // round-trip audit of the chunker: drop each non-first chunk's
@@ -481,14 +520,15 @@ object ExtensionQueries {
     },
     "dedup_cluster_stats" -> ((s, dir) =>
       // per-source duplicate-mass report over the MinHash-LSH components —
-      // the "which sources pay for the dedup pass" number
-      Dedup.clusterStatsBySource(docs(s, dir), "doc_id", "source", "text",
-        k = 3, numPerm = 64, bands = 16, threshold = 0.5)),
+      // the "which sources pay for the dedup pass" number; shared pairs
+      Dedup.clusterStatsBySource(docs(s, dir), sharedLshPairs(s, dir),
+        "doc_id", "source", checkpointDir = None)),
     "dedup_minhash_estimate" -> ((s, dir) =>
       // sketch-quality audit: signature-agreement estimate vs exact Jaccard
-      // per verified LSH pair, error in exact integer ppm
-      Dedup.minHashEstimateAudit(docs(s, dir), "doc_id", "text",
-        k = 3, numPerm = 64, bands = 16, threshold = 0.5)),
+      // per verified LSH pair, error in exact integer ppm; shared pairs
+      Dedup.minHashEstimateAudit(docs(s, dir), sharedLshPairs(s, dir),
+        "doc_id", "text", k = 3, numPerm = 64,
+        hashFn = graft.functions.Hashing.hash60)),
     "text_mislabel_rate" -> ((s, dir) =>
       // per-source declared-vs-NB-predicted disagreement (mislabeled dump /
       // language-mixing source detector)

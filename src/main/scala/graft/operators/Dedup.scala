@@ -937,9 +937,21 @@ object Dedup {
   def applyDedupQuality(docs: DataFrame, idCol: String, textCol: String,
                         k: Int = 3, numPerm: Int = 64, bands: Int = 16,
                         threshold: Double = 0.5,
-                        checkpointDir: Option[String] = None): DataFrame = {
-    val pairs = minHashLshPairs(docs, idCol, textCol, k, numPerm, bands,
-      threshold, checkpointDir = checkpointDir)
+                        checkpointDir: Option[String] = None): DataFrame =
+    applyDedupQuality(docs,
+      minHashLshPairs(docs, idCol, textCol, k, numPerm, bands,
+        threshold, checkpointDir = checkpointDir),
+      idCol, textCol, checkpointDir)
+
+  /** [[applyDedupQuality]] over a PRECOMPUTED (already materialized) pair
+    * set — the build-once/serve-many entry point: one session running
+    * several cluster-family queries (apply, quality apply, per-source
+    * stats, sketch audit) builds the LSH pair surface once and feeds it to
+    * each consumer, exactly like the stored-index serving paths.
+    */
+  def applyDedupQuality(docs: DataFrame, pairs: DataFrame,
+                        idCol: String, textCol: String,
+                        checkpointDir: Option[String]): DataFrame = {
     val comps = ConnectedComponents.components(pairs, "doc_a", "doc_b",
       checkpointDir = checkpointDir, inputMaterialized = true)
     val quality = TextAnalysis.qualityScore(docs)
@@ -999,9 +1011,18 @@ object Dedup {
   def clusterStatsBySource(docs: DataFrame, idCol: String, srcCol: String,
                            textCol: String, k: Int = 3, numPerm: Int = 64,
                            bands: Int = 16, threshold: Double = 0.5,
-                           checkpointDir: Option[String] = None): DataFrame = {
-    val pairs = minHashLshPairs(docs, idCol, textCol, k, numPerm, bands,
-      threshold, checkpointDir = checkpointDir)
+                           checkpointDir: Option[String] = None): DataFrame =
+    clusterStatsBySource(docs,
+      minHashLshPairs(docs, idCol, textCol, k, numPerm, bands,
+        threshold, checkpointDir = checkpointDir),
+      idCol, srcCol, checkpointDir)
+
+  /** [[clusterStatsBySource]] over a PRECOMPUTED pair set (see the
+    * [[applyDedupQuality]] overload for the build-once/serve-many shape).
+    */
+  def clusterStatsBySource(docs: DataFrame, pairs: DataFrame,
+                           idCol: String, srcCol: String,
+                           checkpointDir: Option[String]): DataFrame = {
     val comps = ConnectedComponents.components(pairs, "doc_a", "doc_b",
       checkpointDir = checkpointDir, inputMaterialized = true)
     val labeled = docs.select(col(idCol).as("node"), col(srcCol).as("source"))
@@ -1040,10 +1061,21 @@ object Dedup {
                            k: Int = 3, numPerm: Int = 64, bands: Int = 16,
                            threshold: Double = 0.5,
                            hashFn: Column => Column = Hashing.hash60,
-                           checkpointDir: Option[String] = None): DataFrame = {
+                           checkpointDir: Option[String] = None): DataFrame =
+    minHashEstimateAudit(docs,
+      minHashLshPairs(docs, idCol, textCol, k, numPerm, bands,
+        threshold, hashFn, checkpointDir = checkpointDir),
+      idCol, textCol, k, numPerm, hashFn)
+
+  /** [[minHashEstimateAudit]] over a PRECOMPUTED pair set (see the
+    * [[applyDedupQuality]] overload for the build-once/serve-many shape);
+    * the signature table is still built here — it is audit-specific.
+    */
+  def minHashEstimateAudit(docs: DataFrame, pairs: DataFrame,
+                           idCol: String, textCol: String,
+                           k: Int, numPerm: Int,
+                           hashFn: Column => Column): DataFrame = {
     require(1000000 % numPerm == 0, s"numPerm $numPerm must divide 1e6 for exact ppm")
-    val pairs = minHashLshPairs(docs, idCol, textCol, k, numPerm, bands,
-      threshold, hashFn, checkpointDir = checkpointDir)
     val sigs = shingleHashesExploded(docs, idCol, textCol, k, hashFn)
       .groupBy("doc_id")
       .agg(graft.plans.MinHashAggregate.minhashSignature(col("h"), numPerm).as("sig"))

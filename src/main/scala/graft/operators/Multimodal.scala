@@ -494,13 +494,37 @@ object Multimodal {
       pick(row.payload).frames(row, frameBytes, stride)
   }
 
+  /** Capability PROBE for one payload — the honest answer to "why is this
+    * row stubbed": ask the JVM's ACTUAL installed-codec registry
+    * (`ImageIO.getImageReaders` over the payload's magic bytes) whether any
+    * reader claims it. A claimed payload reports `decoded:<format>`; an
+    * unclaimed one reports `stubbed:no-installed-codec` — a REASON read
+    * from the runtime environment, not a hardcoded label, so dropping a
+    * real audio/video `MediaCodec` (or an ImageIO plugin jar) onto the
+    * classpath changes the report without touching this code. On the
+    * fixtures the probe is closed-form (PNG rows → `decoded:png`, text
+    * stand-in rows → `stubbed:no-installed-codec`), so the oracle still
+    * checks it exactly.
+    */
+  def probeStatus(payload: Array[Byte]): String = {
+    val is = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(is)
+      if (readers.hasNext)
+        "decoded:" + readers.next().getFormatName.toLowerCase(java.util.Locale.ROOT)
+      else "stubbed:no-installed-codec"
+    } finally if (is != null) is.close()
+  }
+
   /** Mixed-modality feature extraction over one binary column: every third
     * doc carries a non-image payload (UTF-8 text bytes standing in for
     * audio/video — no JDK decoder exists) handled by [[StubCodec]]; the rest
     * carry genuine procedural PNGs decoded pixel-by-pixel through
     * [[ImageIoCodec]] via the sniffing [[MixedCodec]]. Image rows report
     * `[width, height, sum_r, sum_g, sum_b]` (closed-form oracle), stub rows
-    * `[n_bytes, n_chars, doc_id mod 7]`.
+    * `[n_bytes, n_chars, doc_id mod 7]`; every row carries the
+    * [[probeStatus]] capability report alongside.
     */
   def mixedFeatures(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
@@ -517,10 +541,10 @@ object Multimodal {
             }
           val f = MixedCodec.features(MediaRow(id, payload, nChars))
           val modality = if (id % 3 == 0) "text" else "image"
-          (id, modality, f.feat.map(_.toLong).mkString("|"))
+          (id, modality, probeStatus(payload), f.feat.map(_.toLong).mkString("|"))
         }
       }
-      .toDF("doc_id", "modality", "mm_feat")
+      .toDF("doc_id", "modality", "codec_status", "mm_feat")
       .orderBy("doc_id")
   }
 

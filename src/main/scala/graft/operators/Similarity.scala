@@ -193,8 +193,15 @@ object Similarity {
         col("a.chunk_id") === col("b.chunk_id") && col("a.chunk_val") === col("b.chunk_val"))
       .select(col("a.vec_id").as("vec_id"), col("b.hold_id").as("hold_id"))
       .distinct()
-    cand
-      .join(trainSide.select(col("vec_id"), col("embedding").as("ea"), col("nrm").as("na")), "vec_id")
+    // verify join orientation: the CANDIDATE set (bounded by benchmark-side
+    // collisions, like the flag list applySemanticDecontamination already
+    // broadcasts) is the explicit build side, so the corpus re-scan is
+    // probe-only — never shuffled by vec_id. Left to statistics, a cold
+    // plan could sort-merge here and hash-partition the whole corpus; that
+    // plus the band stage made this the suite's second-most load-sensitive
+    // query.
+    trainSide.select(col("vec_id"), col("embedding").as("ea"), col("nrm").as("na"))
+      .join(broadcast(cand), "vec_id")
       .join(broadcast(holdSide.select(col("hold_id"), col("embedding").as("eb"), col("nrm").as("nb"))), "hold_id")
       .withColumn("sim", round(VecF.dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6))
       .filter(col("sim") >= threshold)

@@ -226,12 +226,16 @@ class OperatorSpec extends SparkSpec {
     assert(rows.exists(_.getString(1) == "text") && rows.exists(_.getString(1) == "image"))
     rows.foreach { r =>
       val id = r.getLong(0)
-      val feat = r.getString(2).split('|').map(_.toLong)
+      val feat = r.getString(3).split('|').map(_.toLong)
       if (id % 3 == 0) {
         assert(r.getString(1) == "text" && feat.length == 3)
+        // capability probe: the stub reason comes from the LIVE ImageIO
+        // registry (no installed reader claims text bytes), not a label
+        assert(r.getString(2) == "stubbed:no-installed-codec")
         assert(feat(2) == id % 7)
       } else {
         assert(r.getString(1) == "image" && feat.length == 5)
+        assert(r.getString(2) == "decoded:png")
         val w = 8 + (id % 8).toInt
         val h = 8 + (id % 5).toInt
         // closed-form pattern sums — only a REAL decode reproduces these

@@ -148,6 +148,10 @@ class PlanShapeSpec extends SparkSpec {
       "bipartite banding must stay an equi-join")
     assert(p.contains("BroadcastExchange"), "holdout chunks + vectors must broadcast")
     assert(p.contains("BroadcastHashJoin"), "corpus x holdout must be a broadcast hash join")
+    // the verify join must keep the corpus probe-only: a sort-merge join
+    // here means the whole corpus got hash-partitioned by vec_id
+    assert(!p.contains("SortMergeJoin"),
+      s"semantic verify join must broadcast the candidate set, not shuffle the corpus:\n$p")
   }
 
   test("normalized dedup is one partial+final hash aggregate over hashes") {
@@ -599,5 +603,29 @@ class PlanShapeSpec extends SparkSpec {
       s"serving scan must never read embeddings:\n${invScan.mkString("\n")}")
     assert(invScan.exists(_.contains("ReadSchema: struct<vec_id:bigint,code:string>")),
       s"invlists read schema must be exactly (vec_id, code):\n${invScan.mkString("\n")}")
+  }
+
+  test("pipeline_e2e: stage barriers sever the plan; bounded exchange count; no cartesian") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.table(spark, sf0001, "documents")
+    val holdout = docs.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id"),
+        array_join(slice(graft.functions.Text.tokens(col("text")), 6, 21), " ").as("text"))
+    val p = plan(graft.operators.Pipeline.trainingManifest(spark, docs, holdout))
+    // the decontaminated-survivor barrier severs the plan: everything
+    // upstream (quality gate, LSH dedup, span decontamination) already ran
+    // exactly once behind a localCheckpoint — the manifest plan reads its
+    // blocks, not the operator chain
+    assert(p.contains("ExistingRDD"),
+      s"manifest plan must start from the stage barrier, not re-derive upstream:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pipeline tail planned a cartesian:\n$p")
+    // post-barrier exchanges: budget offsets agg + its per-source window,
+    // the budget-selection joins, the pack shard repartition, the manifest
+    // range sort — a BOUNDED set. A pile-up here means a stage started
+    // re-executing across consumers.
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 10,
+      s"pipeline tail exchange count grew to $exchanges (expected <= 10):\n$p")
   }
 }

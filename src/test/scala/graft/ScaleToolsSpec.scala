@@ -2281,4 +2281,74 @@ class ScaleToolsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       f"10x images grew phash-pair wall-time $ratio%.1fx " +
         f"(t1=${math.min(t1a, t1b)}%.2fs t2=${math.min(t2a, t2b)}%.2fs)")
   }
+
+  test("pipeline_e2e survives 10x docs: invariants hold, flat job count") {
+    import graft.operators.Pipeline
+    // documents-shaped synthetic corpus that exercises every stage: mostly
+    // clean English text (passes Gopher + quality + langid), every
+    // (id % 10 == 1) doc near-duplicates doc id-1 (same 30-token body, one
+    // word swapped -> Jaccard > 0.5), ids % 97 == 0 feed the holdout slice
+    def corpus(n: Int) = {
+      // all-ALPHA body words (digits would sink the Gopher alpha-ratio
+      // gate): decade and position digits are letter-mapped via translate;
+      // 60 body words keep the composite quality score above the 0.2 gate
+      def alphaNum(c: Column) =
+        translate(c.cast("string"), "0123456789", "abcdefghij")
+      val decade = expr("doc_id DIV 10")
+      val body = array_join(transform(sequence(lit(0), lit(59)), j =>
+        concat(lit("alpha"), alphaNum(decade), lit("w"), alphaNum(j))), " ")
+      val bodyDup = array_join(transform(sequence(lit(0), lit(59)), j =>
+        when(j === 59, lit("swapped")).otherwise(
+          concat(lit("alpha"), alphaNum(decade), lit("w"), alphaNum(j)))), " ")
+      spark.range(n).select(col("id").as("doc_id"))
+        .select(col("doc_id"), lit("en").as("lang"),
+          concat(lit("s"), col("doc_id") % 4).as("source"),
+          concat_ws(" ", lit("the data and the model"),
+            when(col("doc_id") % 10 === 1, bodyDup).otherwise(body)).as("text"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    }
+    def run(n: Int): (Seq[(Long, Int, Int, Int, Int, Int)], Int, Double) = {
+      var rows: Seq[(Long, Int, Int, Int, Int, Int)] = Nil
+      val d = corpus(n)
+      val holdout = d.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id"),
+          array_join(slice(graft.functions.Text.tokens(col("text")), 6, 21), " ").as("text"))
+      val t0 = System.nanoTime()
+      val jobs = countJobs(s"pipe10x-$n-${System.nanoTime()}") {
+        rows = Pipeline.trainingManifest(spark, d, holdout,
+            tokenBudget = 400L * n) // budget scales with corpus: no cap stage
+          .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+            r.getInt(3), r.getInt(4), r.getInt(5))).toSeq
+      }
+      (rows, jobs, (System.nanoTime() - t0) / 1e9)
+    }
+    run(300) // warm codegen/plan shapes
+    val (m1, j1, t1a) = run(300)
+    val (_, _, t1b) = run(300)
+    val (m2, j2, t2a) = run(3000)
+    val (_, _, t2b) = run(3000)
+    for ((m, n) <- Seq((m1, 300), (m2, 3000))) {
+      assert(m.nonEmpty, s"$n-doc manifest is empty")
+      // near-dup members collapse: of each (10k, 10k+1) planted pair at
+      // most one survives into the manifest
+      val ids = m.map(_._1).toSet
+      val bothSurvived = ids.filter(id => id % 10 == 1 && ids.contains(id - 1))
+      assert(bothSurvived.isEmpty, s"$n docs: near-dup pairs uncollapsed: ${bothSurvived.take(5)}")
+      // bins respect the token budget and chunk sets are complete per doc
+      m.groupBy(r => (r._4, r._5)).foreach { case (sb, rs) =>
+        assert(rs.map(_._3).sum <= 512, s"$n docs: bin $sb overflows: ${rs.map(_._3).sum}")
+      }
+      m.groupBy(_._1).foreach { case (id, rs) =>
+        val idxs = rs.map(_._2).sorted
+        assert(idxs == (0 until rs.length), s"$n docs: doc $id chunk set ragged: $idxs")
+      }
+    }
+    // determinism: the manifest is a pure function of (corpus, knobs)
+    assert(m1 == run(300)._1, "manifest not reproducible across runs")
+    assert(j2 <= j1 + 4, s"10x docs grew the pipeline job count $j1 -> $j2")
+    val ratio = math.min(t2a, t2b) / math.min(t1a, t1b)
+    assert(ratio <= 30.0,
+      f"10x docs grew pipeline wall-time $ratio%.1fx " +
+        f"(t1=${math.min(t1a, t1b)}%.2fs t2=${math.min(t2a, t2b)}%.2fs)")
+  }
 }
