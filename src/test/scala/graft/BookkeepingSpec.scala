@@ -176,9 +176,17 @@ class BookkeepingSpec extends AnyFunSuite {
       f"calibration anchors measure ${calib}%.2fx the round-11 reference box — too " +
         "degraded to certify a variance artifact; re-measure when the host recovers")
     val bar = 2.5 * math.max(1.0, calib)
-    val over = means.filter(_._2 > bar)
+    // COMPOSITION queries run N single-operator stages end-to-end behind
+    // eager barriers (that is their point — proving the chain, not beating
+    // one operator's bar), so their bar is N x the single-operator bar.
+    // The count is pinned here, next to the bar it scales, so adding a
+    // stage to a composition forces a visible edit in this gate.
+    val compositionStages = Map("pipeline_e2e" -> 5)
+    val over = means.filter { case (q, m) =>
+      m > bar * compositionStages.getOrElse(q, 1) }
     assert(over.isEmpty,
-      f"queries over the ${bar}%.2f s calibrated bar (2.5 s x box factor ${calib}%.2f): " +
+      f"queries over the ${bar}%.2f s calibrated bar (2.5 s x box factor ${calib}%.2f; " +
+        "composition queries x their pinned stage count): " +
         s"${over.map { case (q, m) => s"$q=$m" }.mkString(", ")} — " +
         "optimize or re-measure on an idle box (BASELINE.md round-8 bar, round-12 calibration)")
   }
