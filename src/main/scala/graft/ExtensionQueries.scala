@@ -499,7 +499,11 @@ object ExtensionQueries {
       val holdout = d.filter(col("doc_id") % 97 === 0)
         .select(col("doc_id"),
           array_join(slice(graft.functions.Text.tokens(col("text")), 6, 21), " ").as("text"))
-      operators.Pipeline.trainingManifest(s, d, holdout)
+      // dedup stage serves from the session-shared canonical pair surface
+      // (the same build-once/serve-many intermediate the five cluster-family
+      // queries read) — the pipeline restricts it to its quality survivors
+      operators.Pipeline.trainingManifest(s, d, holdout,
+        pairs = Some(sharedLshPairs(s, dir)))
     },
     "doc_chunk_reassemble" -> ((s, dir) =>
       // round-trip audit of the chunker: drop each non-first chunk's

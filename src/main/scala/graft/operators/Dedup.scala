@@ -596,6 +596,11 @@ object Dedup {
     withShingleIndex(shingleHashesExploded(df, idCol, textCol, k, hashFn),
         materialize, checkpointDir) { ex0 =>
       val sz = ex0.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      // (a round-13 A/B also dropped SINGLETON hashes from the self-join
+      // sides via a df >= 2 pre-aggregation — identical output, but the
+      // added agg+join measured as pure cost on the fixture, whose shingle
+      // mass is only 0.08% singletons; reverted. The df-capped variant
+      // keeps the restriction for free inside its existing `rare` filter.)
       // sz is one row per doc — AQE turns this into a broadcast join locally;
       // at scale it's a co-partitioned shuffle on doc_id either way
       val ex = ex0.join(sz, "doc_id").select(col("doc_id"), col("sz"), col("h"))
@@ -639,10 +644,23 @@ object Dedup {
                               checkpointDir: Option[String] = None): DataFrame = {
     withShingleIndex(shingleHashesExploded(df, idCol, textCol, k, hashFn),
         materialize, checkpointDir) { ex0 =>
-    val rare = ex0.groupBy("h").agg(count(lit(1)).as("df")).filter(col("df") <= maxDf)
+    // the index keeps only shingles with 2 <= df <= maxDf: above the cap is
+    // boilerplate (O(d²) pairs, no signal), and df = 1 hashes can never
+    // produce an a < b pair — at any real corpus scale MOST shingles are
+    // unique (Heaps law), so the singleton mass skips both self-join
+    // exchanges for free (the round-8 [[verifiedSubstringMatches]] lesson,
+    // folded into the existing filter — a separate df >= 2 pre-join A/B'd
+    // as pure overhead on the fixture). `dropped` then counts above-cap AND
+    // singleton shingles, so the pruning bound
+    // common <= cr + min(dropped_a, dropped_b) stays sound (a singleton is
+    // by definition absent from the other doc, so it inflates the bound by
+    // at most the singleton count — 0.08% of the fixture's mass); the
+    // survivors are still verified EXACTLY, so the output is unchanged.
+    val rare = ex0.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxDf)
     val idx = ex0.join(rare, "h").select("doc_id", "h")
 
-    // per-doc stats: full set size and how many shingles the cap dropped
+    // per-doc stats: full set size and how many shingles the index dropped
     val stats = ex0.groupBy("doc_id").agg(count(lit(1)).as("sz"))
       .join(idx.groupBy("doc_id").agg(count(lit(1)).as("szr")), Seq("doc_id"), "left")
       .select(col("doc_id"), col("sz"), (col("sz") - coalesce(col("szr"), lit(0L))).as("dropped"))
@@ -723,10 +741,15 @@ object Dedup {
                        checkpointDir: Option[String] = None): DataFrame = {
     withShingleIndex(shingleHashesExploded(df, idCol, textCol, k, hashFn),
         materialize, checkpointDir) { ex0 =>
-    val rare = ex0.groupBy("h").agg(count(lit(1)).as("df")).filter(col("df") <= maxDf)
+    // 2 <= df <= maxDf index: singleton hashes never pair, so they skip the
+    // self-join for free; `dropped` absorbs them and the prune bound stays
+    // sound with exact verification downstream — see
+    // [[ngramJaccardCappedPairs]] for the full argument
+    val rare = ex0.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxDf)
     val idx = ex0.join(rare, "h").select("doc_id", "h")
 
-    // per-doc stats: full set size and how many shingles the cap dropped
+    // per-doc stats: full set size and how many shingles the index dropped
     val stats = ex0.groupBy("doc_id").agg(count(lit(1)).as("sz"))
       .join(idx.groupBy("doc_id").agg(count(lit(1)).as("szr")), Seq("doc_id"), "left")
       .select(col("doc_id"), col("sz"), (col("sz") - coalesce(col("szr"), lit(0L))).as("dropped"))
@@ -951,7 +974,21 @@ object Dedup {
     */
   def applyDedupQuality(docs: DataFrame, pairs: DataFrame,
                         idCol: String, textCol: String,
-                        checkpointDir: Option[String]): DataFrame = {
+                        checkpointDir: Option[String]): DataFrame =
+    docs.join(dedupQualityDropIds(docs, pairs, checkpointDir),
+      col(idCol) === col("__drop_id"), "left_anti")
+
+  /** The quality-aware drop-id set behind [[applyDedupQuality]] — factored
+    * out so pipeline compositions ([[Pipeline.trainingManifest]]) can combine
+    * it with other per-doc drop/keep sets BEFORE touching the corpus text
+    * (one id anti-join at the end instead of a materialized survivor corpus
+    * per stage). `docs` only feeds the per-doc quality score, which is
+    * corpus-membership-independent — callers may pass a SUPERSET of the
+    * corpus the pairs were drawn from (only cluster members' scores are
+    * ever consumed).
+    */
+  def dedupQualityDropIds(docs: DataFrame, pairs: DataFrame,
+                          checkpointDir: Option[String]): DataFrame = {
     val comps = ConnectedComponents.components(pairs, "doc_a", "doc_b",
       checkpointDir = checkpointDir, inputMaterialized = true)
     val quality = TextAnalysis.qualityScore(docs)
@@ -965,7 +1002,7 @@ object Dedup {
     // draft derived keep with a groupBy and joined it BACK onto the
     // components — three extra exchanges that measured +1.3 s at sf0.1 for
     // zero semantic difference.
-    val drop = comps.join(quality, "node")
+    comps.join(quality, "node")
       .groupBy(col("cluster_id"))
       .agg(
         min_by(col("node"), struct((-col("q_u")).as("nq"), col("node"))).as("keep"),
@@ -973,7 +1010,6 @@ object Dedup {
       .select(col("keep"), explode(col("members")).as("__drop_id"))
       .filter(col("__drop_id") =!= col("keep"))
       .select("__drop_id")
-    docs.join(drop, col(idCol) === col("__drop_id"), "left_anti")
   }
 
   /** EXACT-dedup application — the apply sibling of [[exactCanonical]]:

@@ -25,19 +25,42 @@ import graft.functions.Hashing
   * reruns, and cluster sizes (no RNG anywhere; all ordering is md5-derived
   * 60-bit hashes, the library-wide convention).
   *
-  * Composition discipline (the part that IS this operator):
-  *   - '''Barriers between stages.''' Each surviving-corpus intermediate
-  *     ([[Materialize.barrier]]: `localCheckpoint`, or parquet under
-  *     `checkpointDir` for executor-loss-safe production runs) is consumed
-  *     by MULTIPLE downstream subtrees — the dedup stage alone reads its
-  *     input three times (shingle index, quality scores, anti-join outer).
-  *     Without the barrier Spark re-executes the whole upstream chain per
-  *     consumer; with it, each stage computes exactly once — the 10× gate
-  *     in ScaleToolsSpec holds the job count flat, and PlanShapeSpec pins
-  *     the post-barrier plan's exchange count.
+  * Composition discipline (the part that IS this operator) — round-13
+  * rewrite: '''decide with id sets, touch the text once.''' The round-12
+  * draft materialized the full survivor CORPUS (ids + text) between every
+  * stage — three sequential full-text barriers whose bytes dwarf every
+  * decision they carry (the optimization guide's worked example is exactly
+  * this smell: heavy opaque payloads moved per stage when a few bytes of
+  * metadata decide everything). Each gate below is in fact a PER-DOCUMENT
+  * signal, independent of which other documents survive earlier stages:
+  *
+  *   - quality gate: per-doc structure/score/langid rules;
+  *   - near-dup dedup: MinHash signatures and verified pair Jaccards are
+  *     per-doc/per-pair, so the survivor corpus's pair set is EXACTLY the
+  *     raw corpus's pair set restricted to pairs with both endpoints
+  *     surviving the quality gate (banding candidates = shared band
+  *     signature; removing a doc removes only its own pairs) — and the
+  *     component collapse of that restricted edge set is the same subgraph
+  *     either way;
+  *   - decontamination: verbatim-span geometry of one training doc against
+  *     the (raw-corpus) holdout never reads other training docs, so flags
+  *     computed over the RAW corpus restrict to the survivor set exactly.
+  *
+  * Therefore the stages run as id-set derivations over the raw parquet
+  * scan — keep1 (quality), drop2 (dedup, over keep1-filtered pairs), flag3
+  * (decontamination) — and the text-carrying corpus is touched exactly
+  * twice: one narrow token-count projection over the combined keep set
+  * (feeding the budget stage) and one chunk pass over the budget
+  * survivors. The only barriers are id/metadata-sized (plus the operators'
+  * own internal pair / matched-remnant barriers); the corpus text is never
+  * checkpointed at all.
+  * Equivalence to the staged form is oracle-checked (the pipeline_e2e
+  * DuckDB oracle composes the stage oracles verbatim, each reading the
+  * previous stage's survivor CTE) and suite-asserted stage-by-stage.
+  *
   *   - '''Decontamination holdout comes from the RAW corpus''' (the
   *     benchmark fixture is defined against what was ingested, not against
-  *     what survived earlier stages), while the train side is the current
+  *     what survived earlier stages), while the flags apply to the current
   *     survivor set — the orientation a real eval-set registry implies.
   *   - '''Shuffle at the BIN level.''' After packing, the trainable unit
   *     is the bin (a budget-full token sequence), so the epoch shuffle
@@ -59,6 +82,14 @@ object Pipeline {
   /** The composed manifest. Knob defaults match the standalone queries'
     * fixtures (budget 800 tokens/source, 64/16 chunking, 512-token bins,
     * 8 shards, seed 7) so the oracle chain is the stage oracles composed.
+    *
+    * @param pairs optional PRECOMPUTED near-dup pair surface over `docs` at
+    *   the pipeline's canonical parameters (word-3-shingles, 64 perms,
+    *   16 bands, Jaccard ≥ 0.5 — [[Dedup.minHashLshPairs]]'s contract),
+    *   already materialized: a session running several cluster-family
+    *   queries builds that surface once and every consumer serves from it
+    *   (the build-once/serve-many shape of the stored-index queries). When
+    *   absent the pipeline builds its own.
     */
   def trainingManifest(spark: SparkSession, docs: DataFrame,
                        holdout: DataFrame,
@@ -66,26 +97,61 @@ object Pipeline {
                        chunkSize: Int = 64, overlap: Int = 16,
                        packBudget: Int = 512, numShards: Int = 8,
                        seed: Long = 7L,
-                       checkpointDir: Option[String] = None): DataFrame = {
-    // S1: quality gate — keep ids, then semi-join so text rides along
-    val kept1 = TextAnalysis.qualityFilterApply(spark, docs).select("doc_id")
-    val d1 = Materialize.barrier(
-      docs.join(kept1, Seq("doc_id"), "left_semi"), checkpointDir)
-    // S2: near-dup clusters keep their highest-quality member
-    val d2 = Materialize.barrier(
-      Dedup.applyDedupQuality(d1, "doc_id", "text",
-        k = 3, numPerm = 64, bands = 16, threshold = 0.5,
-        checkpointDir = checkpointDir), checkpointDir)
-    // S3: verbatim-span decontamination against the raw-corpus holdout
-    val d3 = Materialize.barrier(
-      Dedup.applyDecontamination(d2, holdout, "doc_id", "text",
-        n = 13, minSpanTokens = 20, checkpointDir = checkpointDir),
+                       checkpointDir: Option[String] = None,
+                       pairs: Option[DataFrame] = None): DataFrame = {
+    // S1: quality gate → id set (3 consumers: both pair-endpoint filters +
+    // the final combine), so it takes the one id-sized barrier
+    val keep1 = Materialize.barrier(
+      TextAnalysis.qualityFilterApply(spark, docs).select("doc_id"),
       checkpointDir)
-    // S4: per-source token budget over the survivors
-    val sel = Sampling.tokenBudgetPerSource(d3, "doc_id", "source", "text",
-      budget = tokenBudget).select("doc_id")
-    val d4 = d3.join(sel, Seq("doc_id"), "left_semi")
-    // S5+S6: chunk, pack, and order bins by the seeded shuffle key
+    // S2: near-dup pairs over the RAW corpus (canonical parameters),
+    // restricted to quality survivors — provably the survivor corpus's own
+    // pair set (see the scaladoc). The restricted set is re-barriered (it
+    // is candidate-pair-sized, tiny) so the component fixpoint scans a
+    // snapshot instead of re-running the semi-joins per round.
+    val rawPairs = pairs.getOrElse(
+      Dedup.minHashLshPairs(docs, "doc_id", "text",
+        k = 3, numPerm = 64, bands = 16, threshold = 0.5,
+        checkpointDir = checkpointDir))
+    val p1Pairs = Materialize.barrier(
+      rawPairs
+        .join(keep1.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_semi")
+        .join(keep1.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_semi"),
+      checkpointDir)
+    // quality-aware keep rule over the survivor subgraph; per-doc scores may
+    // come from the raw corpus (only cluster members' scores are consumed)
+    val drop2 = Dedup.dedupQualityDropIds(docs, p1Pairs, checkpointDir)
+    // S3: verbatim-span flags vs the raw-corpus holdout, computed over the
+    // RAW corpus (span geometry is per-doc) and applied to the survivors
+    val flag3 = Dedup.exactSubstringContamination(docs, holdout,
+        "doc_id", "text", n = 13, checkpointDir = checkpointDir)
+      .filter(col("longest_span") >= 20)
+      .select(col("doc_id").as("__flag_id"))
+    // the combined keep set — the whole pipeline's decision artifact. LAZY:
+    // its single consumer is the token-count projection below (the chunk
+    // pass keys on the budget survivors instead), and drop2/flag3 read
+    // their own internal barriers, so nothing here re-executes.
+    val keep = keep1
+      .join(drop2, col("doc_id") === col("__drop_id"), "left_anti")
+      .join(flag3, col("doc_id") === col("__flag_id"), "left_anti")
+    // S4: per-source token budget over the survivors. The budget stage
+    // consumes its input twice (bucket-offset aggregation + running-sum
+    // join), so the survivor token counts tokenize ONCE into a narrow
+    // (id, source, n_tokens) barrier instead of letting each consumer
+    // re-scan the text.
+    val counted = Materialize.barrier(
+      docs.join(keep, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("source"),
+          size(graft.functions.Text.tokens(col("text"))).cast("long")
+            .as("n_tokens")),
+      checkpointDir)
+    val sel = Sampling.tokenBudgetPerSourceCounted(counted,
+      "doc_id", "source", budget = tokenBudget).select("doc_id")
+    // S5+S6: chunk, pack, and order bins by the seeded shuffle key. The
+    // budget survivors are a subset of `keep`, so the chunk pass semi-joins
+    // the raw scan against `sel` directly — the manifest's ONLY
+    // text-carrying pass besides the count projection above.
+    val d4 = docs.join(sel, Seq("doc_id"), "left_semi")
     val packed = Packing.packChunks(spark,
       TextAnalysis.chunkDocuments(d4, chunkSize, overlap),
       budget = packBudget, numShards = numShards)

@@ -210,12 +210,30 @@ object Sampling {
   def tokenBudgetPerSource(df: DataFrame, idCol: String, srcCol: String,
                            textCol: String, budget: Long,
                            salt: String = "tokbudget",
-                           nBuckets: Int = 64): DataFrame = {
+                           nBuckets: Int = 64): DataFrame =
+    tokenBudgetPerSourceCounted(
+      df.select(col(idCol), col(srcCol),
+        size(graft.functions.Text.tokens(col(textCol))).cast("long").as("n_tokens")),
+      idCol, srcCol, budget, salt, nBuckets)
+
+  /** [[tokenBudgetPerSource]] over PRE-COUNTED rows `(idCol, srcCol,
+    * n_tokens)` — split out so pipeline compositions can tokenize once into
+    * a narrow (ids + ints) barrier and feed BOTH consumers of the budget
+    * stage (the bucket-offset aggregation and the running-sum join) from it:
+    * `base` below is consumed twice, and when it derives straight from a
+    * text-carrying frame each consumer re-tokenizes the corpus
+    * ([[Pipeline.trainingManifest]] measured one full text scan saved at
+    * sf0.1). Plan-identical to the text form for standalone callers (the
+    * counting projection simply moves into the caller).
+    */
+  def tokenBudgetPerSourceCounted(counted: DataFrame, idCol: String,
+                                  srcCol: String, budget: Long,
+                                  salt: String = "tokbudget",
+                                  nBuckets: Int = 64): DataFrame = {
     require(nBuckets >= 1, s"nBuckets must be positive, got $nBuckets")
     import org.apache.spark.sql.expressions.Window
     val width = math.max(1L, (1L << 50) / nBuckets)
-    val base = df.select(col(idCol), col(srcCol),
-      size(graft.functions.Text.tokens(col(textCol))).cast("long").as("n_tokens"),
+    val base = counted.select(col(idCol), col(srcCol), col("n_tokens"),
       pmod(Hashing.hash60(concat(lit(salt), lit(":"), col(idCol).cast("string"))),
         lit(1L << 50)).as("__h"))
       .withColumn("__b", floor(col("__h") / lit(width)).cast("long"))

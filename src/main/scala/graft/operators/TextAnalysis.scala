@@ -608,9 +608,9 @@ object TextAnalysis {
     * a LEFT context (so Σ_w2 P(w2|w1) = 1 exactly). Per doc: bigram count
     * and the decimal-summed mean NLL, the [[unigramLogprob]] recipe.
     *
-    * Shape at scale: bigrams form NARROWLY inside the scan — `zip_with`
-    * over the token array against itself shifted by one, no positional
-    * self-join, no second corpus pass. Then one (bigram) and one
+    * Shape at scale: bigrams form NARROWLY inside the scan — a codegen
+    * posexplode over the token array with adjacent `element_at` pairing, no
+    * positional self-join, no second corpus pass. Then one (bigram) and one
     * (left-context) hash agg (both map-side combined) and two plain
     * vocabulary-keyed joins back — NO broadcast hint: the bigram table
     * grows faster than the Heaps-law unigram vocabulary (it's the object
@@ -622,13 +622,23 @@ object TextAnalysis {
     */
   def bigramLogprob(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val toks = Text.tokens(col("text"))
-    val len = greatest(size(toks) - lit(1), lit(0))
-    val pairs = zip_with(
-      slice(toks, lit(1), len), slice(toks, lit(2), len),
-      (a, b) => struct(a.as("w1"), concat_ws(" ", a, b).as("bg")))
-    val bg = docs.select(col("doc_id"), explode(pairs).as("p"))
-      .select(col("doc_id"), col("p.w1").as("w1"), col("p.bg").as("bg"))
+    // posexplode + element_at instead of explode(zip_with(slice, slice)):
+    // the HOF lambda evaluates interpreted AND materializes a per-doc array
+    // of (w1, bg) structs before the explode — and `bg` here is consumed
+    // THREE times (both count aggregations + the join base), so that cost
+    // triples. The generator formulation keeps tokenize/generate/concat in
+    // codegen (the dupNgramMass rewrite, same round). Row-identical:
+    // zip_with paired toks[i] with toks[i+1] for i = 1..len-1; here pos is
+    // 0-based with tokens pos+1, pos+2 (element_at is 1-based) and the
+    // bounds filter keeps pos <= size-2.
+    val bg = docs
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"), posexplode(col("toks")).as(Seq("pos", "t")))
+      .filter(col("pos") <= size(col("toks")) - 2)
+      .select(col("doc_id"),
+        element_at(col("toks"), col("pos") + 1).as("w1"),
+        concat_ws(" ", element_at(col("toks"), col("pos") + 1),
+          element_at(col("toks"), col("pos") + 2)).as("bg"))
     val c12 = bg.groupBy("bg").agg(count(lit(1)).as("cnt12"))
     val c1 = bg.groupBy("w1").agg(count(lit(1)).as("cnt1"))
     bg.join(c12, "bg")
@@ -954,20 +964,22 @@ object TextAnalysis {
     * double first, so neither engine pre-reduces in integer space), then
     * ln + round-6 — identical IEEE sequence cross-engine.
     *
-    * Shape at scale: bigrams come from a per-row array zip (no positional
-    * self-join of the token stream), both count aggregations are map-side
-    * combined, totals are one-row broadcasts, and the two vocabulary joins
-    * are term-keyed with NO forced broadcast (vocabulary is Heaps-law
-    * unbounded — AQE decides, like tfidfTopTerms).
+    * Shape at scale: bigrams come from a codegen posexplode with adjacent
+    * `element_at` pairing (no positional self-join of the token stream),
+    * both count aggregations are map-side combined, totals are one-row
+    * broadcasts, and the two vocabulary joins are term-keyed with NO forced
+    * broadcast (vocabulary is Heaps-law unbounded — AQE decides, like
+    * tfidfTopTerms).
     */
   def pmiBigrams(docs: DataFrame, minCount: Int = 5): DataFrame = {
-    val toks = docs.select(Text.tokens(col("text")).as("toks"))
-      .filter(size(col("toks")) >= 2)
-    val bi = toks.select(explode(zip_with(
-        slice(col("toks"), lit(1), size(col("toks")) - 1),
-        slice(col("toks"), lit(2), size(col("toks")) - 1),
-        (a, b) => struct(a.as("term_a"), b.as("term_b")))).as("bg"))
-      .select(col("bg.term_a"), col("bg.term_b"))
+    // posexplode + element_at instead of explode(zip_with(slice, slice)) —
+    // same interpreted-HOF-to-codegen-generator rewrite as [[bigramLogprob]]
+    // / [[dupNgramMass]]; row-identical bigram multiset
+    val bi = docs.select(Text.tokens(col("text")).as("toks"))
+      .select(col("toks"), posexplode(col("toks")).as(Seq("pos", "t")))
+      .filter(col("pos") <= size(col("toks")) - 2)
+      .select(element_at(col("toks"), col("pos") + 1).as("term_a"),
+        element_at(col("toks"), col("pos") + 2).as("term_b"))
       .groupBy("term_a", "term_b").agg(count(lit(1)).as("n_ab"))
     val uni = docs.select(explode(Text.tokens(col("text"))).as("term"))
       .groupBy("term").agg(count(lit(1)).as("n_t"))
@@ -1000,8 +1012,23 @@ object TextAnalysis {
                    thresholds: Seq[Int] = Seq(1, 5, 20)): DataFrame = {
     require(thresholds.nonEmpty && thresholds.forall(_ >= 1),
       s"thresholds must be >= 1, got $thresholds")
+    // posexplode + element_at instead of explode(transform(sequence(...))):
+    // the HOF lambda evaluates interpreted (outside whole-stage codegen) and
+    // also materializes the full shingle array per document before the
+    // explode; this formulation keeps tokenize/generate/concat in ONE
+    // codegen span and emits shingle rows directly — the same rewrite
+    // Dedup.shingleTextPositional documents, applied to the occurrence
+    // (multiset) pass. Row-identical: positions 0..size-k of the token
+    // array, tokens pos+1..pos+k (element_at is 1-based). Measured at
+    // sf0.1: 2.80 → 0.40 s (min over repeated warmed runs, idle box —
+    // see OPTIMIZATION_r13.md).
+    val toks = Text.tokens(col("text"))
     val counts = docs
-      .select(explode(Text.wordShingles(Text.tokens(col("text")), k)).as("sh"))
+      .select(toks.as("toks"))
+      .select(col("toks"), posexplode(col("toks")).as(Seq("pos", "t")))
+      .filter(col("pos") <= size(col("toks")) - k)
+      .select(concat_ws(" ", (0 until k).map(i =>
+        element_at(col("toks"), col("pos") + i + 1)): _*).as("sh"))
       .groupBy("sh").agg(count(lit(1)).as("cnt"))
     // every threshold's pair of conditional sums rides ONE aggregate over
     // the count table (not a |thresholds|-way fan-out join), then the

@@ -358,7 +358,11 @@ class PlanShapeSpec extends SparkSpec {
           (l.contains("term_a#") || l.contains("term_b#"))).toSeq
       assert(termBroadcasts.isEmpty,
         s"pmiBigrams forces a broadcast on a vocabulary-sized join:\n${termBroadcasts.mkString("\n")}")
-      assert(p.contains("zip_with"), "bigrams must form as a per-row array zip")
+      // bigrams must form as a narrow generator over the token array (the
+      // codegen posexplode+element_at pairing), never a positional self-join
+      // of the token stream — no extra join beyond the two vocabulary joins
+      assert(p.contains("Generate") && p.toLowerCase.contains("posexplode"),
+        s"bigrams must form as a posexplode generator:\n$p")
     } finally {
       conf.set("spark.sql.autoBroadcastJoinThreshold", oldBc)
       oldAqeBc match {
@@ -555,8 +559,8 @@ class PlanShapeSpec extends SparkSpec {
     // the bigram table outgrows even the Heaps-law unigram vocabulary — a
     // forced broadcast of it is the sourceDivergence scale-killer squared.
     // With auto-broadcast disabled, no BroadcastHashJoin may remain on the
-    // bg/w1-keyed joins. The bigram formation itself must be narrow
-    // (zip_with in the scan projection): no join keyed on a token position.
+    // bg/w1-keyed joins. The bigram formation itself must be narrow (a
+    // posexplode generator in the scan): no join keyed on a token position.
     val docs = Tables.table(spark, sf0001, "documents")
     val conf = spark.conf
     val oldBc = conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
@@ -570,8 +574,8 @@ class PlanShapeSpec extends SparkSpec {
           (l.contains("bg#") || l.contains("w1#"))).toSeq
       assert(forced.isEmpty,
         s"bigram tables must not be force-broadcast:\n${forced.mkString("\n")}")
-      assert(p.contains("zip_with"),
-        "bigram formation must be the narrow zip_with projection, not a positional join")
+      assert(p.contains("Generate") && p.toLowerCase.contains("posexplode"),
+        "bigram formation must be the narrow posexplode generator, not a positional join")
     } finally {
       conf.set("spark.sql.autoBroadcastJoinThreshold", oldBc)
       oldAqeBc match {
@@ -612,14 +616,22 @@ class PlanShapeSpec extends SparkSpec {
       .select(col("doc_id"),
         array_join(slice(graft.functions.Text.tokens(col("text")), 6, 21), " ").as("text"))
     val p = plan(graft.operators.Pipeline.trainingManifest(spark, docs, holdout))
-    // the decontaminated-survivor barrier severs the plan: everything
-    // upstream (quality gate, LSH dedup, span decontamination) already ran
-    // exactly once behind a localCheckpoint — the manifest plan reads its
-    // blocks, not the operator chain
+    // the id-set barriers sever the plan: quality gate, LSH dedup, span
+    // decontamination, and the survivor token counts already ran exactly
+    // once behind localCheckpoints — the manifest plan reads their blocks,
+    // not the operator chains
     assert(p.contains("ExistingRDD"),
-      s"manifest plan must start from the stage barrier, not re-derive upstream:\n$p")
+      s"manifest plan must start from the stage barriers, not re-derive upstream:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"pipeline tail planned a cartesian:\n$p")
+    // decide-with-ids discipline (round-13): the text-carrying corpus is
+    // scanned exactly ONCE in the manifest plan — the chunk pass over the
+    // budget survivors. A second text scan means a stage started deriving
+    // from the corpus instead of an id/metadata barrier.
+    val textScans = p.linesIterator
+      .filter(l => l.contains("FileScan parquet") && l.contains("text")).toSeq
+    assert(textScans.size == 1,
+      s"manifest plan must carry exactly one text scan, found ${textScans.size}:\n$p")
     // post-barrier exchanges: budget offsets agg + its per-source window,
     // the budget-selection joins, the pack shard repartition, the manifest
     // range sort — a BOUNDED set. A pile-up here means a stage started
