@@ -16,30 +16,38 @@ object TextAnalysis {
     * language; prediction = argmax (ties -> lexicographically first language,
     * no matches -> 'und' with score 0).
     */
-  def langId(spark: SparkSession, docs: DataFrame): DataFrame = {
-    import spark.implicits._
-    val prof = Text.stopwordProfiles
-      .flatMap { case (lang, ws) => ws.map(w => (lang, w)) }
-      .toDF("lang", "word")
-
-    val tok = docs.select(col("doc_id"), explode(Text.tokens(col("text"))).as("t"))
-    val scores = tok.join(broadcast(prof), col("t") === col("word"))
-      .groupBy("doc_id", "lang")
-      .agg(count(lit(1)).as("score"))
-    // argmax score with ties toward the lexicographically smallest language:
-    // min_by over (-score, lang) = highest score, then lang ascending.
-    val bestRanked = scores.groupBy("doc_id")
-      .agg(min_by(struct(col("lang"), col("score")), struct(-col("score"), col("lang"))).as("b"))
-      .select(col("doc_id"), col("b.lang").as("pred_lang"), col("b.score").as("score"))
-
+  def langId(spark: SparkSession, docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("lang").as("actual_lang"))
-      .join(bestRanked, Seq("doc_id"), "left")
+      .join(langPredictions(spark, docs), Seq("doc_id"), "left")
       .select(
         col("doc_id"),
         coalesce(col("pred_lang"), lit("und")).as("pred_lang"),
         coalesce(col("score"), lit(0L)).as("score"),
         col("actual_lang"))
       .orderBy("doc_id")
+
+  /** The prediction core of [[langId]]: (doc_id, pred_lang, score) for every
+    * doc with at least one profile hit — zero-hit docs are simply ABSENT
+    * (the public wrapper left-joins and coalesces them to 'und'/0). Exposed
+    * so [[qualityFilterApply]] can left-join predictions onto its own
+    * per-row signal frame instead of paying [[langId]]'s internal
+    * corpus-sized docs join a second time.
+    */
+  private[operators] def langPredictions(spark: SparkSession,
+                                         docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val prof = Text.stopwordProfiles
+      .flatMap { case (lang, ws) => ws.map(w => (lang, w)) }
+      .toDF("lang", "word")
+    val tok = docs.select(col("doc_id"), explode(Text.tokens(col("text"))).as("t"))
+    val scores = tok.join(broadcast(prof), col("t") === col("word"))
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("score"))
+    // argmax score with ties toward the lexicographically smallest language:
+    // min_by over (-score, lang) = highest score, then lang ascending.
+    scores.groupBy("doc_id")
+      .agg(min_by(struct(col("lang"), col("score")), struct(-col("score"), col("lang"))).as("b"))
+      .select(col("doc_id"), col("b.lang").as("pred_lang"), col("b.score").as("score"))
   }
 
   /** Language-ID CONFUSION matrix: declared label × [[langId]] prediction
@@ -69,7 +77,19 @@ object TextAnalysis {
     * ratio, alpha-character ratio, and a fixed composite score. All ratios
     * are exact integer divisions in double, rounded to 6 decimals.
     */
-  def qualityScore(docs: DataFrame): DataFrame = {
+  def qualityScore(docs: DataFrame): DataFrame =
+    qualityAugmented(docs)
+      .select("doc_id", "n_tokens", "mean_token_len", "stopword_ratio",
+        "alpha_ratio", "quality_score")
+      .orderBy("doc_id")
+
+  /** [[qualityScore]]'s per-row signal columns APPENDED to the input frame
+    * (no projection, no sort) — the fusable form: [[qualityFilterApply]]
+    * chains it onto the Gopher signals so one scan carries every per-row
+    * gate, instead of a doc_id-keyed join per metric (each such join is a
+    * corpus-sized exchange pair at scale).
+    */
+  private[operators] def qualityAugmented(docs: DataFrame): DataFrame = {
     val toks = Text.tokens(col("text"))
     val enStops = typedLit(Text.enStopwords)
     docs
@@ -81,24 +101,24 @@ object TextAnalysis {
         size(filter(col("toks"), t => array_contains(enStops, t))))
       .withColumn("n_alpha",
         length(regexp_replace(lower(col("text")), "[^a-z]", "")))
-      .select(
-        col("doc_id"),
-        col("n_tokens"),
+      .withColumn("mean_token_len",
         when(col("n_tokens") > 0,
           round(col("sum_len").cast("double") / col("n_tokens").cast("double"), 6))
-          .otherwise(lit(0.0)).as("mean_token_len"),
+          .otherwise(lit(0.0)))
+      .withColumn("stopword_ratio",
         when(col("n_tokens") > 0,
           round(col("n_stop").cast("double") / col("n_tokens").cast("double"), 6))
-          .otherwise(lit(0.0)).as("stopword_ratio"),
+          .otherwise(lit(0.0)))
+      .withColumn("alpha_ratio",
         when(col("n_chars") > 0,
           round(col("n_alpha").cast("double") / col("n_chars").cast("double"), 6))
-          .otherwise(lit(0.0)).as("alpha_ratio"),
-        // composite: reward length up to 200 tokens, penalize stopword excess
+          .otherwise(lit(0.0)))
+      // composite: reward length up to 200 tokens, penalize stopword excess
+      .withColumn("quality_score",
         when(col("n_tokens") > 0,
           round(least(col("n_tokens").cast("double") / 200.0, lit(1.0)) *
             (lit(1.0) - least(col("n_stop").cast("double") / col("n_tokens").cast("double"), lit(0.5))), 6))
-          .otherwise(lit(0.0)).as("quality_score"))
-      .orderBy("doc_id")
+          .otherwise(lit(0.0)))
   }
 
   /** Gopher-style document quality rules (line + word structure): word
@@ -109,6 +129,20 @@ object TextAnalysis {
     * the identical IEEE ops.
     */
   def gopherRules(docs: DataFrame,
+                  minWords: Int = 5, maxWords: Int = 100000,
+                  minMeanLen: Double = 2.0, maxMeanLen: Double = 12.0,
+                  maxBulletRatio: Double = 0.9, minAlphaRatio: Double = 0.6): DataFrame =
+    gopherAugmented(docs, minWords, maxWords, minMeanLen, maxMeanLen,
+        maxBulletRatio, minAlphaRatio)
+      .select("doc_id", "n_words", "mean_word_len", "alpha_ratio",
+        "bullet_ratio", "ellipsis_ratio", "quality_pass")
+      .orderBy("doc_id")
+
+  /** [[gopherRules]]' per-row signal columns APPENDED to the input frame
+    * (no projection, no sort) — see [[qualityAugmented]] for why the
+    * fusable form exists.
+    */
+  private[operators] def gopherAugmented(docs: DataFrame,
                   minWords: Int = 5, maxWords: Int = 100000,
                   minMeanLen: Double = 2.0, maxMeanLen: Double = 12.0,
                   maxBulletRatio: Double = 0.9, minAlphaRatio: Double = 0.6): DataFrame = {
@@ -132,14 +166,11 @@ object TextAnalysis {
         when(col("n_chars") > 0,
           round(col("n_alpha").cast("double") / col("n_chars").cast("double"), 6))
           .otherwise(lit(0.0)))
-      .select(
-        col("doc_id"), col("n_words"), col("mean_word_len"),
-        col("alpha_ratio"), col("bullet_ratio"), col("ellipsis_ratio"),
-        (col("n_words") >= minWords && col("n_words") <= maxWords &&
+      .withColumn("quality_pass",
+        col("n_words") >= minWords && col("n_words") <= maxWords &&
           col("mean_word_len") >= minMeanLen && col("mean_word_len") <= maxMeanLen &&
           col("bullet_ratio") <= maxBulletRatio &&
-          col("alpha_ratio") >= minAlphaRatio).as("quality_pass"))
-      .orderBy("doc_id")
+          col("alpha_ratio") >= minAlphaRatio)
   }
 
   /** End-to-end corpus QUALITY gate — the apply sibling of the metric
@@ -159,13 +190,30 @@ object TextAnalysis {
     */
   def qualityFilterApply(spark: SparkSession, docs: DataFrame,
                          minScore: Double = 0.2): DataFrame = {
-    val g = gopherRules(docs).select(col("doc_id"), col("quality_pass"))
-    val q = qualityScore(docs).select(col("doc_id"), col("quality_score"))
-    val l = langId(spark, docs).select(col("doc_id"), col("pred_lang"), col("actual_lang"))
-    docs.select("doc_id", "lang", "source", "n_chars")
-      .join(g, "doc_id").join(q, "doc_id").join(l, "doc_id")
-      .filter(col("quality_pass") && col("quality_score") >= minScore &&
-        (col("pred_lang") === lit("und") || col("pred_lang") === col("actual_lang")))
+    // FUSED (round 13): the Gopher rules and the composite score are pure
+    // per-row projections, so they ride ONE scan as appended columns and
+    // filter in place — the previous form computed each metric in its own
+    // subplan and equi-joined three corpus-sized frames on doc_id. Plan
+    // diff (plans/r13/corpus_quality_apply_{before,after}.txt): 5 joins →
+    // 2, 8 exchanges → 5 — one SortMergeJoin of two corpus-sized sides and
+    // two broadcast joins gone. Bench delta at sf0.1 is inside box noise
+    // (the removed joins carried narrow columns and AQE broadcast two of
+    // them at fixture size), but at corpus scale none of those sides
+    // broadcasts and each removed join is a full corpus exchange pair.
+    // Only the language-ID argmax genuinely aggregates, so only IT joins
+    // back — as the prediction core (absent row = zero profile hits =
+    // 'und', which the gate keeps, exactly the public langId coalesce
+    // semantics).
+    val keepCols = docs.columns.toSeq
+    val gated = qualityAugmented(
+        gopherAugmented(docs)
+          .select((keepCols :+ "quality_pass").map(col): _*)
+          .filter(col("quality_pass")))
+      .filter(col("quality_score") >= minScore)
+      .select("doc_id", "lang", "source", "n_chars")
+    gated
+      .join(langPredictions(spark, docs), Seq("doc_id"), "left")
+      .filter(col("pred_lang").isNull || col("pred_lang") === col("lang"))
       .select("doc_id", "lang", "source", "n_chars")
       .orderBy("doc_id")
   }
