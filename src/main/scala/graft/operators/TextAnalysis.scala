@@ -355,7 +355,16 @@ object TextAnalysis {
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .select(col("w"), col("cnt"),
         expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))").as("syms"))
-    types = types.localCheckpoint()
+    // LAZY localCheckpoints throughout the merge loop (round 13): each
+    // round's top-pair collect is the first action over the previous
+    // round's types, so the checkpoint materializes inside that same job —
+    // the eager form ran a separate materialization job per round (2 jobs ×
+    // nMerges of pure scheduling overhead on a vocab-sized table). Same-box
+    // A/B at sf0.1 (loaded box, anchors equal on both sides): vocab_bpe
+    // 1.91 → 1.60 s, vocab_bpe_encode 1.71 → 1.57, vocab_bpe_fertility
+    // 1.66 → 1.38 (min over runs). Lineage truncation is identical — only
+    // the materialization time moves.
+    types = types.localCheckpoint(false)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var r = 0
     var done = false
@@ -378,7 +387,7 @@ object TextAnalysis {
         types = types
           .select(col("w"), col("cnt"),
             split(bpeMergeFold(pa, pb), " ").as("syms"))
-          .localCheckpoint()
+          .localCheckpoint(false)
         r += 1
       }
     }
