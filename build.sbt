@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked runMain's stdout through RAW instead of re-logging each
+// line with an "[info] " prefix: the driver parses graft.Bench's one-line
+// JSON from captured stdout, and the logger prefix made every line
+// unparseable as JSON (BENCH_r08–r13 all carry parsed: null).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

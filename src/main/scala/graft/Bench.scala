@@ -100,6 +100,18 @@ object Bench {
     val total = results.collect { case (_, v, None) => v }.sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
     println(line)
+    // Tail-survivable per-query map (round-13 verdict task 1c): the driver's
+    // stdout capture keeps only a short tail and clips very long lines, so
+    // the single big line above has never survived to the driver's parser
+    // (BENCH_r08–r13 all carry parsed: null). Re-emit the map as SHORT
+    // fixed-size JSON chunk lines — each parses standalone — and keep the
+    // trailer as the LAST line printed.
+    val chunks = results.grouped(6).toSeq
+    chunks.zipWithIndex.foreach { case (grp, i) =>
+      val qsPart = grp.map { case (k, v, _) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      println(s"""{"metric":"times","part":${i + 1},"nparts":${chunks.size},"queries":$qsPart}""")
+    }
     println(trailerLine(total, results.size, failedJson, sfDir))
     // The driver's log capture clips long stdout lines, losing the head of
     // the per-query map (round-4 verdict: 29 of 94 timings unrecoverable
@@ -120,7 +132,11 @@ object Bench {
       .takeWhile(_ != null)
       .find(p => java.nio.file.Files.exists(p.resolve("build.sbt")))
       .getOrElse(java.nio.file.Paths.get("").toAbsolutePath)
-    if (args.isEmpty)
+    // Opt-in (round-13 verdict task 1b): the driver's own bench runs (full
+    // surface, different core count, loaded box) kept clobbering the
+    // committed idle min-of-3 artifact. Only a deliberate refresh with
+    // SPARK_GRAFT_WRITE_TIMES=1 persists; filtered runs never do.
+    if (args.isEmpty && sys.env.get("SPARK_GRAFT_WRITE_TIMES").contains("1"))
       java.nio.file.Files.writeString(repoRoot.resolve("BENCH_TIMES.json"), pretty)
     spark.stop()
     if (failures.nonEmpty) sys.exit(1)

@@ -20,6 +20,8 @@ import org.apache.spark.sql.SparkSession
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
+    require(args.length >= 4,
+      "usage: runMain graft.PlanDump <sfDir> <outDir> <tag> <query>[,query...]")
     val Array(sfDir, outDir, tag, names) = args.take(4)
     val cpus = Graft.defaultCpus
     val spark = SparkSession.builder()

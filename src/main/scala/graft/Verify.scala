@@ -21,7 +21,20 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    new java.io.File(s"$outDir/canonical").mkdirs()
+    // Canonical text dumps live in a SIBLING directory, not under outDir:
+    // the driver's oracle loop globs outDir subdirectories as per-query
+    // parquet outputs, and a canonical/ subdir inside it produced a phantom
+    // "canonical" error row in CORRECTNESS_r13 (round-13 verdict task 1a).
+    val canonicalDir = s"${outDir.stripSuffix("/")}_canonical"
+    new java.io.File(canonicalDir).mkdirs()
+    // A reused outDir may still hold the round-13 in-outDir canonical/ dir;
+    // remove it so the driver's glob can't resurrect the phantom row.
+    val legacy = new java.io.File(s"$outDir/canonical")
+    if (legacy.isDirectory) {
+      Option(legacy.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".txt")).foreach(_.delete())
+      legacy.delete()
+    }
     // Diagnosability (round-13, VERDICT task 1a): alongside each parquet
     // dump, write a canonical text rendering — columns sorted by name,
     // rows sorted lexicographically, one TAB-joined line per row — plus
@@ -57,7 +70,7 @@ object Verify {
           .map(r => cols.indices.map(i => cell(r.get(i))))
           .sortBy(_.mkString(""))
         val body = rows.map(_.mkString("\t")).mkString("\n")
-        Files.writeString(Paths.get(s"$outDir/canonical/$name.txt"),
+        Files.writeString(Paths.get(s"$canonicalDir/$name.txt"),
           cols.mkString("\t") + "\n" + body + "\n")
         hashLines += s"$name\tALL\t${rows.length}\t${sha(body)}"
         cols.indices.foreach { i =>
