@@ -52,6 +52,29 @@ object ExtensionQueries {
           k = 3, numPerm = 64, bands = 16, threshold = 0.5), None))
   }
 
+  /** Session-shared string-verified substring matched-quadruple surface at
+    * the canonical parameters (13-grams, df cap 50) — the same
+    * build-once/serve-many shape as [[sharedLshPairs]], sanctioned by the
+    * round-13 verdict (task 2), for the two substring-family consumers
+    * (dedup_exact_substring, dedup_substring_trim): ~70 % of either query
+    * is the positional md5 index build + exact-string verify that produces
+    * exactly this set. Keyed by (applicationId, fixture dir, fixture
+    * fingerprint), so a new session or a regenerated fixture can never
+    * serve stale matches; the value is an eager localCheckpoint barrier of
+    * the (doc_a, doc_b, pa, pb) rows — bounded by the corpus's verbatim-dup
+    * mass, id/position-sized, held for session lifetime.
+    */
+  private val substringMatchedCache =
+    new scala.collection.concurrent.TrieMap[String, DataFrame]()
+  private def sharedSubstringMatches(s: SparkSession, dir: String): DataFrame = {
+    val fp = java.lang.Long.toHexString(
+      treeFingerprint(new java.io.File(s"$dir/documents.parquet")))
+    val key = s"${s.sparkContext.applicationId}|$dir|$fp|n13df50"
+    substringMatchedCache.getOrElseUpdate(key,
+      Dedup.substringMatchedQuads(docs(s, dir), "doc_id", "text",
+        n = 13, maxDf = 50))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, dir) =>
       Dedup.exactCanonical(docs(s, dir), "doc_id", "text")),
@@ -128,14 +151,19 @@ object ExtensionQueries {
         .orderBy("doc_id")
     },
     "dedup_exact_substring" -> ((s, dir) =>
-      Dedup.exactSubstringPairs(docs(s, dir), "doc_id", "text", n = 13, maxDf = 50)),
+      // matched-quadruple surface session-shared with dedup_substring_trim
+      // (same n/maxDf/hash — the common core of both operators)
+      Dedup.exactSubstringPairs(docs(s, dir), "doc_id", "text", n = 13, maxDf = 50,
+        matched = Some(sharedSubstringMatches(s, dir)))),
     "dedup_substring_trim" -> ((s, dir) =>
       // Lee-et-al span REWRITE: every string-verified verbatim run of >= 20
       // tokens shared with a lower-id doc is CUT from the higher-id copy;
       // text is rebuilt from the surviving tokens (untrimmed docs pass
-      // through the same tokenize-rejoin normalization)
+      // through the same tokenize-rejoin normalization); matched surface
+      // session-shared with dedup_exact_substring
       Dedup.substringTrimApply(docs(s, dir), "doc_id", "text",
-        n = 13, minSpan = 20, maxDf = 50)),
+        n = 13, minSpan = 20, maxDf = 50,
+        matchedOpt = Some(sharedSubstringMatches(s, dir)))),
     "decontaminate_semantic" -> { (s, dir) =>
       import org.apache.spark.sql.functions._
       // embedding-space contamination: every 41st vector reappears as a

@@ -363,67 +363,86 @@ object Dedup {
     * the remnant docs only (hash candidates in, string-equal matches out) —
     * the full-corpus index still ships fixed-width longs.
     */
+  /** The STRING-VERIFIED matched quadruples (doc_a, doc_b, pa, pb) of
+    * [[verifiedSubstringMatches]], built behind the operator's standard
+    * persist bracket and (in materialize mode) returned as an EAGER barrier.
+    *
+    * This is the shareable core of [[exactSubstringPairs]] and
+    * [[substringTrimApply]]: both consume exactly this set (same n, maxDf,
+    * hash), and ~70 % of either query's cost is the positional-index build
+    * + verify that produces it — so a session running both builds it once
+    * (the `sharedLshPairs` build-once/serve-many shape; round-13 verdict
+    * task 2) and each query's own plan starts from the matched barrier.
+    *
+    * Persist bracket rationale (round 7): the positional index feeds the
+    * df-cap pass AND both self-join sides — without the persist,
+    * tokenize+md5 runs three times. Everything downstream derives from the
+    * matched barrier alone, so the index unpersists as soon as the barrier
+    * materializes. (Measured: dropping the count job is a wash — AQE
+    * materializes the downstream exchanges concurrently and the racing
+    * stages re-tokenize into the cache, costing what the job saved.)
+    */
+  def substringMatchedQuads(df: DataFrame, idCol: String, textCol: String,
+                            n: Int = 13, maxDf: Int = 50,
+                            hashFn: Column => Column = Hashing.hash60,
+                            materialize: Boolean = true,
+                            checkpointDir: Option[String] = None): DataFrame =
+    if (!materialize)
+      verifiedSubstringMatches(df,
+        shingleHashesPositional(df, idCol, textCol, n, hashFn),
+        idCol, textCol, n, maxDf)
+    else {
+      val pos = shingleHashesPositional(df, idCol, textCol, n, hashFn).persist()
+      pos.count() // barrier: df-cap pass + both self-join sides share it
+      // safe to unpersist BEFORE the caller's action: the barrier is eager
+      // and the returned frame reads only its blocks
+      try Materialize.barrier(
+        verifiedSubstringMatches(df, pos, idCol, textCol, n, maxDf),
+        checkpointDir)
+      finally pos.unpersist(blocking = false)
+    }
+
   def exactSubstringPairs(df: DataFrame, idCol: String, textCol: String,
                           n: Int = 13, maxDf: Int = 50,
                           hashFn: Column => Column = Hashing.hash60,
                           materialize: Boolean = true,
-                          checkpointDir: Option[String] = None): DataFrame = {
-    // persist bracket: the positional index feeds the df-cap pass AND both
-    // self-join sides — without it tokenize+md5 runs three times. This is
-    // NOT the withShingleIndex bracket: that one barriers the built RESULT
-    // before unpersisting the index (its callers return plans that still
-    // read the index), but here everything downstream of `matched` derives
-    // from the matched barrier alone, so a result barrier would be a third
-    // materialization job for nothing — the heaviest constant cost in the
-    // round-7 bench profile of this operator.
-    def run(pos: DataFrame): DataFrame = {
-      val matched0 = verifiedSubstringMatches(df, pos, idCol, textCol, n, maxDf)
-      // materialized once: feeds the span aggregation AND the distinct
-      // a-position count
-      val matched =
-        if (materialize) Materialize.barrier(matched0, checkpointDir) else matched0
-      // gaps-and-islands along each (pa - pb) diagonal, fused to ONE
-      // exchange: repartition on the output key (doc_a, doc_b) up front —
-      // every window below needs only clustering that hash(doc_a, doc_b)
-      // already satisfies (their partition keys extend it), so they add
-      // local sorts, never exchanges, and the final groupBy aggregates in
-      // place. The round-7 shape (runs/spans/hits branches + a join)
-      // carried four exchanges over the same tiny matched set.
-      val w1 = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
-      val base = matched.withColumn("diag", col("pa") - col("pb"))
-        .repartition(col("doc_a"), col("doc_b"))
-        .withColumn("grp", col("pa") - row_number().over(w1))
-      val wg = Window.partitionBy("doc_a", "doc_b", "diag", "grp")
-      // indicator columns instead of countDistinct: first-row-of-run and
-      // first-occurrence-of-pa flags summed per pair — same results, no
-      // Expand duplication for multi-distinct aggregation
-      base
-        .withColumn("run", count(lit(1)).over(wg))
-        .withColumn("first_in_run",
-          when(row_number().over(wg.orderBy("pa")) === 1, 1L).otherwise(0L))
-        .withColumn("first_pa",
-          when(row_number().over(
-            Window.partitionBy("doc_a", "doc_b", "pa").orderBy("pb")) === 1, 1L)
-            .otherwise(0L))
-        .groupBy(col("doc_a"), col("doc_b"))
-        .agg(
-          sum(col("first_pa")).as("n_shared_ngrams"),
-          sum(col("first_in_run")).as("n_spans"),
-          (max(col("run")) + lit(n - 1).cast("long")).as("longest_span"))
-    }
-    val out =
-      if (!materialize) run(shingleHashesPositional(df, idCol, textCol, n, hashFn))
-      else {
-        val pos = shingleHashesPositional(df, idCol, textCol, n, hashFn).persist()
-        pos.count() // barrier: df-cap pass + both self-join sides share it
-        // (measured: dropping this count job is a wash — AQE materializes
-        // the downstream exchanges concurrently and the racing stages
-        // re-tokenize into the cache, costing what the job saved)
-        // safe to unpersist BEFORE the caller's action: `run` barriered
-        // `matched`, and the returned plan reads only that
-        try run(pos) finally pos.unpersist(blocking = false)
-      }
-    out.orderBy("doc_a", "doc_b")
+                          checkpointDir: Option[String] = None,
+                          matched: Option[DataFrame] = None): DataFrame = {
+    // `matched` injects a PRECOMPUTED (already materialized) quadruple
+    // surface from [[substringMatchedQuads]] — the session-shared serve
+    // path; when absent the operator builds its own.
+    val matchedDf = matched.getOrElse(
+      substringMatchedQuads(df, idCol, textCol, n, maxDf, hashFn,
+        materialize, checkpointDir))
+    // gaps-and-islands along each (pa - pb) diagonal, fused to ONE
+    // exchange: repartition on the output key (doc_a, doc_b) up front —
+    // every window below needs only clustering that hash(doc_a, doc_b)
+    // already satisfies (their partition keys extend it), so they add
+    // local sorts, never exchanges, and the final groupBy aggregates in
+    // place. The round-7 shape (runs/spans/hits branches + a join)
+    // carried four exchanges over the same tiny matched set.
+    val w1 = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    val base = matchedDf.withColumn("diag", col("pa") - col("pb"))
+      .repartition(col("doc_a"), col("doc_b"))
+      .withColumn("grp", col("pa") - row_number().over(w1))
+    val wg = Window.partitionBy("doc_a", "doc_b", "diag", "grp")
+    // indicator columns instead of countDistinct: first-row-of-run and
+    // first-occurrence-of-pa flags summed per pair — same results, no
+    // Expand duplication for multi-distinct aggregation
+    base
+      .withColumn("run", count(lit(1)).over(wg))
+      .withColumn("first_in_run",
+        when(row_number().over(wg.orderBy("pa")) === 1, 1L).otherwise(0L))
+      .withColumn("first_pa",
+        when(row_number().over(
+          Window.partitionBy("doc_a", "doc_b", "pa").orderBy("pb")) === 1, 1L)
+          .otherwise(0L))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(
+        sum(col("first_pa")).as("n_shared_ngrams"),
+        sum(col("first_in_run")).as("n_spans"),
+        (max(col("run")) + lit(n - 1).cast("long")).as("longest_span"))
+      .orderBy("doc_a", "doc_b")
   }
 
   /** STRING-VERIFIED shared-n-gram position quadruples — the common core of
@@ -507,11 +526,15 @@ object Dedup {
                          n: Int = 13, minSpan: Int = 20, maxDf: Int = 50,
                          hashFn: Column => Column = Hashing.hash60,
                          materialize: Boolean = true,
-                         checkpointDir: Option[String] = None): DataFrame = {
-    def run(pos: DataFrame): DataFrame = {
-      val matched0 = verifiedSubstringMatches(df, pos, idCol, textCol, n, maxDf)
-      val matched =
-        if (materialize) Materialize.barrier(matched0, checkpointDir) else matched0
+                         checkpointDir: Option[String] = None,
+                         matchedOpt: Option[DataFrame] = None): DataFrame = {
+    // `matchedOpt` injects the session-shared [[substringMatchedQuads]]
+    // surface (already materialized); when absent the operator builds its
+    // own behind the standard persist bracket.
+    val matched = matchedOpt.getOrElse(
+      substringMatchedQuads(df, idCol, textCol, n, maxDf, hashFn,
+        materialize, checkpointDir))
+    locally {
       // islands over pb per (doc_b, doc_a, diag): same lockstep-diagonal
       // stitching as exactSubstringPairs, but anchored on the HIGHER-id side
       // whose positions get cut. repartition on doc_b up front — the window
@@ -566,12 +589,6 @@ object Dedup {
             size(col("__toks")).cast("long") - coalesce(col("__n_kept"), lit(0L)))
             .otherwise(lit(0L)).as("n_removed"))
         .orderBy("doc_id")
-    }
-    if (!materialize) run(shingleHashesPositional(df, idCol, textCol, n, hashFn))
-    else {
-      val pos = shingleHashesPositional(df, idCol, textCol, n, hashFn).persist()
-      pos.count() // barrier: df-cap pass + both self-join sides share it
-      try run(pos) finally pos.unpersist(blocking = false)
     }
   }
 

@@ -57,6 +57,26 @@ class ReliableCheckpointSpec extends SparkSpec {
       "reliable mode wrote no barrier files — it silently used localCheckpoint")
   }
 
+  test("substring family: injected shared matched surface matches self-built") {
+    // the session-shared build-once/serve-many path (round-14): both
+    // consumers fed the SAME precomputed quadruple barrier must reproduce
+    // their self-built results exactly
+    val quads = Dedup.substringMatchedQuads(docs, "doc_id", "text",
+      n = 13, maxDf = 50)
+    val pairsSelf = rows(Dedup.exactSubstringPairs(docs, "doc_id", "text", n = 13))
+    val pairsInj = rows(Dedup.exactSubstringPairs(docs, "doc_id", "text", n = 13,
+      matched = Some(quads)))
+    assert(pairsInj == pairsSelf)
+    assert(pairsSelf.nonEmpty, "fixture produced no pairs — the equality is vacuous")
+    val trimSelf = rows(Dedup.substringTrimApply(docs, "doc_id", "text",
+      n = 13, minSpan = 20))
+    val trimInj = rows(Dedup.substringTrimApply(docs, "doc_id", "text",
+      n = 13, minSpan = 20, matchedOpt = Some(quads)))
+    assert(trimInj == trimSelf)
+    assert(trimSelf.exists(!_.endsWith("|0")),
+      "fixture produced no trimmed docs — the equality is vacuous")
+  }
+
   test("fuzzy contamination: reliable mode matches default") {
     val holdout = docs.filter("doc_id % 40 = 0")
     val dir = ckptDir("fuzzy")
