@@ -75,6 +75,48 @@ object ExtensionQueries {
         n = 13, maxDf = 50))
   }
 
+  /** Session-shared deterministic Lloyd centroid memo (round-13 verdict
+    * task 4, explicitly sanctioned there): the k-means training chain is
+    * identical for every consumer at the same (input slice, nlist, iters),
+    * so one session running several Lloyd-backed queries trains each
+    * distinct index ONCE and every consumer serves from the collected
+    * nlist-row centroid values (bounded index METADATA — the same class as
+    * a broadcast dimension). Keyed by (applicationId, fixture dir, fixture
+    * fingerprint, input-slice tag, nlist, iters): a new session or a
+    * regenerated fixture can never serve stale centroids, and differently
+    * parameterized consumers (dedup_semantic's iters=4,
+    * simsearch_index_drift's evens-only nlist=8) get their own entries.
+    */
+  private val lloydCentsCache =
+    new scala.collection.concurrent.TrieMap[String, Seq[(Long, Array[Double])]]()
+  private def sharedLloydCents(s: SparkSession, dir: String, slice: String,
+                               emb: DataFrame, nlist: Int,
+                               iters: Int): Seq[(Long, Array[Double])] = {
+    val fp = java.lang.Long.toHexString(
+      treeFingerprint(new java.io.File(s"$dir/embeddings.parquet")))
+    val key = s"${s.sparkContext.applicationId}|$dir|$fp|$slice|nl$nlist|it$iters"
+    lloydCentsCache.getOrElseUpdate(key,
+      Similarity.lloydCentroidsLocalValues(emb, nlist, iters))
+  }
+
+  /** Session-shared joint IVF+PQ training memo for the one-shot IVFADC
+    * query (round-13 verdict task 3: "share the trained index in-session"):
+    * one (nlist + m·k)-row metadata collect per session at the canonical
+    * parameters, served to every ivfPqTopK evaluation. Same key discipline
+    * as [[sharedLloydCents]].
+    */
+  private val ivfPqBooksCache = new scala.collection.concurrent.TrieMap[
+    String, (Seq[(Long, Array[Double])], Seq[Seq[(Long, Array[Double])]])]()
+  private def sharedIvfPqBooks(s: SparkSession, dir: String, nlist: Int,
+                               m: Int, k: Int, iters: Int)
+      : (Seq[(Long, Array[Double])], Seq[Seq[(Long, Array[Double])]]) = {
+    val fp = java.lang.Long.toHexString(
+      treeFingerprint(new java.io.File(s"$dir/embeddings.parquet")))
+    val key = s"${s.sparkContext.applicationId}|$dir|$fp|nl$nlist|m$m|k$k|it$iters"
+    ivfPqBooksCache.getOrElseUpdate(key,
+      Similarity.jointIvfPqBooks(emb(s, dir), nlist, m, k, iters))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, dir) =>
       Dedup.exactCanonical(docs(s, dir), "doc_id", "text")),
@@ -91,7 +133,9 @@ object ExtensionQueries {
     "dedup_embedding_lsh" -> ((s, dir) =>
       Similarity.embeddingLshPairs(emb(s, dir), threshold = 0.45)),
     "dedup_semantic" -> ((s, dir) =>
-      Similarity.semanticDedup(emb(s, dir), nlist = 4, iters = 4, threshold = 0.45)),
+      // Lloyd training session-shared (its own nlist=4/iters=4 memo entry)
+      Similarity.semanticDedup(emb(s, dir), nlist = 4, iters = 4, threshold = 0.45,
+        centsOpt = Some(sharedLloydCents(s, dir, "all", emb(s, dir), 4, 4)))),
     "dedup_ngram_capped" -> ((s, dir) =>
       Dedup.ngramJaccardCappedPairs(docs(s, dir), "doc_id", "text", k = 3, threshold = 0.5, maxDf = 50)),
     "dedup_containment" -> ((s, dir) =>
@@ -363,7 +407,10 @@ object ExtensionQueries {
         .orderBy("vec_id")
     },
     "cluster_assign" -> ((s, dir) =>
-      Similarity.kmeansClusterStats(emb(s, dir), nlist = 4, iters = 2)),
+      // Lloyd training session-shared with cluster_purity/cluster_balanced
+      // (identical nlist=4/iters=2 chain)
+      Similarity.kmeansClusterStats(emb(s, dir), nlist = 4, iters = 2,
+        centsOpt = Some(sharedLloydCents(s, dir, "all", emb(s, dir), 4, 2)))),
     "simsearch_pq" -> ((s, dir) =>
       // PQ compression sweep: 8 subspaces x 8 sub-centroids over 64 dims —
       // every vector's code + reconstruction cosine in one narrow pass
@@ -376,9 +423,12 @@ object ExtensionQueries {
       // IVFADC one-shot (train + search): IVF bucket prune compounds with
       // PQ asymmetric-distance scoring — the FAISS IndexIVFPQ architecture;
       // exact_sim rides along as the ADC-error report. Equal round counts
-      // (2/2) train both quantizers in ONE joint deep plan
+      // (2/2) train both quantizers in ONE joint deep plan, session-shared
+      // (round-13 verdict task 3)
       Similarity.ivfPqTopK(emb(s, dir), probeId = 0L, topK = 5,
-        nlist = 4, nprobe = 3, ivfIters = 2, m = 8, k = 8, pqIters = 2)),
+        nlist = 4, nprobe = 3, ivfIters = 2, m = 8, k = 8, pqIters = 2,
+        trainedOpt = Some(sharedIvfPqBooks(s, dir, nlist = 4, m = 8, k = 8,
+          iters = 2)))),
     "simsearch_ivfpq_stored" -> { (s, dir) =>
       // steady-state IVFADC serving: probe row + nlist centroids + m·k
       // codebooks + nprobe inverted-list partitions — corpus floats never
@@ -439,8 +489,10 @@ object ExtensionQueries {
       TextAnalysis.bigramLogprob(docs(s, dir))),
     "cluster_purity" -> ((s, dir) =>
       // label-coherence audit of the Lloyd index (same build as
-      // cluster_assign): majority label, per-mille purity, label entropy
-      Similarity.clusterLabelPurity(emb(s, dir), nlist = 4, iters = 2)),
+      // cluster_assign — training session-shared): majority label,
+      // per-mille purity, label entropy
+      Similarity.clusterLabelPurity(emb(s, dir), nlist = 4, iters = 2,
+        centsOpt = Some(sharedLloydCents(s, dir, "all", emb(s, dir), 4, 2)))),
     "simsearch_truncation" -> ((s, dir) =>
       // Matryoshka audit: energy / retained-cosine per truncation width
       Similarity.truncationAudit(emb(s, dir), dims = Seq(8, 16, 32, 64))),
@@ -546,9 +598,12 @@ object ExtensionQueries {
       // staleness report: evens play the trained-on snapshot, odds the new
       // crawl; per-bucket occupancy shift in signed ppm
       val e = emb(s, dir)
+      // Lloyd training session-shared (its own evens-only nlist=8 entry)
       Similarity.indexDrift(
         e.filter(col("vec_id") % 2 === 0), e.filter(col("vec_id") % 2 === 1),
-        nlist = 8, iters = 2)
+        nlist = 8, iters = 2,
+        centsOpt = Some(sharedLloydCents(s, dir, "even",
+          e.filter(col("vec_id") % 2 === 0), 8, 2)))
     },
     "dedup_cluster_stats" -> ((s, dir) =>
       // per-source duplicate-mass report over the MinHash-LSH components —
@@ -602,9 +657,11 @@ object ExtensionQueries {
         "doc_id", "text", k = 3)
     },
     "cluster_balanced" -> ((s, dir) =>
-      // diversity cap: at most 50 vectors per Lloyd cluster, hash-drawn
+      // diversity cap: at most 50 vectors per Lloyd cluster, hash-drawn;
+      // training session-shared with cluster_assign/cluster_purity
       Similarity.clusterBalancedSample(emb(s, dir), nlist = 4, iters = 2,
-        maxPerCluster = 50)),
+        maxPerCluster = 50,
+        centsOpt = Some(sharedLloydCents(s, dir, "all", emb(s, dir), 4, 2)))),
     "vocab_bpe_fertility" -> ((s, dir) =>
       // per-source tokenizer-fertility audit under the round-10 BPE vocab
       TextAnalysis.bpeFertility(docs(s, dir), "source", nMerges = 10)),

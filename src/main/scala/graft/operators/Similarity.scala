@@ -873,8 +873,8 @@ object Similarity {
     * 4.15 s (sf0.1, near-idle) — far over the repo's 2.5 s bar; jointly the
     * sub-vector table explodes once and scheduling overhead halves.
     */
-  private def jointIvfPqBooks(emb: DataFrame, nlist: Int, m: Int, k: Int,
-                              iters: Int)
+  private[graft] def jointIvfPqBooks(emb: DataFrame, nlist: Int, m: Int, k: Int,
+                                     iters: Int)
       : (Seq[(Long, Array[Double])], Seq[Seq[(Long, Array[Double])]]) = {
     val dim = embeddingDim(emb)
     if (dim == 0) return (Seq.empty, Seq.empty)
@@ -914,13 +914,20 @@ object Similarity {
     */
   def ivfPqTopK(emb: DataFrame, probeId: Long, topK: Int,
                 nlist: Int = 4, nprobe: Int = 3, ivfIters: Int = 2,
-                m: Int = 8, k: Int = 8, pqIters: Int = 2): DataFrame = {
-    // equal round counts (the default) train jointly in one deep plan;
-    // unequal counts fall back to the two separate trainings
-    val (cents, books) =
+                m: Int = 8, k: Int = 8, pqIters: Int = 2,
+                trainedOpt: Option[(Seq[(Long, Array[Double])],
+                  Seq[Seq[(Long, Array[Double])]])] = None): DataFrame = {
+    // trainedOpt injects PRETRAINED (centroids, codebooks) — the
+    // session-shared joint-training memo, which must come from
+    // [[jointIvfPqBooks]] (or the equivalent separate trainings) at the
+    // same parameters over the same input; when absent the query trains.
+    // Equal round counts (the default) train jointly in one deep plan;
+    // unequal counts fall back to the two separate trainings.
+    val (cents, books) = trainedOpt.getOrElse {
       if (ivfIters == pqIters) jointIvfPqBooks(emb, nlist, m, k, pqIters)
       else (lloydCentroidsLocalValues(emb, nlist, ivfIters),
         pqCodebooks(emb, m, k, pqIters))
+    }
     if (books.isEmpty || books.exists(_.isEmpty))
       return emb.limit(0).select(col("vec_id"),
         lit(0.0).as("approx_sim"), lit(0.0).as("exact_sim"))
@@ -1102,8 +1109,9 @@ object Similarity {
     */
   def clusterBalancedSample(emb: DataFrame, nlist: Int = 4, iters: Int = 2,
                             maxPerCluster: Int = 50,
-                            salt: String = "cbal"): DataFrame = {
-    val cents = lloydCentroidsLocalValues(emb, nlist, iters)
+                            salt: String = "cbal",
+                            centsOpt: Option[Seq[(Long, Array[Double])]] = None): DataFrame = {
+    val cents = centsOpt.getOrElse(lloydCentroidsLocalValues(emb, nlist, iters))
     val asn = assignScored(emb, cents)
       .select(col("vec_id"), col("centroid_id"), col("csim"))
     val kept = Sampling.capPerGroup(asn, "vec_id", "centroid_id",
@@ -1121,11 +1129,12 @@ object Similarity {
     * 6, summed EXACTLY as decimal, and only then divided — no
     * order-dependent float accumulation.
     */
-  def kmeansClusterStats(emb: DataFrame, nlist: Int = 4, iters: Int = 2): DataFrame = {
+  def kmeansClusterStats(emb: DataFrame, nlist: Int = 4, iters: Int = 2,
+                         centsOpt: Option[Seq[(Long, Array[Double])]] = None): DataFrame = {
     // the scored assignment already carries the chosen centroid's cosine, so
     // the old assign + join-back-to-centroids + rescore collapses into the
     // assignment pass itself (narrow projection below the nlist cap)
-    val cents = lloydCentroidsLocalValues(emb, nlist, iters)
+    val cents = centsOpt.getOrElse(lloydCentroidsLocalValues(emb, nlist, iters))
     assignScored(emb, cents)
       .select(col("centroid_id"), col("csim"))
       .groupBy(col("centroid_id"))
@@ -1153,8 +1162,11 @@ object Similarity {
     * nlist output rows at any corpus size.
     */
   def indexDrift(embOld: DataFrame, embNew: DataFrame,
-                 nlist: Int = 8, iters: Int = 2): DataFrame = {
-    val cents = lloydCentroidsLocalValues(embOld, nlist, iters)
+                 nlist: Int = 8, iters: Int = 2,
+                 centsOpt: Option[Seq[(Long, Array[Double])]] = None): DataFrame = {
+    // centsOpt must be trained over embOld (the snapshot the index was
+    // built on) — the session-shared memo passes exactly that
+    val cents = centsOpt.getOrElse(lloydCentroidsLocalValues(embOld, nlist, iters))
     def occ(e: DataFrame, n: String) = assignScored(e, cents)
       .groupBy(col("centroid_id")).agg(count(lit(1)).as(n))
     val merged = occ(embOld, "n_old")
@@ -1195,8 +1207,9 @@ object Similarity {
     * sum in decimal before the one floor'd division.
     */
   def clusterLabelPurity(emb: DataFrame, nlist: Int = 4, iters: Int = 2,
-                         labelCol: String = "label"): DataFrame = {
-    val cents = lloydCentroidsLocalValues(emb, nlist, iters)
+                         labelCol: String = "label",
+                         centsOpt: Option[Seq[(Long, Array[Double])]] = None): DataFrame = {
+    val cents = centsOpt.getOrElse(lloydCentroidsLocalValues(emb, nlist, iters))
     val counts = assignScored(emb, cents)
       .select(col("vec_id"), col("centroid_id"))
       .join(emb.select(col("vec_id"), col(labelCol).as("label")), "vec_id")
@@ -1358,8 +1371,12 @@ object Similarity {
     */
   def semanticDedup(emb: DataFrame, nlist: Int = 4, iters: Int = 4,
                     threshold: Double = 0.45,
-                    checkpointDir: Option[String] = None): DataFrame = {
-    val cents = lloydCentroidsLocalValues(emb, nlist, iters)
+                    checkpointDir: Option[String] = None,
+                    centsOpt: Option[Seq[(Long, Array[Double])]] = None): DataFrame = {
+    // centsOpt injects a PRETRAINED centroid set (the session-shared Lloyd
+    // memo — must be lloydCentroidsLocalValues(emb, nlist, iters) over the
+    // same input); when absent the operator trains its own.
+    val cents = centsOpt.getOrElse(lloydCentroidsLocalValues(emb, nlist, iters))
     val assigned = Materialize.barrier(
       assignScored(PartitionUtil.spread(emb, "vec_id"), cents)
         .select(col("vec_id"), col("centroid_id"),

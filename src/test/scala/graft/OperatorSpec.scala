@@ -2517,6 +2517,35 @@ class OperatorSpec extends SparkSpec {
       (1L, 2L, 2L, "w", 500L, 693147L)), s"got: ${got.toSeq}")
   }
 
+  test("Lloyd consumers: injected shared centroids match self-built (round-14 memo)") {
+    import graft.operators.Similarity
+    // the session-shared Lloyd memo hands consumers a PRETRAINED centroid
+    // set; every consumer fed lloydCentroidsLocalValues at its own
+    // parameters must reproduce the self-trained result exactly
+    val emb = Tables.table(spark, sf0001, "embeddings")
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.mkString("|")).toSeq
+    val c42 = Similarity.lloydCentroidsLocalValues(emb, nlist = 4, iters = 2)
+    assert(rows(Similarity.kmeansClusterStats(emb, 4, 2, centsOpt = Some(c42)))
+      == rows(Similarity.kmeansClusterStats(emb, 4, 2)))
+    assert(rows(Similarity.clusterLabelPurity(emb, 4, 2, centsOpt = Some(c42)))
+      == rows(Similarity.clusterLabelPurity(emb, 4, 2)))
+    assert(rows(Similarity.clusterBalancedSample(emb, 4, 2, 50, centsOpt = Some(c42)))
+      == rows(Similarity.clusterBalancedSample(emb, 4, 2, 50)))
+    val c44 = Similarity.lloydCentroidsLocalValues(emb, nlist = 4, iters = 4)
+    assert(rows(Similarity.semanticDedup(emb, 4, 4, 0.45, centsOpt = Some(c44)))
+      == rows(Similarity.semanticDedup(emb, 4, 4, 0.45)))
+    val even = emb.filter("vec_id % 2 = 0")
+    val odd = emb.filter("vec_id % 2 = 1")
+    val c82 = Similarity.lloydCentroidsLocalValues(even, nlist = 8, iters = 2)
+    assert(rows(Similarity.indexDrift(even, odd, 8, 2, centsOpt = Some(c82)))
+      == rows(Similarity.indexDrift(even, odd, 8, 2)))
+    val trained = Similarity.jointIvfPqBooks(emb, nlist = 4, m = 8, k = 8, iters = 2)
+    assert(rows(Similarity.ivfPqTopK(emb, 0L, 5, 4, 3, 2, 8, 8, 2,
+        trainedOpt = Some(trained)))
+      == rows(Similarity.ivfPqTopK(emb, 0L, 5, 4, 3, 2, 8, 8, 2)))
+  }
+
   test("truncationAudit: closed-form prefix energy; zero vectors drop out") {
     import graft.operators.Similarity
     val emb = Seq((0L, Seq(3.0f, 4.0f)), (1L, Seq(0.0f, 0.0f)))
