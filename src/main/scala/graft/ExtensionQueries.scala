@@ -75,6 +75,34 @@ object ExtensionQueries {
         n = 13, maxDf = 50))
   }
 
+  /** Session-shared exact-substring contamination REPORT at the canonical
+    * fixture parameters (raw corpus vs the doc_id%97 quoting holdout,
+    * n=13) — the common core of decontaminate_exact (the report itself),
+    * decontaminate_apply (span ≥ 20 flags anti-joined out), and
+    * pipeline_e2e's S3 flags: one session builds the verbatim-span
+    * geometry once and every consumer serves from the barrier (bounded by
+    * the contaminated-doc count — tiny by construction). Same key
+    * discipline as [[sharedLshPairs]].
+    */
+  private val contaminationCache =
+    new scala.collection.concurrent.TrieMap[String, DataFrame]()
+  private def sharedContamination(s: SparkSession, dir: String): DataFrame = {
+    val fp = java.lang.Long.toHexString(
+      treeFingerprint(new java.io.File(s"$dir/documents.parquet")))
+    val key = s"${s.sparkContext.applicationId}|$dir|$fp|contam_n13_mod97"
+    contaminationCache.getOrElseUpdate(key, {
+      import org.apache.spark.sql.functions._
+      val d = docs(s, dir)
+      val holdout = d.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id"),
+          array_join(slice(graft.functions.Text.tokens(col("text")), 6, 21), " ")
+            .as("text"))
+      operators.Materialize.barrier(
+        Dedup.exactSubstringContamination(d, holdout, "doc_id", "text", n = 13),
+        None)
+    })
+  }
+
   /** Session-shared deterministic Lloyd centroid memo (round-13 verdict
     * task 4, explicitly sanctioned there): the k-means training chain is
     * identical for every consumer at the same (input slice, nlist, iters),
@@ -266,11 +294,9 @@ object ExtensionQueries {
       // mode): every 97th doc contributes a 21-token excerpt (tokens 6-26)
       // as a holdout item, so those training docs verifiably contain a
       // verbatim >= 13-token benchmark span — non-vacuous by construction
-      val d = docs(s, dir)
-      val holdout = d.filter(col("doc_id") % 97 === 0)
-        .select(col("doc_id"),
-          array_join(slice(graft.functions.Text.tokens(col("text")), 6, 21), " ").as("text"))
-      Dedup.exactSubstringContamination(d, holdout, "doc_id", "text", n = 13)
+      // report session-shared with decontaminate_apply and pipeline_e2e's
+      // S3 (identical corpus/holdout/n)
+      sharedContamination(s, dir).orderBy(col("doc_id"))
     },
     "decontaminate_stored" -> { (s, dir) =>
       import org.apache.spark.sql.functions._
@@ -307,11 +333,14 @@ object ExtensionQueries {
       // holdout as decontaminate_exact, span threshold 20 so documents
       // with sub-threshold verbatim overlap SURVIVE (both branches of the
       // gate are exercised) while full 21-token quotes are dropped
+      // contamination report session-shared with decontaminate_exact and
+      // pipeline_e2e (identical corpus/holdout/n)
       val d = docs(s, dir)
       val holdout = d.filter(col("doc_id") % 97 === 0)
         .select(col("doc_id"),
           array_join(slice(graft.functions.Text.tokens(col("text")), 6, 21), " ").as("text"))
-      Dedup.applyDecontamination(d, holdout, "doc_id", "text", n = 13, minSpanTokens = 20)
+      Dedup.applyDecontamination(d, holdout, "doc_id", "text", n = 13, minSpanTokens = 20,
+          reportOpt = Some(sharedContamination(s, dir)))
         .select(col("doc_id"), col("source"))
         .orderBy("doc_id")
     },
@@ -581,9 +610,12 @@ object ExtensionQueries {
           array_join(slice(graft.functions.Text.tokens(col("text")), 6, 21), " ").as("text"))
       // dedup stage serves from the session-shared canonical pair surface
       // (the same build-once/serve-many intermediate the five cluster-family
-      // queries read) — the pipeline restricts it to its quality survivors
+      // queries read) — the pipeline restricts it to its quality survivors;
+      // the decontamination stage serves from the shared contamination
+      // report (decontaminate_exact/apply's core, identical parameters)
       operators.Pipeline.trainingManifest(s, d, holdout,
-        pairs = Some(sharedLshPairs(s, dir)))
+        pairs = Some(sharedLshPairs(s, dir)),
+        contamination = Some(sharedContamination(s, dir)))
     },
     "doc_chunk_reassemble" -> ((s, dir) =>
       // round-trip audit of the chunker: drop each non-first chunk's

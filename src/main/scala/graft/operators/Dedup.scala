@@ -1160,10 +1160,15 @@ object Dedup {
                            idCol: String, textCol: String, n: Int = 13,
                            minSpanTokens: Int = 13,
                            hashFn: Column => Column = Hashing.hash60,
-                           checkpointDir: Option[String] = None): DataFrame = {
+                           checkpointDir: Option[String] = None,
+                           reportOpt: Option[DataFrame] = None): DataFrame = {
     require(minSpanTokens >= n, s"span threshold $minSpanTokens below the index n=$n")
-    val flagged = exactSubstringContamination(train, holdout, idCol, textCol, n, hashFn,
-        checkpointDir = checkpointDir)
+    // reportOpt injects a PRECOMPUTED [[exactSubstringContamination]] report
+    // over the same (train, holdout, n) — the session-shared serve path;
+    // when absent the operator derives its own.
+    val flagged = reportOpt.getOrElse(
+        exactSubstringContamination(train, holdout, idCol, textCol, n, hashFn,
+          checkpointDir = checkpointDir))
       .filter(col("longest_span") >= minSpanTokens)
       .select(col("doc_id").as("__drop_id"))
     train.join(flagged, col(idCol) === col("__drop_id"), "left_anti")

@@ -49,11 +49,13 @@ import graft.functions.Hashing
   * Therefore the stages run as id-set derivations over the raw parquet
   * scan — keep1 (quality), drop2 (dedup, over keep1-filtered pairs), flag3
   * (decontamination) — and the text-carrying corpus is touched exactly
-  * twice: one narrow token-count projection over the combined keep set
-  * (feeding the budget stage) and one chunk pass over the budget
-  * survivors. The only barriers are id/metadata-sized (plus the operators'
-  * own internal pair / matched-remnant barriers); the corpus text is never
-  * checkpointed at all.
+  * ONCE (round 14; was twice in round 13): the quality-gate scan, whose
+  * tokenize pass also emits the per-doc token counts the budget stage
+  * needs, after which chunk geometry (a pure function of token count) and
+  * packing run entirely on metadata. The only barriers are
+  * id/metadata-sized (plus the operators' own internal pair /
+  * matched-remnant barriers); the corpus text is never checkpointed at
+  * all.
   * Equivalence to the staged form is oracle-checked (the pipeline_e2e
   * DuckDB oracle composes the stage oracles verbatim, each reading the
   * previous stage's survivor CTE) and suite-asserted stage-by-stage.
@@ -98,12 +100,20 @@ object Pipeline {
                        packBudget: Int = 512, numShards: Int = 8,
                        seed: Long = 7L,
                        checkpointDir: Option[String] = None,
-                       pairs: Option[DataFrame] = None): DataFrame = {
-    // S1: quality gate → id set (3 consumers: both pair-endpoint filters +
-    // the final combine), so it takes the one id-sized barrier
-    val keep1 = Materialize.barrier(
-      TextAnalysis.qualityFilterApply(spark, docs).select("doc_id"),
+                       pairs: Option[DataFrame] = None,
+                       contamination: Option[DataFrame] = None): DataFrame = {
+    // S1: quality gate → (doc_id, source, n_tokens) barrier (3 consumers:
+    // both pair-endpoint filters + the survivor combine), so it takes the
+    // one metadata-sized barrier. Round 14: the gate's own scan already
+    // tokenizes every doc to score it, so the budget stage's token counts
+    // RIDE this barrier — the old separate count projection re-read and
+    // re-tokenized the survivor text for nothing (guide §8: carry decision
+    // metadata out of the one pass that must touch the payload).
+    val keepCounted = Materialize.barrier(
+      TextAnalysis.qualityFilterApplyCounted(spark, docs)
+        .select("doc_id", "source", "n_tokens"),
       checkpointDir)
+    val keep1 = keepCounted.select("doc_id")
     // S2: near-dup pairs over the RAW corpus (canonical parameters),
     // restricted to quality survivors — provably the survivor corpus's own
     // pair set (see the scaladoc). The restricted set is re-barriered (it
@@ -122,38 +132,36 @@ object Pipeline {
     // come from the raw corpus (only cluster members' scores are consumed)
     val drop2 = Dedup.dedupQualityDropIds(docs, p1Pairs, checkpointDir)
     // S3: verbatim-span flags vs the raw-corpus holdout, computed over the
-    // RAW corpus (span geometry is per-doc) and applied to the survivors
-    val flag3 = Dedup.exactSubstringContamination(docs, holdout,
-        "doc_id", "text", n = 13, checkpointDir = checkpointDir)
+    // RAW corpus (span geometry is per-doc) and applied to the survivors.
+    // `contamination` injects a precomputed exactSubstringContamination
+    // report over the same (docs, holdout, n=13) — the session-shared
+    // serve path; when absent the pipeline derives its own.
+    val flag3 = contamination.getOrElse(
+        Dedup.exactSubstringContamination(docs, holdout,
+          "doc_id", "text", n = 13, checkpointDir = checkpointDir))
       .filter(col("longest_span") >= 20)
       .select(col("doc_id").as("__flag_id"))
-    // the combined keep set — the whole pipeline's decision artifact. LAZY:
-    // its single consumer is the token-count projection below (the chunk
-    // pass keys on the budget survivors instead), and drop2/flag3 read
-    // their own internal barriers, so nothing here re-executes.
-    val keep = keep1
-      .join(drop2, col("doc_id") === col("__drop_id"), "left_anti")
-      .join(flag3, col("doc_id") === col("__flag_id"), "left_anti")
-    // S4: per-source token budget over the survivors. The budget stage
-    // consumes its input twice (bucket-offset aggregation + running-sum
-    // join), so the survivor token counts tokenize ONCE into a narrow
-    // (id, source, n_tokens) barrier instead of letting each consumer
-    // re-scan the text.
+    // S4: per-source token budget over the survivors. Three consumers read
+    // the survivor counts (bucket-offset aggregation + running-sum join +
+    // the chunk schedule), so the combined keep set takes one id-sized
+    // barrier — all three inputs are already metadata (keepCounted blocks,
+    // drop2/flag3 tiny id sets), so this barrier job touches no text.
     val counted = Materialize.barrier(
-      docs.join(keep, Seq("doc_id"), "left_semi")
-        .select(col("doc_id"), col("source"),
-          size(graft.functions.Text.tokens(col("text"))).cast("long")
-            .as("n_tokens")),
+      keepCounted
+        .join(drop2, col("doc_id") === col("__drop_id"), "left_anti")
+        .join(flag3, col("doc_id") === col("__flag_id"), "left_anti"),
       checkpointDir)
     val sel = Sampling.tokenBudgetPerSourceCounted(counted,
       "doc_id", "source", budget = tokenBudget).select("doc_id")
-    // S5+S6: chunk, pack, and order bins by the seeded shuffle key. The
-    // budget survivors are a subset of `keep`, so the chunk pass semi-joins
-    // the raw scan against `sel` directly — the manifest's ONLY
-    // text-carrying pass besides the count projection above.
-    val d4 = docs.join(sel, Seq("doc_id"), "left_semi")
+    // S5+S6: chunk SCHEDULE, pack, and order bins by the seeded shuffle
+    // key. Round 14: fixed-window chunk geometry is a pure function of the
+    // doc's token count, and the packer consumes only (doc_id, chunk_idx,
+    // n_tokens) — so the chunk pass derives from the counted barrier and
+    // the manifest touches the corpus TEXT exactly once (the quality-gate
+    // scan), with every downstream stage metadata-only.
     val packed = Packing.packChunks(spark,
-      TextAnalysis.chunkDocuments(d4, chunkSize, overlap),
+      TextAnalysis.chunkSchedule(
+        counted.join(sel, Seq("doc_id"), "left_semi"), chunkSize, overlap),
       budget = packBudget, numShards = numShards)
     packed
       .withColumn("shuffle_key",

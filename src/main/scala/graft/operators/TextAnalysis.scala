@@ -36,6 +36,12 @@ object TextAnalysis {
   private[operators] def langPredictions(spark: SparkSession,
                                          docs: DataFrame): DataFrame = {
     import spark.implicits._
+    // 'und' is a RESERVED sentinel meaning "no profile hits": consumers gate
+    // on pred_lang.isNull (absent row) / coalesce to 'und', which is only
+    // equivalent while no stopword profile is itself named 'und'.
+    require(!Text.stopwordProfiles.contains("und"),
+      "'und' is the reserved abstain sentinel — a real 'und' profile would " +
+        "change the quality gate and langId semantics")
     val prof = Text.stopwordProfiles
       .flatMap { case (lang, ws) => ws.map(w => (lang, w)) }
       .toDF("lang", "word")
@@ -204,18 +210,32 @@ object TextAnalysis {
     // back — as the prediction core (absent row = zero profile hits =
     // 'und', which the gate keeps, exactly the public langId coalesce
     // semantics).
+    qualityFilterApplyCounted(spark, docs, minScore)
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  /** [[qualityFilterApply]] with the per-doc TOKEN COUNT riding along
+    * (n_tokens is computed by the gate's own scan anyway — qualityAugmented
+    * tokenizes every doc to score it): the form a downstream budget stage
+    * consumes, so a pipeline composing quality → … → token budget never
+    * re-reads or re-tokenizes the corpus text just to count tokens (guide
+    * §8: carry the decision metadata out of the one pass that must touch
+    * the payload). Unsorted; the public wrapper projects + sorts.
+    */
+  private[graft] def qualityFilterApplyCounted(spark: SparkSession, docs: DataFrame,
+                                               minScore: Double = 0.2): DataFrame = {
     val keepCols = docs.columns.toSeq
     val gated = qualityAugmented(
         gopherAugmented(docs)
           .select((keepCols :+ "quality_pass").map(col): _*)
           .filter(col("quality_pass")))
       .filter(col("quality_score") >= minScore)
-      .select("doc_id", "lang", "source", "n_chars")
+      .select("doc_id", "lang", "source", "n_chars", "n_tokens")
     gated
       .join(langPredictions(spark, docs), Seq("doc_id"), "left")
       .filter(col("pred_lang").isNull || col("pred_lang") === col("lang"))
-      .select("doc_id", "lang", "source", "n_chars")
-      .orderBy("doc_id")
+      .select("doc_id", "lang", "source", "n_chars", "n_tokens")
   }
 
   /** Per-document top-k terms by tf-idf. Shape at scale: one explode + two
@@ -1146,6 +1166,33 @@ object TextAnalysis {
 
   def chunkDocuments(docs: DataFrame, chunkSize: Int = 64, overlap: Int = 16): DataFrame =
     chunkCore(docs, chunkSize, overlap, carry = Nil).orderBy("doc_id", "chunk_idx")
+
+  /** Metadata-only chunk SCHEDULE: the (doc_id, chunk_idx, n_tokens) rows
+    * of [[chunkDocuments]] derived from per-document token counts alone —
+    * fixed-window chunk geometry is a pure function of the doc's token
+    * count (same nchunks/per-chunk-size arithmetic as [[chunkCore]],
+    * suite-asserted equal). A packing/manifest pipeline that already holds
+    * an (id, n_tokens) table (the budget stage's own input) therefore
+    * schedules chunks WITHOUT re-reading or re-tokenizing any text — at
+    * corpus scale that removes a full text scan + tokenize pass from the
+    * manifest (guide §8: decide with small rows). `counted` must carry
+    * `doc_id` and `n_tokens` (the [[graft.functions.Text.tokens]] count of
+    * the SAME text [[chunkDocuments]] would read).
+    */
+  def chunkSchedule(counted: DataFrame, chunkSize: Int = 64,
+                    overlap: Int = 16): DataFrame = {
+    require(overlap >= 0 && chunkSize > overlap, "need chunkSize > overlap >= 0")
+    val step = chunkSize - overlap
+    counted
+      .select(col("doc_id"), col("n_tokens").cast("int").as("n"))
+      .filter(col("n") > 0)
+      .withColumn("nchunks",
+        greatest(lit(1), ceil((col("n") - lit(overlap)).cast("double") / step).cast("int")))
+      .select(col("doc_id"), col("n"),
+        explode(sequence(lit(0), col("nchunks") - 1)).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        least(lit(chunkSize), col("n") - col("chunk_idx") * step).cast("int").as("n_tokens"))
+  }
 
   /** Sort-free chunking core shared by the batch operator above and the
     * streaming ingest stage ([[graft.streaming.DocumentIngest.chunked]]) —

@@ -1444,6 +1444,27 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("chunkSchedule == chunkDocuments metadata for every token count 0..200") {
+    // the metadata-only chunker (round-14 pipeline tail) must reproduce
+    // chunkDocuments' (doc_id, chunk_idx, n_tokens) rows exactly from the
+    // per-doc token count alone — including the n=0 drop and the exact-fit
+    // boundary cases the 1..200 sweep covers
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = (0 to 200).map(n => (n.toLong, (1 to n).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val fromText = operators.TextAnalysis.chunkDocuments(docs, 64, 16)
+      .select("doc_id", "chunk_idx", "n_tokens")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sorted
+    val counted = docs.select(col("doc_id"),
+      size(graft.functions.Text.tokens(col("text"))).cast("long").as("n_tokens"))
+    val fromCounts = operators.TextAnalysis.chunkSchedule(counted, 64, 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sorted
+    assert(fromCounts.toSeq == fromText.toSeq)
+    assert(fromText.nonEmpty && !fromText.exists(_._1 == 0L),
+      "n=0 doc must drop from both paths")
+  }
+
   test("bloom prefilter dispatches string keys (probe matches builder repr)") {
     import spark.implicits._
     val dim = Seq("a", "b", "c").toDF("k")

@@ -624,14 +624,18 @@ class PlanShapeSpec extends SparkSpec {
       s"manifest plan must start from the stage barriers, not re-derive upstream:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"pipeline tail planned a cartesian:\n$p")
-    // decide-with-ids discipline (round-13): the text-carrying corpus is
-    // scanned exactly ONCE in the manifest plan — the chunk pass over the
-    // budget survivors. A second text scan means a stage started deriving
-    // from the corpus instead of an id/metadata barrier.
+    // decide-with-ids discipline (round-14, tightened from round-13's
+    // exactly-one): the manifest plan carries ZERO text scans — the
+    // quality-gate scan (the single pass that touches text) runs behind
+    // the keepCounted barrier, and chunk geometry derives from token
+    // counts alone. ANY text scan here means a stage started deriving
+    // from the corpus instead of an id/metadata barrier. Matched on the
+    // text attribute token (text#<id>), not a bare substring.
     val textScans = p.linesIterator
-      .filter(l => l.contains("FileScan parquet") && l.contains("text")).toSeq
-    assert(textScans.size == 1,
-      s"manifest plan must carry exactly one text scan, found ${textScans.size}:\n$p")
+      .filter(l => l.contains("FileScan parquet") &&
+        "text#\\d".r.findFirstIn(l).isDefined).toSeq
+    assert(textScans.isEmpty,
+      s"manifest plan must carry no text scan, found ${textScans.size}:\n$p")
     // post-barrier exchanges: budget offsets agg + its per-source window,
     // the budget-selection joins, the pack shard repartition, the manifest
     // range sort — a BOUNDED set. A pile-up here means a stage started
