@@ -658,7 +658,17 @@ object Dedup {
                               k: Int = 3, threshold: Double = 0.5, maxDf: Int = 50,
                               hashFn: Column => Column = Hashing.hash60,
                               materialize: Boolean = true,
-                              checkpointDir: Option[String] = None): DataFrame = {
+                              checkpointDir: Option[String] = None,
+                              minDf: Int = 2): DataFrame = {
+    // minDf exists ONLY as the measurement handle for the Heaps-law A/B
+    // (minDf=1 reproduces the pre-round-13 index); every declared query
+    // uses the default 2. MEASURED (round 14) on a high-singleton fixture
+    // (ScaleToolsSpec "df >= 2 fold-in" geometry at 60k docs, 93.8%
+    // singleton shingle vocabulary, local[32], warmed min-of-2): minDf=1
+    // 5.18 s vs minDf=2 3.96 s — 1.31x from the fold-in alone once the
+    // corpus is Heaps-law-shaped, with identical output (suite-asserted).
+    // The committed sf0.1 fixture is the opposite extreme (0.08% singleton
+    // mass), where round 13 measured the fold-in as a wash.
     withShingleIndex(shingleHashesExploded(df, idCol, textCol, k, hashFn),
         materialize, checkpointDir) { ex0 =>
     // the index keeps only shingles with 2 <= df <= maxDf: above the cap is
@@ -674,7 +684,7 @@ object Dedup {
     // at most the singleton count — 0.08% of the fixture's mass); the
     // survivors are still verified EXACTLY, so the output is unchanged.
     val rare = ex0.groupBy("h").agg(count(lit(1)).as("df"))
-      .filter(col("df") >= 2 && col("df") <= maxDf)
+      .filter(col("df") >= minDf && col("df") <= maxDf)
     val idx = ex0.join(rare, "h").select("doc_id", "h")
 
     // per-doc stats: full set size and how many shingles the index dropped

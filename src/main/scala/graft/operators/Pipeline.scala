@@ -102,6 +102,17 @@ object Pipeline {
                        checkpointDir: Option[String] = None,
                        pairs: Option[DataFrame] = None,
                        contamination: Option[DataFrame] = None): DataFrame = {
+    // Injected-surface preconditions (unchecked frames silently change the
+    // manifest): the pair surface must carry the canonical pair schema and
+    // the contamination frame the report schema. The parameter contracts
+    // (k=3/64/16/0.5 pairs over THESE docs; n=13 report vs THIS holdout)
+    // are documented above and asserted by the suite's equivalence tests.
+    pairs.foreach(p => require(
+      Seq("doc_a", "doc_b", "jaccard").forall(p.columns.contains),
+      s"injected pair surface must carry (doc_a, doc_b, jaccard), got ${p.columns.mkString(",")}"))
+    contamination.foreach(c => require(
+      Seq("doc_id", "longest_span").forall(c.columns.contains),
+      s"injected contamination report must carry (doc_id, longest_span), got ${c.columns.mkString(",")}"))
     // S1: quality gate → (doc_id, source, n_tokens) barrier (3 consumers:
     // both pair-endpoint filters + the survivor combine), so it takes the
     // one metadata-sized barrier. Round 14: the gate's own scan already

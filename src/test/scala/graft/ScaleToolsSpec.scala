@@ -548,6 +548,64 @@ class ScaleToolsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
         f"(t1=${math.min(t1a, t1b)}%.2fs t2=${math.min(t2a, t2b)}%.2fs)")
   }
 
+  test("df >= 2 fold-in: Heaps-law fixture — output identical, singleton mass measured") {
+    import graft.operators.Dedup
+    // round-13 verdict task 7: back the Heaps-law argument for the df >= 2
+    // fold-in with a measured fixture instead of corpus statistics. The
+    // committed sf0.1 fixture is the worst case (0.08% singleton shingles);
+    // THIS fixture is the realistic case — most shingles unique. Same
+    // triplet-cluster geometry as the 10x gate above: 7 of 10 docs fully
+    // unique, so the singleton fraction is high by construction (asserted,
+    // not assumed). minDf=1 reproduces the pre-round-13 index; the outputs
+    // must be identical (singletons can never produce an a < b pair) and
+    // the timing delta is printed for the record (asserting wall-clock
+    // ratios in a shared-box suite is flaky; the committed numbers live in
+    // the operator's scaladoc, measured at bench configuration).
+    val nDocs = 6000
+    def fixture = spark.range(nDocs).select(
+      col("id").as("doc_id"),
+      array_join(
+        when(col("id") % 10 < 3,
+          concat(
+            transform(sequence(lit(0), lit(29)),
+              j => concat_ws("_", lit("c"), (col("id") / 10).cast("long"), j)),
+            array(concat_ws("_", lit("u"), col("id")))))
+        .otherwise(
+          transform(sequence(lit(0), lit(61)),
+            j => concat_ws("_", lit("u"), col("id"), j))),
+        " ").as("text"))
+    // measured singleton fraction of the distinct-shingle vocabulary
+    val toks = graft.functions.Text.tokens(col("text"))
+    val perDoc = fixture.select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), col("toks"), posexplode(col("toks")).as(Seq("pos", "t")))
+      .filter(col("pos") <= size(col("toks")) - 3)
+      .select(col("doc_id"), concat_ws(" ",
+        element_at(col("toks"), col("pos") + 1),
+        element_at(col("toks"), col("pos") + 2),
+        element_at(col("toks"), col("pos") + 3)).as("g"))
+      .distinct()
+    val dfDist = perDoc.groupBy("g").agg(count(lit(1)).as("df"))
+      .agg(sum(when(col("df") === 1, 1L).otherwise(0L)).as("singles"),
+        count(lit(1)).as("total"))
+      .collect().head
+    val frac = dfDist.getLong(0).toDouble / dfDist.getLong(1)
+    assert(frac > 0.9, f"fixture singleton fraction $frac%.3f — not Heaps-law-shaped")
+    def run(minDf: Int): (Seq[String], Double) = {
+      val t0 = System.nanoTime()
+      val rows = Dedup.ngramJaccardCappedPairs(fixture, "doc_id", "text",
+          k = 3, threshold = 0.5, maxDf = 50, minDf = minDf)
+        .collect().map(_.mkString("|")).toSeq
+      (rows, (System.nanoTime() - t0) / 1e9)
+    }
+    run(2) // warm plan shapes/codegen
+    val (r2, t2a) = run(2); val (_, t2b) = run(2)
+    val (r1, t1a) = run(1); val (_, t1b) = run(1)
+    assert(r1 == r2, "df >= 2 fold-in changed the output — it must be identity")
+    assert(r2.size == 1800, s"expected 1800 planted pairs, got ${r2.size}")
+    info(f"singleton fraction $frac%.3f; minDf=1 min ${math.min(t1a, t1b)}%.2fs " +
+      f"vs minDf=2 min ${math.min(t2a, t2b)}%.2fs")
+  }
+
   test("dedup_edit_distance survives 10x docs: exact planted recovery, flat job count") {
     import graft.operators.Dedup
     // planted typo pairs (2m, 2m+1): both share the 32-hex-char md5 prefix of
